@@ -1,0 +1,19 @@
+from .tokenizers import (
+    OMICS_SPECIAL_TOKENS,
+    ByteTextTokenizer,
+    HFTextTokenizer,
+    NucleotideTokenizer,
+    ProteinTokenizer,
+    load_text_tokenizer,
+)
+from .omics_dataset import (
+    DataConfig,
+    OmicsDataset,
+    OmicsSampleEncoder,
+    task_name_to_id,
+    LABEL_IGNORE,
+    ENCODER_PAD_ID,
+    NUM_DOMAIN_TASKS,
+    UNKNOWN_TASK_ID,
+)
+from .collate import collate_train, collate_test, iterate_batches

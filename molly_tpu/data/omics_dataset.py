@@ -1,0 +1,303 @@
+"""Parquet-backed multi-omics SFT dataset.
+
+Reproduces the splicing semantics of the reference dataset layer
+(/root/reference/src/dataset/omics_dataset.py) with a TPU-first output
+format: every sample is a dict of fixed-shape numpy arrays, with omics
+segments split per modality into ``[G, K]`` token blocks plus ``[G]`` start
+positions (-1 = inactive slot), so batches jit with fully static shapes.
+
+Semantics mirrored exactly (with file:line citations to the reference):
+  - tag regexes for <dna>/<rna>/<protein> (omics_dataset.py:162-170)
+  - fixed pre-tokenized system prompt + assistant header (:87-92)
+  - placeholder splice: start + k*pad + end per segment, recording the
+    start-token index (:265-293)
+  - sft label masking: -100 on prompt, output + EOS supervised (:346-373)
+  - truncation keeps the final EOS (:371-373)
+  - Test mode: no output/EOS, left-padding with start-position shift
+    (:384-391)
+  - 20-task name -> id mapping for domain losses (:172-214)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .tokenizers import (
+    ASSISTANT_START_TEXT,
+    SYSTEM_PROMPT_TEXT,
+)
+
+# Tagged-sequence regexes, identical to omics_dataset.py:162-170.
+OMICS_REGEX = {
+    "dna": re.compile(r"<dna>\s*([ACGTNacgtn]+)\s*</dna>"),
+    "rna": re.compile(r"<rna>\s*([ACGTNacgtn]+)\s*</rna>"),
+    "protein": re.compile(r"<protein>\s*([ACDEFGHIKLMNPQRSTVWYBXZOU]+)\s*</protein>"),
+}
+
+# Task-name fragment -> domain-loss id (omics_dataset.py:172-214).
+TASK_ID_MAP = [
+    ("antibody_antigen", 0),
+    ("cpd-prom_core", 1),
+    ("CRISPROnTarget", 2),
+    ("emp-H", 3),
+    ("enhancer_activity", 4),
+    ("Fluorescence-Fluorescence", 5),
+    ("FunctionEC-FunctionEC", 6),
+    ("Isoform-Isoform", 7),
+    ("MeanRibosomeLoading-MeanRibosomeLoading", 8),
+    ("Modification-Modification", 9),
+    ("NoncodingRNAFamily-NoncodingRNAFamily", 10),
+    ("pd-prom_300", 11),
+    ("ProgrammableRNASwitches-ProgrammableRNASwitches", 12),
+    ("promoter_enhancer_interaction", 13),
+    ("rna_protein_interaction", 14),
+    ("Solubility-Solubility", 15),
+    ("Stability-Stability", 16),
+    ("Thermostability-Thermostability", 17),
+    ("tf-h", 18),
+    ("tf-m", 19),
+]
+UNKNOWN_TASK_ID = 100
+NUM_DOMAIN_TASKS = 20
+
+LABEL_IGNORE = -100
+ENCODER_PAD_ID = 1  # both modality tokenizers pad with 1
+
+
+def task_name_to_id(source: str) -> int:
+    for frag, tid in TASK_ID_MAP:
+        if frag in (source or ""):
+            return tid
+    return UNKNOWN_TASK_ID
+
+
+@dataclass
+class DataConfig:
+    """Mirror of the reference DatasetConfig (omics_dataset.py:18-29) plus the
+    static-shape knobs the TPU layout needs."""
+
+    max_len: int = 1024
+    mode: str = "sft"  # "sft" | "pretrain"
+    padding: bool = True
+    dna_rna_k_tokens: int = 128
+    protein_k_tokens: int = 128
+    # Static number of segment slots per modality per sample. The reference
+    # pads ragged per-batch (omics_dataset.py:487-492); we fix it up front so
+    # every batch has one compiled shape.
+    max_dna_rna_segments: int = 4
+    max_protein_segments: int = 4
+
+
+class OmicsSampleEncoder:
+    """Turns one raw row {input, output, think, task, ...} into fixed-shape
+    numpy arrays. Pure CPU, no JAX."""
+
+    def __init__(self, text_tokenizer, dna_rna_tokenizer, protein_tokenizer,
+                 config: DataConfig):
+        self.tok = text_tokenizer
+        self.dna_tok = dna_rna_tokenizer
+        self.prot_tok = protein_tokenizer
+        self.cfg = config
+
+        t = text_tokenizer
+        self.special = {
+            kind: {
+                "start": t.convert_tokens_to_ids(f"<|{kind}_start|>"),
+                "pad": t.convert_tokens_to_ids(f"<|{kind}_pad|>"),
+                "end": t.convert_tokens_to_ids(f"<|{kind}_end|>"),
+            }
+            for kind in ("dna", "rna", "protein")
+        }
+        self.eos_id = t.eos_token_id
+        self.pad_id = t.pad_token_id
+        # Fixed chat-template prefix/suffix (omics_dataset.py:87-92).
+        self.system_prompt_ids = t.encode(SYSTEM_PROMPT_TEXT, add_special_tokens=False)
+        self.assistant_start_ids = t.encode(
+            ASSISTANT_START_TEXT, add_special_tokens=False
+        )
+
+    # -- step 1: splice tagged sequences into placeholder tokens -----------
+
+    def splice(self, input_text: str) -> Dict[str, Any]:
+        """Replace each tagged bio sequence with start + k*pad + end tokens,
+        recording segment type/start and the raw sequence
+        (omics_dataset.py:249-293)."""
+        seq_info: List[Dict[str, Any]] = []
+        raw_seqs: List[str] = []
+        for kind in ("dna", "rna", "protein"):
+            for m in OMICS_REGEX[kind].finditer(input_text):
+                seq_info.append({"type": kind, "s": m.start(), "e": m.end()})
+                raw_seqs.append(m.group(1).upper())
+
+        order = sorted(range(len(seq_info)), key=lambda i: seq_info[i]["s"])
+        input_ids: List[int] = list(self.system_prompt_ids)
+        segments: List[Dict[str, Any]] = []  # {"type","start","raw"}
+        cursor = 0
+        for i in order:
+            info = seq_info[i]
+            kind = info["type"]
+            input_ids.extend(
+                self.tok.encode(input_text[cursor : info["s"]],
+                                add_special_tokens=False)
+            )
+            # start position = index of the start token (the reference stores
+            # len(input_ids) *before* appending start, then injects at
+            # start+1 .. start+1+k — omics_dataset.py:277, omics_one.py:97).
+            segments.append({"type": kind, "start": len(input_ids),
+                             "raw": raw_seqs[i]})
+            k = (self.cfg.dna_rna_k_tokens if kind in ("dna", "rna")
+                 else self.cfg.protein_k_tokens)
+            sp = self.special[kind]
+            input_ids.append(sp["start"])
+            input_ids.extend([sp["pad"]] * k)
+            input_ids.append(sp["end"])
+            cursor = info["e"]
+        if cursor < len(input_text):
+            input_ids.extend(
+                self.tok.encode(input_text[cursor:], add_special_tokens=False)
+            )
+        return {"input_ids": input_ids, "segments": segments}
+
+    # -- step 2: full sample --------------------------------------------------
+
+    def encode_train(self, row: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        spliced = self.splice((row.get("input") or "").strip())
+        input_ids: List[int] = spliced["input_ids"]
+        input_ids.extend(self.assistant_start_ids)
+
+        output_text = (row.get("output") or "").strip()
+        if cfg.mode == "sft":
+            output_ids = (
+                self.tok.encode(output_text, add_special_tokens=False)
+                if output_text else []
+            )
+            output_ids.append(self.eos_id)
+            input_len = len(input_ids)
+            full = input_ids + output_ids
+            labels = [LABEL_IGNORE] * input_len + output_ids
+        else:  # pretrain: supervise everything
+            input_ids.append(self.eos_id)
+            full = list(input_ids)
+            labels = list(full)
+
+        if len(full) > cfg.max_len:  # keep EOS (omics_dataset.py:371-373)
+            full = full[: cfg.max_len - 1] + [self.eos_id]
+            labels = labels[: cfg.max_len - 1] + [self.eos_id]
+
+        attention_mask = [1] * len(full)
+        if cfg.padding and len(full) < cfg.max_len:
+            pad_n = cfg.max_len - len(full)
+            full += [self.pad_id] * pad_n
+            labels += [LABEL_IGNORE] * pad_n
+            attention_mask += [0] * pad_n
+
+        out = self._pack_segments(spliced["segments"], shift=0)
+        out.update(
+            input_ids=np.asarray(full, dtype=np.int32),
+            labels=np.asarray(labels, dtype=np.int32),
+            attention_mask=np.asarray(attention_mask, dtype=np.int32),
+            task_label=np.int32(task_name_to_id(row.get("task", ""))),
+        )
+        return out
+
+    def encode_test(self, row: Dict[str, Any]) -> Dict[str, Any]:
+        """Inference-mode sample: prompt only, left-padded to max_len with
+        omics start positions shifted (omics_dataset.py:384-391)."""
+        cfg = self.cfg
+        spliced = self.splice((row.get("input") or "").strip())
+        input_ids: List[int] = spliced["input_ids"]
+        input_ids.extend(self.assistant_start_ids)
+
+        attention_mask = [1] * len(input_ids)
+        shift = 0
+        if cfg.padding and len(input_ids) < cfg.max_len:
+            shift = cfg.max_len - len(input_ids)
+            input_ids = [self.pad_id] * shift + input_ids
+            attention_mask = [0] * shift + attention_mask
+
+        out = self._pack_segments(spliced["segments"], shift=shift)
+        out.update(
+            input_ids=np.asarray(input_ids, dtype=np.int32),
+            attention_mask=np.asarray(attention_mask, dtype=np.int32),
+            task=row.get("task", ""),
+            raw_input=(row.get("input") or "").strip(),
+            raw_output=(row.get("output") or "").strip(),
+            raw_label=row.get("label", ""),
+            kind=row.get("kind", ""),
+        )
+        return out
+
+    def _pack_segments(self, segments: List[Dict[str, Any]], shift: int):
+        """Pack ragged segments into fixed [G, K] token blocks + [G] starts."""
+        cfg = self.cfg
+        dna_tokens = np.full(
+            (cfg.max_dna_rna_segments, cfg.dna_rna_k_tokens),
+            ENCODER_PAD_ID, dtype=np.int32)
+        dna_pos = np.full((cfg.max_dna_rna_segments,), -1, dtype=np.int32)
+        prot_tokens = np.full(
+            (cfg.max_protein_segments, cfg.protein_k_tokens),
+            ENCODER_PAD_ID, dtype=np.int32)
+        prot_pos = np.full((cfg.max_protein_segments,), -1, dtype=np.int32)
+
+        di = pi = 0
+        for seg in segments:
+            start = seg["start"] + shift
+            if seg["type"] in ("dna", "rna"):
+                if di >= cfg.max_dna_rna_segments:
+                    continue  # overflow segments are dropped (logged upstream)
+                dna_tokens[di] = self.dna_tok.encode(
+                    seg["raw"], max_length=cfg.dna_rna_k_tokens)
+                dna_pos[di] = start
+                di += 1
+            else:
+                if pi >= cfg.max_protein_segments:
+                    continue
+                prot_tokens[pi] = self.prot_tok.encode(
+                    seg["raw"], max_length=cfg.protein_k_tokens)
+                prot_pos[pi] = start
+                pi += 1
+        return {
+            "dna_rna_tokens": dna_tokens,
+            "dna_rna_pos": dna_pos,
+            "protein_tokens": prot_tokens,
+            "protein_pos": prot_pos,
+        }
+
+
+class OmicsDataset:
+    """Map-style dataset over a parquet (or pandas DataFrame) of raw rows
+    with columns [task, input, think, output, label, kind]."""
+
+    def __init__(self, source, text_tokenizer, dna_rna_tokenizer,
+                 protein_tokenizer, config: DataConfig,
+                 mode: str = "train", read_nums: Optional[int] = None,
+                 shuffle: bool = False, seed: int = 42):
+        import pandas as pd
+
+        if isinstance(source, str):
+            df = pd.read_parquet(source)
+        else:
+            df = source
+        if read_nums:
+            df = df.head(read_nums)
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            df = df.sample(frac=1, random_state=rng).reset_index(drop=True)
+        self.df = df.reset_index(drop=True)
+        self.mode = mode
+        self.encoder = OmicsSampleEncoder(
+            text_tokenizer, dna_rna_tokenizer, protein_tokenizer, config)
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def __getitem__(self, idx: int):
+        row = self.df.loc[idx].to_dict()
+        if self.mode == "test":
+            return self.encoder.encode_test(row)
+        return self.encoder.encode_train(row)
