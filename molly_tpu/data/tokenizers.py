@@ -211,11 +211,15 @@ class ByteTextTokenizer:
             i = int(i)
             if i < 256:
                 byte_buf.append(i)
-            else:
+            elif i - 256 < len(self._specials):
                 flush()
                 tok = self._specials[i - 256]
                 if not skip_special_tokens:
                     out.append(tok)
+            else:  # out-of-vocab id (e.g. model vocab padded past tokenizer)
+                flush()
+                if not skip_special_tokens:
+                    out.append("�")
         flush()
         return "".join(out)
 

@@ -1,0 +1,2 @@
+from .engine import GenerationConfig, generate
+from .sampling import sample_tokens, top_k_filter, top_p_filter

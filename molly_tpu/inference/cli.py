@@ -1,0 +1,152 @@
+"""Batch inference CLI — the equivalent of the reference's
+``python src/inference_lora.py`` entry point
+(/root/reference/src/inference_lora.py:21-106,284-321): read a parquet of
+prompts, run the fusion model with sampling, append JSONL rows
+``{decoded_output, input, gt_output, gt_label, task, kind}``.
+
+Usage:
+  python -m molly_tpu.inference.cli --input-file data.parquet \
+      --output-file out.jsonl --text-model-path /path/qwen3 \
+      --checkpoint /path/ckpt [--adapter adapter.npz] [--batch-size 32] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("molly_tpu batch inference")
+    p.add_argument("--input-file", required=True)
+    p.add_argument("--output-file", required=True)
+    p.add_argument("--text-model-path", default=None,
+                   help="local HF dir for tokenizer + base Qwen3 weights")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax train-state dir or HF dir with full weights")
+    p.add_argument("--adapter", default=None,
+                   help="adapter .npz from training.export_adapter")
+    p.add_argument("--preset", default="qwen3-1.7b",
+                   help="model preset when no checkpoint config is given")
+    p.add_argument("--dna-rna-preset", default="nt-500m")
+    p.add_argument("--protein-preset", default="esm2-650m")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-length", type=int, default=3072)
+    p.add_argument("--max-new-tokens", type=int, default=3072)
+    p.add_argument("--dna-rna-k-tokens", type=int, default=1024)
+    p.add_argument("--protein-k-tokens", type=int, default=1024)
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--top-k", type=int, default=20)
+    p.add_argument("--repetition-penalty", type=float, default=1.1)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--read-nums", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import (DataConfig, NucleotideTokenizer, OmicsDataset,
+                        ProteinTokenizer, collate_test, iterate_batches,
+                        load_text_tokenizer)
+    from ..models import ESM_PRESETS, QWEN3_PRESETS, fusion
+    from ..models.fusion import FusionConfig
+    from .engine import GenerationConfig, generate
+
+    text_tok = load_text_tokenizer(args.text_model_path)
+    dcfg = DataConfig(max_len=args.max_length,
+                      dna_rna_k_tokens=args.dna_rna_k_tokens,
+                      protein_k_tokens=args.protein_k_tokens)
+    ds = OmicsDataset(args.input_file, text_tok, NucleotideTokenizer(),
+                      ProteinTokenizer(), dcfg, mode="test",
+                      read_nums=args.read_nums)
+
+    text_cfg = QWEN3_PRESETS[args.preset]
+    if text_tok.vocab_size > text_cfg.vocab_size or (
+            args.text_model_path is None and args.checkpoint is None):
+        # byte-fallback tokenizer / demo mode: size the embedding to the
+        # tokenizer (rounded to an MXU-friendly multiple of 128)
+        import dataclasses
+        v = -(-text_tok.vocab_size // 128) * 128
+        text_cfg = dataclasses.replace(text_cfg, vocab_size=v)
+    cfg = FusionConfig(
+        text=text_cfg,
+        dna_rna=ESM_PRESETS[args.dna_rna_preset],
+        protein=ESM_PRESETS[args.protein_preset],
+        dna_rna_k_tokens=args.dna_rna_k_tokens,
+        protein_k_tokens=args.protein_k_tokens)
+
+    params = _load_params(args, cfg)
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens,
+        do_sample=not args.greedy,
+        temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
+        repetition_penalty=args.repetition_penalty,
+        eos_token_id=text_tok.eos_token_id,
+        pad_token_id=text_tok.pad_token_id or 0)
+
+    rng = jax.random.key(args.seed)
+    n_done = 0
+    with open(args.output_file, "a") as fh:
+        for batch in iterate_batches(ds, args.batch_size, drop_last=False,
+                                     collate_fn=collate_test):
+            arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                    if isinstance(v, np.ndarray)}
+            rng, step = jax.random.split(rng)
+            tokens = np.asarray(generate(params, cfg, arrs, gen, step))
+            for i in range(tokens.shape[0]):
+                out_ids = tokens[i]
+                out_ids = out_ids[out_ids != gen.pad_token_id]
+                decoded = text_tok.decode(out_ids.tolist(),
+                                          skip_special_tokens=True)
+                fh.write(json.dumps({
+                    "decoded_output": decoded,
+                    "input": batch["raw_input"][i],
+                    "gt_output": batch["raw_output"][i],
+                    "gt_label": batch["raw_label"][i],
+                    "task": batch["task"][i],
+                    "kind": batch["kind"][i],
+                }) + "\n")
+            n_done += tokens.shape[0]
+            print(f"[inference] {n_done}/{len(ds)}", flush=True)
+
+
+def _load_params(args, cfg):
+    import jax
+
+    from ..models import fusion
+    from ..models.hf_import import esm_from_hf, load_hf_state, qwen3_from_hf
+
+    if args.checkpoint and os.path.isdir(args.checkpoint) and any(
+            f.endswith((".safetensors", ".bin"))
+            for f in os.listdir(args.checkpoint)):
+        state = load_hf_state(args.checkpoint)
+        params = fusion.init_params(cfg, jax.random.key(0))
+        params["text"] = qwen3_from_hf(state, cfg.text)
+        # encoders expected alongside in HF layout when exported by us
+    else:
+        params = fusion.init_params(cfg, jax.random.key(0))
+        if args.checkpoint:
+            from ..training import checkpoint as ckpt
+            # restore params-only from an orbax train state
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as c:
+                restored = c.restore(os.path.abspath(args.checkpoint))
+            params = restored["params"]
+    if args.adapter:
+        from ..training.checkpoint import load_adapter
+        params = load_adapter(args.adapter, params)
+    return params
+
+
+if __name__ == "__main__":
+    main()

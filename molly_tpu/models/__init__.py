@@ -1,0 +1,9 @@
+from .configs import (
+    EsmConfig,
+    Qwen3Config,
+    ESM_PRESETS,
+    QWEN3_PRESETS,
+    tiny_esm,
+    tiny_qwen3,
+)
+from . import esm, qwen3, hf_import

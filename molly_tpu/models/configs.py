@@ -1,0 +1,118 @@
+"""Model configuration dataclasses + published-checkpoint presets.
+
+One typed config tree (SURVEY.md §5.6) replacing the reference's three-layer
+argparse/JSON/bash config stack. Presets mirror the HF configs of the models
+the reference loads (/root/reference/src/model/config.py:49-86):
+Qwen3-1.7B/4B/8B, ESM-2 (8M/650M), nucleotide-transformer (ESM-family).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    """Qwen3 dense decoder (HF transformers modeling_qwen3.py is the spec)."""
+
+    vocab_size: int = 151936
+    hidden_size: int = 2048
+    intermediate_size: int = 6144
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 40960
+    # runtime knobs
+    dtype: str = "bfloat16"
+    remat: bool = False  # jax.checkpoint each layer
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_attention_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_key_value_heads * self.head_dim
+
+
+@dataclass(frozen=True)
+class EsmConfig:
+    """ESM-family bidirectional encoder (covers ESM-2 and the
+    nucleotide-transformer checkpoints; HF modeling_esm.py is the spec)."""
+
+    vocab_size: int = 33
+    hidden_size: int = 320
+    intermediate_size: int = 1280
+    num_hidden_layers: int = 6
+    num_attention_heads: int = 20
+    position_embedding_type: str = "rotary"  # "rotary" | "absolute"
+    emb_layer_norm_before: bool = False
+    token_dropout: bool = True
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    mask_token_id: int = 32
+    max_position_embeddings: int = 1026
+    dtype: str = "bfloat16"
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+# ---------------- presets: published checkpoints ----------------
+
+QWEN3_PRESETS = {
+    # (hidden, inter, layers, heads, kv_heads, tie)
+    "qwen3-0.6b": Qwen3Config(hidden_size=1024, intermediate_size=3072,
+                              num_hidden_layers=28, num_attention_heads=16,
+                              num_key_value_heads=8, tie_word_embeddings=True),
+    "qwen3-1.7b": Qwen3Config(hidden_size=2048, intermediate_size=6144,
+                              num_hidden_layers=28, num_attention_heads=16,
+                              num_key_value_heads=8, tie_word_embeddings=True),
+    "qwen3-4b": Qwen3Config(hidden_size=2560, intermediate_size=9728,
+                            num_hidden_layers=36, num_attention_heads=32,
+                            num_key_value_heads=8, tie_word_embeddings=True),
+    "qwen3-8b": Qwen3Config(hidden_size=4096, intermediate_size=12288,
+                            num_hidden_layers=36, num_attention_heads=32,
+                            num_key_value_heads=8, tie_word_embeddings=False),
+}
+
+ESM_PRESETS = {
+    "esm2-8m": EsmConfig(vocab_size=33, hidden_size=320, intermediate_size=1280,
+                         num_hidden_layers=6, num_attention_heads=20),
+    "esm2-150m": EsmConfig(vocab_size=33, hidden_size=640,
+                           intermediate_size=2560, num_hidden_layers=30,
+                           num_attention_heads=20),
+    "esm2-650m": EsmConfig(vocab_size=33, hidden_size=1280,
+                           intermediate_size=5120, num_hidden_layers=33,
+                           num_attention_heads=20),
+    # nucleotide-transformer-v2: ESM-family, 6-mer vocab (4107 tokens), rotary
+    "nt-500m": EsmConfig(vocab_size=4107, hidden_size=1280,
+                         intermediate_size=5120, num_hidden_layers=24,
+                         num_attention_heads=20, mask_token_id=2,
+                         token_dropout=True,
+                         max_position_embeddings=2050),
+}
+
+
+def tiny_qwen3(**kw) -> Qwen3Config:
+    """Small config for tests/smoke runs."""
+    base = dict(vocab_size=512, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, head_dim=16, dtype="float32")
+    base.update(kw)
+    return Qwen3Config(**base)
+
+
+def tiny_esm(**kw) -> EsmConfig:
+    base = dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                num_hidden_layers=2, num_attention_heads=4, dtype="float32")
+    base.update(kw)
+    return EsmConfig(**base)

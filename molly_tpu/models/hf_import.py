@@ -1,0 +1,204 @@
+"""HF checkpoint -> molly_tpu pytree importers.
+
+Maps the published checkpoints the reference trains from (Qwen3-*/ESM-2/
+nucleotide-transformer, /root/reference/src/train.py:121-152) into the
+stacked-[L,...] pytrees of models.qwen3 / models.esm. Works from either an
+in-memory state dict (torch tensors or numpy arrays — used by the golden
+parity tests) or a checkpoint directory with *.safetensors /
+pytorch_model.bin.
+
+Torch nn.Linear stores weight as [out, in]; our kernels are [in, out], so
+every linear is transposed on import.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from .configs import EsmConfig, Qwen3Config
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (bf16 has no numpy dtype -> go through fp32)
+    try:
+        import torch
+        if isinstance(x, torch.Tensor):
+            if x.dtype == torch.bfloat16:
+                x = x.to(torch.float32)
+            return x.detach().cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(x)
+
+
+def load_hf_state(path: str) -> Dict[str, np.ndarray]:
+    """Read all tensors from a local HF checkpoint directory."""
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    state: Dict[str, np.ndarray] = {}
+    if st_files:
+        from safetensors import safe_open
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for key in sf.keys():
+                    state[key] = sf.get_tensor(key)
+        return state
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: _np(v) for k, v in sd.items()}
+    raise FileNotFoundError(f"no safetensors or pytorch_model.bin in {path}")
+
+
+def _stack(state: Mapping[str, Any], fmt: str, n_layers: int,
+           transpose: bool = False) -> np.ndarray:
+    arrs = []
+    for i in range(n_layers):
+        a = _np(state[fmt.format(i=i)])
+        arrs.append(a.T if transpose else a)
+    return np.stack(arrs)
+
+
+def qwen3_from_hf(state: Mapping[str, Any], cfg: Qwen3Config,
+                  dtype=None) -> Dict[str, Any]:
+    """HF Qwen3ForCausalLM state dict -> models.qwen3 params."""
+    import jax.numpy as jnp
+    dt = np.dtype(dtype or cfg.dtype)
+    L = cfg.num_hidden_layers
+    pre = "model."
+    if not any(k.startswith(pre) for k in state):
+        pre = ""  # bare Qwen3Model
+
+    def one(key, transpose=False):
+        a = _np(state[key])
+        return (a.T if transpose else a).astype(dt)
+
+    lf = pre + "layers.{i}."
+    params = {
+        "embed": one(pre + "embed_tokens.weight"),
+        "layers": {
+            "input_norm": _stack(state, lf + "input_layernorm.weight", L).astype(dt),
+            "post_attn_norm": _stack(
+                state, lf + "post_attention_layernorm.weight", L).astype(dt),
+            "q_proj": _stack(state, lf + "self_attn.q_proj.weight", L, True).astype(dt),
+            "k_proj": _stack(state, lf + "self_attn.k_proj.weight", L, True).astype(dt),
+            "v_proj": _stack(state, lf + "self_attn.v_proj.weight", L, True).astype(dt),
+            "o_proj": _stack(state, lf + "self_attn.o_proj.weight", L, True).astype(dt),
+            "q_norm": _stack(state, lf + "self_attn.q_norm.weight", L).astype(dt),
+            "k_norm": _stack(state, lf + "self_attn.k_norm.weight", L).astype(dt),
+            "gate_proj": _stack(state, lf + "mlp.gate_proj.weight", L, True).astype(dt),
+            "up_proj": _stack(state, lf + "mlp.up_proj.weight", L, True).astype(dt),
+            "down_proj": _stack(state, lf + "mlp.down_proj.weight", L, True).astype(dt),
+        },
+        "final_norm": one(pre + "norm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = one("lm_head.weight", transpose=True)
+    return {k: _to_jnp(v) for k, v in params.items()}
+
+
+def esm_from_hf(state: Mapping[str, Any], cfg: EsmConfig,
+                dtype=None) -> Dict[str, Any]:
+    """HF EsmForMaskedLM (or EsmModel) state dict -> models.esm params."""
+    dt = np.dtype(dtype or cfg.dtype)
+    L = cfg.num_hidden_layers
+    pre = "esm." if any(k.startswith("esm.") for k in state) else ""
+    lf = pre + "encoder.layer.{i}."
+
+    def one(key, transpose=False):
+        a = _np(state[key])
+        return (a.T if transpose else a).astype(dt)
+
+    def ln_stack(fmt):
+        return {
+            "weight": _stack(state, fmt + ".weight", L).astype(dt),
+            "bias": _stack(state, fmt + ".bias", L).astype(dt),
+        }
+
+    params = {
+        "embed": one(pre + "embeddings.word_embeddings.weight"),
+        "layers": {
+            "attn_ln": ln_stack(lf + "attention.LayerNorm"),
+            "q": _stack(state, lf + "attention.self.query.weight", L, True).astype(dt),
+            "q_b": _stack(state, lf + "attention.self.query.bias", L).astype(dt),
+            "k": _stack(state, lf + "attention.self.key.weight", L, True).astype(dt),
+            "k_b": _stack(state, lf + "attention.self.key.bias", L).astype(dt),
+            "v": _stack(state, lf + "attention.self.value.weight", L, True).astype(dt),
+            "v_b": _stack(state, lf + "attention.self.value.bias", L).astype(dt),
+            "attn_out": _stack(state, lf + "attention.output.dense.weight", L,
+                               True).astype(dt),
+            "attn_out_b": _stack(state, lf + "attention.output.dense.bias", L).astype(dt),
+            "ffn_ln": ln_stack(lf + "LayerNorm"),
+            "ffn_in": _stack(state, lf + "intermediate.dense.weight", L, True).astype(dt),
+            "ffn_in_b": _stack(state, lf + "intermediate.dense.bias", L).astype(dt),
+            "ffn_out": _stack(state, lf + "output.dense.weight", L, True).astype(dt),
+            "ffn_out_b": _stack(state, lf + "output.dense.bias", L).astype(dt),
+        },
+        "final_ln": {
+            "weight": one(pre + "encoder.emb_layer_norm_after.weight"),
+            "bias": one(pre + "encoder.emb_layer_norm_after.bias"),
+        },
+    }
+    if cfg.emb_layer_norm_before:
+        params["emb_ln"] = {
+            "weight": one(pre + "embeddings.layer_norm.weight"),
+            "bias": one(pre + "embeddings.layer_norm.bias"),
+        }
+    if cfg.position_embedding_type == "absolute":
+        params["pos_embed"] = one(pre + "embeddings.position_embeddings.weight")
+    return {k: _to_jnp(v) for k, v in params.items()}
+
+
+def _to_jnp(tree):
+    import jax.numpy as jnp
+    if isinstance(tree, dict):
+        return {k: _to_jnp(v) for k, v in tree.items()}
+    return jnp.asarray(tree)
+
+
+def qwen3_cfg_from_hf_config(hf_cfg, **overrides) -> Qwen3Config:
+    """Build our config from a transformers Qwen3Config object or dict."""
+    get = (hf_cfg.get if isinstance(hf_cfg, dict)
+           else lambda k, d=None: getattr(hf_cfg, k, d))
+    kw = dict(
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        intermediate_size=get("intermediate_size"),
+        num_hidden_layers=get("num_hidden_layers"),
+        num_attention_heads=get("num_attention_heads"),
+        num_key_value_heads=get("num_key_value_heads"),
+        head_dim=get("head_dim"),
+        rms_norm_eps=get("rms_norm_eps"),
+        rope_theta=get("rope_theta"),
+        tie_word_embeddings=get("tie_word_embeddings"),
+        max_position_embeddings=get("max_position_embeddings"),
+    )
+    kw.update(overrides)
+    return Qwen3Config(**kw)
+
+
+def esm_cfg_from_hf_config(hf_cfg, **overrides) -> EsmConfig:
+    get = (hf_cfg.get if isinstance(hf_cfg, dict)
+           else lambda k, d=None: getattr(hf_cfg, k, d))
+    kw = dict(
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        intermediate_size=get("intermediate_size"),
+        num_hidden_layers=get("num_hidden_layers"),
+        num_attention_heads=get("num_attention_heads"),
+        position_embedding_type=get("position_embedding_type", "absolute"),
+        emb_layer_norm_before=bool(get("emb_layer_norm_before", False)),
+        token_dropout=bool(get("token_dropout", False)),
+        layer_norm_eps=get("layer_norm_eps", 1e-5),
+        pad_token_id=get("pad_token_id", 1),
+        mask_token_id=get("mask_token_id", 32),
+        max_position_embeddings=get("max_position_embeddings", 1026),
+    )
+    kw.update(overrides)
+    return EsmConfig(**kw)

@@ -1,0 +1,99 @@
+"""LoRA adapters as a factored-param pytree (PEFT-equivalent).
+
+Mirrors the reference recipe (/root/reference/src/utils/tools.py:345-396):
+targets every Linear in the Qwen3 decoder except lm_head (q/k/v/o, gate/up/
+down), alpha=64, dropout 0.05, gaussian-init A, zero-init B, frozen
+encoders, trainable projectors.
+
+Representation: ``lora["layers"][target] = {"a": [L, d_in, r],
+"b": [L, r, d_out]}`` — stacked on the layer axis like the base params, so
+the same ``lax.scan`` carries them. Effective weight is
+``W + (alpha/r) * a @ b``; applied as the low-rank bypass
+``y = x@W + scale * (drop(x) @ a) @ b`` (never materializes W + ΔW).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .configs import Qwen3Config
+
+LORA_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                "gate_proj", "up_proj", "down_proj")
+
+
+@dataclass(frozen=True)
+class LoraConfig:
+    r: int = 64
+    alpha: float = 64.0
+    dropout: float = 0.05
+    targets: tuple = LORA_TARGETS
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.r
+
+
+def target_dims(cfg: Qwen3Config) -> Dict[str, tuple]:
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    return {
+        "q_proj": (H, cfg.q_dim),
+        "k_proj": (H, cfg.kv_dim),
+        "v_proj": (H, cfg.kv_dim),
+        "o_proj": (cfg.q_dim, H),
+        "gate_proj": (H, I),
+        "up_proj": (H, I),
+        "down_proj": (I, H),
+    }
+
+
+def init_lora(cfg: Qwen3Config, lora_cfg: LoraConfig,
+              key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+    """Gaussian A (std 1/r, PEFT's init_lora_weights='gaussian'), zero B."""
+    dims = target_dims(cfg)
+    L, r = cfg.num_hidden_layers, lora_cfg.r
+    keys = jax.random.split(key, len(lora_cfg.targets))
+    layers = {}
+    for k, name in zip(keys, lora_cfg.targets):
+        d_in, d_out = dims[name]
+        layers[name] = {
+            "a": (jax.random.normal(k, (L, d_in, r), jnp.float32)
+                  / r).astype(dtype),
+            "b": jnp.zeros((L, r, d_out), dtype),
+        }
+    return {"layers": layers}
+
+
+def apply_lora(x: jnp.ndarray, base_out: jnp.ndarray,
+               lora_layer: Optional[Dict[str, jnp.ndarray]],
+               scale: float,
+               dropout_rate: float = 0.0,
+               dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """base_out = x @ W already computed; adds the low-rank bypass."""
+    if lora_layer is None:
+        return base_out
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+    delta = (x @ lora_layer["a"]) @ lora_layer["b"]
+    return base_out + scale * delta.astype(base_out.dtype)
+
+
+def merge_lora(params: Dict[str, Any], lora: Dict[str, Any],
+               lora_cfg: LoraConfig) -> Dict[str, Any]:
+    """Fold adapters into the base weights (for export / fast inference),
+    equivalent to PEFT merge_and_unload used implicitly at
+    /root/reference/src/inference_lora.py:214-234."""
+    out = jax.tree.map(lambda x: x, params)  # shallow copy
+    new_layers = dict(out["layers"])
+    for name, ab in lora["layers"].items():
+        delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32),
+                           ab["b"].astype(jnp.float32)) * lora_cfg.scale
+        new_layers[name] = (new_layers[name].astype(jnp.float32)
+                           + delta).astype(new_layers[name].dtype)
+    out["layers"] = new_layers
+    return out

@@ -1,0 +1,227 @@
+"""Qwen3 dense decoder, pure-functional JAX.
+
+Architecture spec: HF ``modeling_qwen3.py`` (the model family the reference
+loads at /root/reference/src/train.py:133-141). Qwen3 = Llama-style pre-norm
+decoder with GQA, per-head-dim RMSNorm on Q/K (q_norm/k_norm), RoPE
+theta=1e6, SwiGLU MLP, optional tied embeddings.
+
+TPU-first design choices:
+  - params are a pytree with all layers STACKED on a leading [L, ...] axis;
+    the forward pass is a single ``lax.scan`` over layers (small HLO, fast
+    compiles, natural sharding of the layer axis for pipeline seams).
+  - KV cache is a pair of [L, B, Smax, Nkv, Dh] arrays threaded through the
+    same scan — prefill and decode share one code path.
+  - optional LoRA adapters ride the same scan as extra xs (models.lora).
+  - attention/norm go through molly_tpu.ops so Pallas kernels slot in
+    without touching model code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+from .configs import Qwen3Config
+from .lora import apply_lora
+
+Params = Dict[str, Any]
+
+# stable per-target indices for LoRA dropout rng derivation
+_TARGET_IDX = {n: i for i, n in enumerate(
+    ("q_proj", "k_proj", "v_proj", "o_proj",
+     "gate_proj", "up_proj", "down_proj"))}
+
+
+def _dtype(cfg: Qwen3Config):
+    return jnp.dtype(cfg.dtype)
+
+
+def init_params(cfg: Qwen3Config, key: jax.Array) -> Params:
+    """Random init (normal 0.02 like HF) — used for tests and from-scratch runs;
+    real runs import HF checkpoints (models.hf_import)."""
+    dt = _dtype(cfg)
+    k = iter(jax.random.split(key, 16))
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    Dq, Dkv, Dh = cfg.q_dim, cfg.kv_dim, cfg.head_dim
+
+    def norm(*shape):
+        return jnp.ones(shape, dtype=dt)
+
+    def lin(key, *shape):
+        return (0.02 * jax.random.normal(key, shape, dtype=jnp.float32)).astype(dt)
+
+    params: Params = {
+        "embed": lin(next(k), cfg.vocab_size, H),
+        "layers": {
+            "input_norm": norm(L, H),
+            "post_attn_norm": norm(L, H),
+            "q_proj": lin(next(k), L, H, Dq),
+            "k_proj": lin(next(k), L, H, Dkv),
+            "v_proj": lin(next(k), L, H, Dkv),
+            "o_proj": lin(next(k), L, Dq, H),
+            "q_norm": norm(L, Dh),
+            "k_norm": norm(L, Dh),
+            "gate_proj": lin(next(k), L, H, I),
+            "up_proj": lin(next(k), L, H, I),
+            "down_proj": lin(next(k), L, I, H),
+        },
+        "final_norm": norm(H),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = lin(next(k), H, cfg.vocab_size)
+    return params
+
+
+def init_cache(cfg: Qwen3Config, batch: int, max_len: int,
+               dtype=None) -> Dict[str, jnp.ndarray]:
+    dt = dtype or _dtype(cfg)
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
+           cache_kv, cache_index, lora_layer=None, lora_scale=1.0,
+           lora_dropout=0.0, dropout_rng=None):
+    """One decoder layer. cache_kv: None or (k_cache, v_cache) [B,Smax,Nkv,Dh];
+    returns (hidden, new_cache_kv)."""
+    p = layer_params
+    B, S, H = hidden.shape
+    Nq, Nkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+
+    def proj(x, name):
+        out = x @ p[name]
+        ll = lora_layer.get(name) if lora_layer is not None else None
+        rng = (jax.random.fold_in(dropout_rng, _TARGET_IDX[name])
+               if dropout_rng is not None else None)
+        return apply_lora(x, out, ll, lora_scale, lora_dropout, rng)
+
+    x = rms_norm(hidden, p["input_norm"], cfg.rms_norm_eps)
+    q = proj(x, "q_proj").reshape(B, S, Nq, Dh)
+    kk = proj(x, "k_proj").reshape(B, S, Nkv, Dh)
+    v = proj(x, "v_proj").reshape(B, S, Nkv, Dh)
+    # Qwen3 applies RMSNorm on the head dim of q/k before RoPE
+    # (modeling_qwen3.py:200-201).
+    q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+    kk = rms_norm(kk, p["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    kk = apply_rope(kk, cos, sin)
+
+    if cache_kv is None:
+        attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
+                                     scale=Dh ** -0.5)
+        new_cache = None
+    else:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, kk.astype(ck.dtype),
+                                          (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_index, 0, 0))
+        attn = dot_product_attention(q, ck, cv, mask=mask, causal=causal,
+                                     scale=Dh ** -0.5, q_offset=cache_index)
+        new_cache = (ck, cv)
+    attn_flat = attn.reshape(B, S, Nq * Dh)
+    attn = proj(attn_flat, "o_proj")
+    hidden = hidden + attn
+
+    x = rms_norm(hidden, p["post_attn_norm"], cfg.rms_norm_eps)
+    mlp = jax.nn.silu(proj(x, "gate_proj")) * proj(x, "up_proj")
+    down = proj(mlp, "down_proj")
+    return hidden + down, new_cache
+
+
+def forward_hidden(
+    params: Params,
+    cfg: Qwen3Config,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,   # [B, S]
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, H]
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, Skv] (Skv=S or Smax)
+    positions: Optional[jnp.ndarray] = None,   # [B, S] absolute positions
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_index: int | jnp.ndarray = 0,
+    lora: Optional[Dict[str, Any]] = None,     # {"layers": {target: {a,b}}}
+    lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Run the decoder stack; returns (final hidden states, updated cache).
+
+    Without a cache this is a plain causal forward (training). With a cache,
+    the S new tokens are written at cache_index and attention runs over the
+    full cache (prefill: S=prompt len, index 0; decode: S=1).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
+    hidden = inputs_embeds
+    B, S, _ = hidden.shape
+
+    if positions is None:
+        if attention_mask is not None and cache is None:
+            # left/right-pad robust: position = #real tokens before me
+            positions = jnp.maximum(
+                jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0
+            )[:, :S]
+        else:
+            positions = jnp.arange(S)[None, :] + cache_index
+            positions = jnp.broadcast_to(positions, (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            dtype=hidden.dtype)
+
+    lp = params["layers"]
+    lora_layers = lora["layers"] if lora is not None else None
+    if dropout_rng is not None:
+        layer_rngs = jax.random.split(dropout_rng, cfg.num_hidden_layers)
+    else:
+        layer_rngs = None
+
+    def body(carry, xs):
+        h = carry
+        layer_params, cache_k, cache_v, lora_l, rng = xs
+        kv = None if cache is None else (cache_k, cache_v)
+        h, new_kv = _layer(cfg, h, layer_params, cos, sin, attention_mask,
+                           True, kv, cache_index, lora_l, lora_scale,
+                           lora_dropout, rng)
+        return h, new_kv
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+
+    xs = (lp,
+          cache["k"] if cache is not None else None,
+          cache["v"] if cache is not None else None,
+          lora_layers,
+          layer_rngs)
+    # lax.scan requires every xs leaf to have the L axis; None entries are
+    # pruned from the pytree automatically.
+    hidden, scanned = jax.lax.scan(body, hidden, xs)
+
+    new_cache = None
+    if cache is not None:
+        nk, nv = scanned
+        new_cache = {"k": nk, "v": nv}
+
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def logits_from_hidden(params: Params, cfg: Qwen3Config,
+                       hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_word_embeddings:
+        return hidden @ params["embed"].T
+    return hidden @ params["lm_head"]
+
+
+def forward_logits(params: Params, cfg: Qwen3Config, **kw) -> jnp.ndarray:
+    hidden, _ = forward_hidden(params, cfg, **kw)
+    return logits_from_hidden(params, cfg, hidden)
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"], input_ids, axis=0)

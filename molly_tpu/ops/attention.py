@@ -1,0 +1,97 @@
+"""Attention dispatch: XLA reference implementation now, Pallas flash behind
+the same interface (molly_tpu.ops.flash_attention) for TPU hot paths.
+
+Replaces the reference's flash-attention-2/3 dependency
+(/root/reference/src/train.py:578-582) with a TPU-native design: one
+functional entry point, implementation chosen by flag/platform.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL = "xla"  # overridden to "flash" by ops.use_flash_attention()
+
+
+def set_attention_impl(name: str) -> None:
+    global _IMPL
+    assert name in ("xla", "flash"), name
+    _IMPL = name
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B, S, Nkv, Dh] -> [B, S, Nkv*n_rep, Dh] (GQA head expansion)."""
+    if n_rep == 1:
+        return x
+    b, s, nkv, dh = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, nkv, n_rep, dh))
+    return x.reshape(b, s, nkv * n_rep, dh)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # [B, Sq, Nq, Dh]
+    k: jnp.ndarray,  # [B, Skv, Nkv, Dh]
+    v: jnp.ndarray,  # [B, Skv, Nkv, Dh]
+    *,
+    mask: Optional[jnp.ndarray] = None,  # [B, Skv] 1=keep, or bool [B,1,Sq,Skv]
+    causal: bool = False,
+    scale: Optional[float] = None,
+    q_offset: int | jnp.ndarray = 0,  # absolute position of q[0] (decode step)
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with GQA, padding mask, causal mask.
+
+    Softmax is computed in float32 regardless of input dtype (matches both
+    HF eager attention and what the Pallas flash kernel does).
+    """
+    impl = impl or _IMPL
+    if impl == "flash" and causal and q.shape[1] > 1:
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, mask=mask, causal=causal, scale=scale,
+                               q_offset=q_offset)
+    if impl == "flash" and not causal:
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, mask=mask, causal=False, scale=scale)
+    return _xla_attention(q, k, v, mask=mask, causal=causal, scale=scale,
+                          q_offset=q_offset)
+
+
+def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0):
+    b, sq, nq, dh = q.shape
+    _, skv, nkv, _ = k.shape
+    if scale is None:
+        scale = dh ** -0.5
+    n_rep = nq // nkv
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+
+    # [B, N, Sq, Skv]
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale
+
+    neg = jnp.finfo(jnp.float32).min
+    if mask is not None:
+        if mask.ndim == 2:  # [B, Skv] padding mask
+            bias = jnp.where(mask[:, None, None, :] != 0, 0.0, neg)
+        else:
+            bias = jnp.where(mask, 0.0, neg)
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        q_pos = jnp.arange(sq) + q_offset
+        kv_pos = jnp.arange(skv)
+        causal_mask = q_pos[:, None] >= kv_pos[None, :]
+        logits = jnp.where(causal_mask[None, None], logits, neg)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

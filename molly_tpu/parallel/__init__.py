@@ -1,0 +1,13 @@
+from .sharding import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    TENSOR_AXIS,
+    batch_specs,
+    host_shard_range,
+    initialize_distributed,
+    make_mesh,
+    param_specs,
+    shard_batch,
+    shard_params,
+    spec_for_path,
+)

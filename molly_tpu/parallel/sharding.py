@@ -1,0 +1,153 @@
+"""Mesh construction + GSPMD sharding rules — the TPU-native replacement for
+the reference's NCCL + DeepSpeed ZeRO stack (SURVEY.md §2.3, §5.8).
+
+The reference's entire distributed story is: one process per GPU, DeepSpeed
+ZeRO-0/1/2/3 configs (/root/reference/src/configs/ds_z*.json), NCCL
+collectives hidden inside the engine (/root/reference/src/train.py:606-614).
+Here the same capabilities are sharding annotations on ONE jitted program:
+
+  - mesh axes ("data", "fsdp", "tensor"):
+      * batch is sharded over data x fsdp  (DP)
+      * params/optimizer state sharded over fsdp  (== ZeRO-3; ZeRO-1/2 are
+        the same mechanism applied to a subset of the state; there is no
+        reason to prefer them under GSPMD)
+      * tensor axis gives Megatron-style TP for Qwen3 (beyond the
+        reference, which has no TP — SURVEY.md §2.4)
+  - all collectives are inserted by XLA and ride ICI.
+
+Multi-host: ``jax.distributed.initialize()`` + per-host data sharding via
+``host_shard_range``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tensor"
+
+
+def make_mesh(data: int = 1, fsdp: int = -1, tensor: int = 1,
+              devices=None) -> Mesh:
+    """Build a 3-axis mesh. fsdp=-1 means "all remaining devices"."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if fsdp == -1:
+        assert n % (data * tensor) == 0, (n, data, tensor)
+        fsdp = n // (data * tensor)
+    assert data * fsdp * tensor == n, (data, fsdp, tensor, n)
+    arr = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules (matched on pytree key paths)
+# ---------------------------------------------------------------------------
+
+# (regex over "/"-joined path, PartitionSpec). First match wins. All specs
+# written for the stacked-[L, ...] layout of models.qwen3 / models.esm.
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # --- Qwen3 decoder ---
+    (r"text/embed$", P(TENSOR_AXIS, FSDP_AXIS)),
+    (r"text/lm_head$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r"text/layers/(q_proj|k_proj|v_proj)$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"text/layers/o_proj$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"text/layers/(gate_proj|up_proj)$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"text/layers/down_proj$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"text/layers/(input_norm|post_attn_norm|q_norm|k_norm)$", P()),
+    (r"text/final_norm$", P()),
+    # --- ESM encoders (frozen, but still sharded to save HBM) ---
+    # embedding tables are small and have awkward vocab sizes (NT: 4107);
+    # replicate them
+    (r"(dna_rna|protein)/embed$", P()),
+    (r"(dna_rna|protein)/pos_embed$", P(None, FSDP_AXIS)),
+    (r"(dna_rna|protein)/layers/(q|k|v)$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"(dna_rna|protein)/layers/attn_out$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"(dna_rna|protein)/layers/ffn_in$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"(dna_rna|protein)/layers/ffn_out$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"(dna_rna|protein)/", P()),  # biases, layernorms
+    # --- projectors (tiny) ---
+    (r"(dna_rna|protein)_projector/", P()),
+    # --- LoRA adapters: factor A input-sharded, B output-sharded ---
+    (r"lora/.*/(a)$", P(None, FSDP_AXIS, None)),
+    (r"lora/.*/(b)$", P(None, None, TENSOR_AXIS)),
+)
+
+# Standalone text model (no "text/" prefix) reuses the same rules.
+_BARE_RULES = tuple(
+    (pat.replace("text/", ""), spec) for pat, spec in _PARAM_RULES
+    if pat.startswith(r"text/")
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path_str: str, rules=_PARAM_RULES) -> P:
+    for pat, spec in rules:
+        if re.search(pat, path_str):
+            return spec
+    return P()
+
+
+def param_specs(params: Any, *, bare_text: bool = False) -> Any:
+    """PartitionSpec pytree matching a fusion (or bare-qwen3) param tree."""
+    rules = _BARE_RULES if bare_text else _PARAM_RULES
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for_path(_path_str(path), rules), params)
+
+
+def batch_specs(batch: Dict[str, Any]) -> Dict[str, P]:
+    """Shard every batch array along the combined data axes."""
+    return jax.tree.map(lambda _: P((DATA_AXIS, FSDP_AXIS)), batch)
+
+
+def shard_params(params: Any, mesh: Mesh, *, bare_text: bool = False) -> Any:
+    specs = param_specs(params, bare_text=bare_text)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    spec = P((DATA_AXIS, FSDP_AXIS))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), batch)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host helpers
+# ---------------------------------------------------------------------------
+
+
+def initialize_distributed(**kw) -> None:
+    """Multi-host rendezvous — replaces dist.init_process_group + deepspeed
+    init (/root/reference/src/train.py:606-614). No-op if single-process."""
+    if jax.process_count() > 1 or kw:
+        jax.distributed.initialize(**kw)
+
+
+def host_shard_range(n: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> Tuple[int, int]:
+    """[start, stop) slice of a dataset owned by this host (per-host sharded
+    input pipeline; the reference leaned on torch DistributedSampler)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n // pc
+    start = pi * per
+    stop = n if pi == pc - 1 else start + per
+    return start, stop

@@ -1,0 +1,16 @@
+from .trainer import (
+    TrainConfig,
+    TrainState,
+    attach_lora,
+    init_train_state,
+    make_optimizer,
+    make_schedule,
+    make_train_step,
+    trainable_mask,
+)
+from .checkpoint import (
+    export_adapter,
+    load_adapter,
+    restore_train_state,
+    save_train_state,
+)

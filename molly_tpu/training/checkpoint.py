@@ -1,0 +1,90 @@
+"""Checkpointing: Orbax for sharded train state + lightweight adapter export.
+
+Reference behavior mirrored (SURVEY.md §5.4):
+  - full-state save/resume with optimizer + step (HF Trainer/DeepSpeed did
+    this via deepspeed_load_checkpoint, domain_loss.py:487-543)
+  - LoRA runs export adapter + the two projectors separately so inference
+    can recombine them with base checkpoints
+    (/root/reference/src/trainer/omics_trainer.py:85-105,
+    src/inference_lora.py:214-234)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_train_state(path: str, state, *, force: bool = True) -> None:
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": state.params,
+                          "opt_state": state.opt_state,
+                          "step": state.step}, force=force)
+
+
+def restore_train_state(path: str, state):
+    """Restore into the structure (and shardings) of ``state``."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        restored = ckptr.restore(path, target)
+    return type(state)(params=restored["params"],
+                       opt_state=restored["opt_state"],
+                       step=restored["step"])
+
+
+def export_adapter(path: str, params: Dict[str, Any]) -> None:
+    """Save LoRA A/B + projectors as one .npz (the reference saves
+    adapter_model.bin + dna_rna_projector.bin + protein_projector.bin)."""
+    flat = {}
+
+    def add(prefix, tree):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for kp, leaf in leaves:
+            key = prefix + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+            flat[key] = np.asarray(leaf, dtype=np.float32)
+
+    if "lora" in params:
+        add("lora/", params["lora"])
+    add("dna_rna_projector/", params["dna_rna_projector"])
+    add("protein_projector/", params["protein_projector"])
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_adapter(path: str, params: Dict[str, Any],
+                 dtype=None) -> Dict[str, Any]:
+    """Inverse of export_adapter: graft saved leaves onto a param tree with
+    the same structure (base weights untouched)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    out = dict(params)
+
+    def rebuild(prefix, tree):
+        def visit(kp, leaf):
+            key = prefix + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+            arr = data[key]
+            import jax.numpy as jnp
+            return jnp.asarray(arr, dtype=dtype or leaf.dtype)
+        return jax.tree_util.tree_map_with_path(visit, tree)
+
+    if "lora" in params:
+        out["lora"] = rebuild("lora/", params["lora"])
+    out["dna_rna_projector"] = rebuild("dna_rna_projector/",
+                                       params["dna_rna_projector"])
+    out["protein_projector"] = rebuild("protein_projector/",
+                                       params["protein_projector"])
+    return out

@@ -1,0 +1,219 @@
+"""SFT trainer: optax AdamW + GSPMD sharding + grad accumulation + freeze /
+LoRA regimes — replaces the reference's HF Trainer + DeepSpeed ZeRO stack
+(/root/reference/src/trainer/, src/configs/ds_z*.json).
+
+Feature parity map:
+  - freeze switches train_bio/train_mlp/train_llm
+    (tools.py:set_up_trainable_param :313-338) -> a boolean trainable-mask
+    pytree + optax.masked zero-updates for frozen subtrees
+  - LoRA regime (tools.py:pre_train_lora :345-396) -> models.lora adapters
+    trained alongside projectors, base params all frozen
+  - DIY AdamW + warmup/cosine (tools.py:get_optimizer :229-265, HF
+    scheduler) -> optax chain
+  - grad accumulation / clipping (HF args) -> lax.scan over microbatches
+    inside ONE jitted step + clip_by_global_norm
+  - ZeRO-2/3 -> params + optimizer state sharded over the fsdp axis
+    (parallel.sharding); nothing else to do
+  - per-task domain losses (trainer/domain_loss.py:881-1024) -> carried in
+    step metrics from the fused loss, no full-logit recompute
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import fusion, lora as lora_lib
+from ..models.fusion import FusionConfig
+from ..models.lora import LoraConfig
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    min_lr_ratio: float = 0.0
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    schedule: str = "cosine"  # "cosine" | "linear" | "constant"
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    grad_clip: float = 1.0
+    accum_steps: int = 1
+    # freeze switches (reference --train-bio/--train-mlp/--train-llm)
+    train_bio: bool = False
+    train_mlp: bool = True
+    train_llm: bool = True
+    # LoRA regime: when set, base LLM is frozen and adapters train
+    lora: Optional[LoraConfig] = None
+    z_loss: float = 0.0
+
+
+def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
+    """Boolean pytree: which leaves receive updates. Mirrors
+    set_up_trainable_param / pre_train_lora semantics."""
+    def mask_for(top_key: str) -> bool:
+        if top_key in ("dna_rna", "protein"):
+            return cfg.train_bio
+        if top_key.endswith("_projector"):
+            return cfg.train_mlp
+        if top_key == "text":
+            return cfg.train_llm and cfg.lora is None
+        if top_key == "lora":
+            return True
+        return True
+
+    return {
+        k: jax.tree.map(lambda _: mask_for(k), v)
+        for k, v in params.items()
+    }
+
+
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
+    warmup = max(int(cfg.total_steps * cfg.warmup_ratio), 0)
+    peak, floor = cfg.learning_rate, cfg.learning_rate * cfg.min_lr_ratio
+    if cfg.schedule == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warmup),
+             optax.constant_schedule(peak)], [warmup])
+    if cfg.schedule == "linear":
+        decay = optax.linear_schedule(peak, floor,
+                                      max(cfg.total_steps - warmup, 1))
+    else:
+        decay = optax.cosine_decay_schedule(
+            peak, max(cfg.total_steps - warmup, 1),
+            alpha=cfg.min_lr_ratio)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, peak, warmup), decay], [warmup])
+
+
+def make_optimizer(params: Dict[str, Any], cfg: TrainConfig
+                   ) -> optax.GradientTransformation:
+    mask = trainable_mask(params, cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip
+        else optax.identity(),
+        optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=cfg.eps),
+        optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay
+        else optax.identity(),
+        optax.scale_by_learning_rate(make_schedule(cfg)),
+    )
+    # frozen leaves get zero updates (optax.masked would pass raw grads
+    # through for them — wrong for freezing)
+    labels = jax.tree.map(lambda t: "train" if t else "freeze", mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(params, cfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _split_accum(batch: Dict[str, jnp.ndarray], accum: int):
+    """[B, ...] -> [A, B/A, ...] for the microbatch scan."""
+    def r(x):
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+    return jax.tree.map(r, batch)
+
+
+def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
+    """Returns a jittable (state, batch, rng) -> (state, metrics) function.
+
+    The fusion loss is differentiated wrt ALL params; frozen subtrees get
+    their updates zeroed by optax.masked. (XLA dead-code-eliminates the
+    frozen backward paths because their grads are unused.)
+    """
+    tx = None  # built lazily so init and step share one optimizer
+
+    def get_tx(params):
+        nonlocal tx
+        if tx is None:
+            tx = make_optimizer(params, train_cfg)
+        return tx
+
+    lora_cfg = train_cfg.lora
+
+    def loss_fn(params, batch, rng):
+        lora_params = params.get("lora")
+        logits = _forward(params, lora_params, batch, rng)
+        return fusion.cross_entropy_loss(
+            logits, batch["labels"], task_label=batch.get("task_label"),
+            z_loss=train_cfg.z_loss)
+
+    def _forward(params, lora_params, batch, rng):
+        from ..models import qwen3
+        embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
+        hidden, _ = qwen3.forward_hidden(
+            params["text"], model_cfg.text, inputs_embeds=embeds,
+            attention_mask=batch.get("attention_mask"),
+            lora=lora_params,
+            lora_scale=lora_cfg.scale if lora_cfg else 1.0,
+            lora_dropout=lora_cfg.dropout if lora_cfg else 0.0,
+            dropout_rng=rng if (lora_cfg and lora_cfg.dropout > 0) else None)
+        return qwen3.logits_from_hidden(params["text"], model_cfg.text,
+                                        hidden)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
+        accum = train_cfg.accum_steps
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if accum > 1:
+            micro = _split_accum(batch, accum)
+
+            def micro_step(carry, mb):
+                g_acc, m_acc, i = carry
+                (_, metrics), grads = grad_fn(
+                    state.params, mb, jax.random.fold_in(rng, i))
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                m_acc = jax.tree.map(jnp.add, m_acc, metrics)
+                return (g_acc, m_acc, i + 1), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            zero_m = {
+                "loss": jnp.zeros(()), "tokens": jnp.zeros((), jnp.int32)}
+            if "task_label" in batch:
+                from ..data.omics_dataset import NUM_DOMAIN_TASKS
+                zero_m["domain_loss_sum"] = jnp.zeros(NUM_DOMAIN_TASKS + 1)
+                zero_m["domain_loss_count"] = jnp.zeros(NUM_DOMAIN_TASKS + 1)
+            (grads, metrics, _), _ = jax.lax.scan(
+                micro_step, (zero_g, zero_m, 0), micro)
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = {**metrics, "loss": metrics["loss"] / accum}
+        else:
+            (_, metrics), grads = grad_fn(state.params, batch, rng)
+
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = get_tx(state.params).update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {**metrics, "grad_norm": gnorm,
+                   "learning_rate": make_schedule(train_cfg)(state.step)}
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return train_step
+
+
+def attach_lora(params: Dict[str, Any], model_cfg: FusionConfig,
+                lora_cfg: LoraConfig, key: jax.Array,
+                dtype=jnp.float32) -> Dict[str, Any]:
+    """Add a fresh adapter tree to a fusion param tree (LoRA regime)."""
+    return {**params,
+            "lora": lora_lib.init_lora(model_cfg.text, lora_cfg, key, dtype)}

@@ -1,0 +1,90 @@
+"""Observability: rank-0 console logging, wall-clock timers, step metrics,
+and a pluggable tracker (JSONL file / tensorboard-style callbacks) —
+replacing print_rank_0 / time_count / swanlab
+(/root/reference/src/utils/tools.py:18-126, SURVEY.md §5.1, §5.5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def print_rank_0(*args, **kw) -> None:
+    if is_main_process():
+        print(*args, **kw, flush=True)
+
+
+@contextlib.contextmanager
+def time_count(label: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        print_rank_0(f"[{label}] {time.perf_counter() - t0:.2f}s")
+
+
+class MetricLogger:
+    """Rank-0 JSONL metric stream + console line, swanlab/wandb-compatible
+    record shape ({"step": n, **metrics})."""
+
+    def __init__(self, log_dir: Optional[str] = None,
+                 experiment: str = "molly", console_every: int = 1):
+        self.console_every = console_every
+        self._fh = None
+        if log_dir and is_main_process():
+            os.makedirs(log_dir, exist_ok=True)
+            self._fh = open(os.path.join(log_dir, f"{experiment}.jsonl"), "a")
+
+    def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not is_main_process():
+            return
+        record = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                record[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        if self._fh:
+            self._fh.write(json.dumps(record) + "\n")
+            self._fh.flush()
+        if self.console_every and step % self.console_every == 0:
+            parts = " ".join(f"{k}={v:.5g}" for k, v in record.items()
+                             if k != "step")
+            print(f"step {step}: {parts}", flush=True)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+
+
+def domain_loss_metrics(metrics: Dict[str, Any],
+                        task_names: Optional[Dict[int, str]] = None
+                        ) -> Dict[str, float]:
+    """Expand per-task domain sums/counts into loss_<task> entries, the
+    key shape the reference logs (domain_loss.py:918-961)."""
+    from ..data.omics_dataset import TASK_ID_MAP
+
+    if "domain_loss_sum" not in metrics:
+        return {}
+    names = {tid: frag for frag, tid in TASK_ID_MAP}
+    names[len(names)] = "unknown"
+    if task_names:
+        names.update(task_names)
+    sums = metrics["domain_loss_sum"]
+    counts = metrics["domain_loss_count"]
+    out = {}
+    for i in range(len(names)):
+        c = float(counts[i])
+        if c > 0:
+            out[f"loss_{names[i]}"] = float(sums[i]) / c
+    return out

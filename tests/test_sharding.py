@@ -1,0 +1,94 @@
+"""GSPMD sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+mesh construction, rule matching, and a sharded-vs-unsharded numeric check
+of the fusion loss."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from molly_tpu.models import fusion, tiny_esm, tiny_qwen3
+from molly_tpu.models.fusion import FusionConfig
+from molly_tpu.parallel import (
+    make_mesh,
+    param_specs,
+    shard_batch,
+    shard_params,
+    spec_for_path,
+)
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(data=2, fsdp=2, tensor=2)
+    assert m.shape == {"data": 2, "fsdp": 2, "tensor": 2}
+    m2 = make_mesh(data=1, tensor=2)  # fsdp=-1 -> 4
+    assert m2.shape["fsdp"] == 4
+
+
+def test_spec_rules():
+    assert spec_for_path("text/embed") == P("tensor", "fsdp")
+    assert spec_for_path("text/layers/q_proj") == P(None, "fsdp", "tensor")
+    assert spec_for_path("text/layers/o_proj") == P(None, "tensor", "fsdp")
+    assert spec_for_path("text/layers/input_norm") == P()
+    assert spec_for_path("dna_rna/layers/ffn_in") == P(None, "fsdp", "tensor")
+    assert spec_for_path("protein_projector/kernel") == P()
+    assert spec_for_path("lora/layers/q_proj/a") == P(None, "fsdp", None)
+
+
+@pytest.fixture(scope="module")
+def small_fusion():
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8),
+        dna_rna=tiny_esm(vocab_size=16),
+        protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    B, S = 4, 16
+    rng = np.random.default_rng(1)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, 10:] = rng.integers(1, 64, (B, S - 10))
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 64, (B, S))),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.asarray(rng.integers(2, 16, (B, 1, 4))),
+        "dna_rna_pos": jnp.asarray([[1], [2], [-1], [0]]),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+    }
+    return cfg, params, batch
+
+
+def test_sharded_loss_matches_unsharded(small_fusion):
+    cfg, params, batch = small_fusion
+    expect, _ = fusion.loss_fn(params, cfg, batch)
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    sp = shard_params(params, mesh)
+    sb = shard_batch(batch, mesh)
+    specs = param_specs(params)
+
+    # every param leaf carries the rule's sharding
+    q_spec = sp["text"]["layers"]["q_proj"].sharding.spec
+    assert q_spec == P(None, "fsdp", "tensor")
+
+    f = jax.jit(lambda p, b: fusion.loss_fn(p, cfg, b)[0])
+    with jax.sharding.set_mesh(mesh):
+        got = f(sp, sb)
+    np.testing.assert_allclose(float(got), float(expect), rtol=2e-5)
+
+
+def test_host_shard_range():
+    from molly_tpu.parallel import host_shard_range
+
+    assert host_shard_range(10, 0, 4) == (0, 2)
+    assert host_shard_range(10, 3, 4) == (6, 10)
+    assert host_shard_range(10, 0, 1) == (0, 10)

@@ -1,0 +1,170 @@
+"""Trainer tests: freeze regimes, LoRA, grad accumulation, checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from molly_tpu.models import fusion, qwen3, tiny_esm, tiny_qwen3
+from molly_tpu.models.fusion import FusionConfig
+from molly_tpu.models.lora import LoraConfig, init_lora, merge_lora
+from molly_tpu.training import (
+    TrainConfig,
+    attach_lora,
+    export_adapter,
+    init_train_state,
+    load_adapter,
+    make_train_step,
+    trainable_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=64, num_hidden_layers=2),
+        dna_rna=tiny_esm(vocab_size=16),
+        protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    B, S = 2, 16
+    rng = np.random.default_rng(0)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, 8:] = rng.integers(1, 64, (B, S - 8))
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 64, (B, S))),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.asarray(rng.integers(2, 16, (B, 1, 4))),
+        "dna_rna_pos": jnp.asarray([[1], [-1]]),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.asarray([[-1], [-1]]),
+        "task_label": jnp.asarray([0, 19]),
+    }
+    return cfg, params, batch
+
+
+def _changed(a, b):
+    return jax.tree.reduce(
+        lambda acc, t: acc or t,
+        jax.tree.map(lambda x, y: bool(jnp.any(x != y)), a, b), False)
+
+
+def test_trainable_mask_regimes(setup):
+    cfg, params, _ = setup
+    m = trainable_mask(params, TrainConfig(train_bio=False, train_mlp=True,
+                                           train_llm=True))
+    assert not jax.tree.reduce(lambda a, b: a or b, m["dna_rna"], False)
+    assert jax.tree.reduce(lambda a, b: a and b, m["text"], True)
+    assert m["dna_rna_projector"]["kernel"]
+
+    lp = attach_lora(params, cfg, LoraConfig(r=2), jax.random.key(1))
+    m2 = trainable_mask(lp, TrainConfig(lora=LoraConfig(r=2)))
+    assert not jax.tree.reduce(lambda a, b: a or b, m2["text"], False)
+    assert jax.tree.reduce(lambda a, b: a and b, m2["lora"], True)
+
+
+def test_train_step_updates_respect_freeze(setup):
+    cfg, params, batch = setup
+    tc = TrainConfig(learning_rate=1e-2, total_steps=10, train_bio=False,
+                     train_mlp=True, train_llm=True, warmup_ratio=0.0)
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc))
+    state2, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    # frozen encoders unchanged; text + projectors changed
+    assert not _changed(state.params["dna_rna"], state2.params["dna_rna"])
+    assert not _changed(state.params["protein"], state2.params["protein"])
+    assert _changed(state.params["text"], state2.params["text"])
+    assert _changed(state.params["dna_rna_projector"],
+                    state2.params["dna_rna_projector"])
+    # loss goes down over a few steps
+    losses = [float(metrics["loss"])]
+    for i in range(3):
+        state2, m = step(state2, batch, jax.random.key(i + 1))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_grad_accum_matches_single_batch(setup):
+    cfg, params, batch = setup
+    tc1 = TrainConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0)
+    tc2 = TrainConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0,
+                      accum_steps=2)
+    s1 = init_train_state(params, tc1)
+    s2 = init_train_state(params, tc2)
+    st1, m1 = jax.jit(make_train_step(cfg, tc1))(s1, batch, jax.random.key(0))
+    st2, m2 = jax.jit(make_train_step(cfg, tc2))(s2, batch, jax.random.key(0))
+    # each microbatch here has the same token count, so means match
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(st1.params)
+    l2 = jax.tree_util.tree_leaves(st2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_lora_regime_and_merge(setup):
+    cfg, params, batch = setup
+    lcfg = LoraConfig(r=4, dropout=0.0)
+    lp = attach_lora(params, cfg, lcfg, jax.random.key(2))
+    tc = TrainConfig(learning_rate=5e-3, total_steps=10, warmup_ratio=0.0,
+                     lora=lcfg)
+    state = init_train_state(lp, tc)
+    step = jax.jit(make_train_step(cfg, tc))
+    state2, metrics = step(state, batch, jax.random.key(0))
+    assert not _changed(state.params["text"], state2.params["text"])
+    assert _changed(state.params["lora"], state2.params["lora"])
+    assert _changed(state.params["dna_rna_projector"],
+                    state2.params["dna_rna_projector"])
+
+    # merged weights reproduce base+adapter forward (B nonzero after a step)
+    ids = batch["input_ids"]
+    with_lora = qwen3.forward_logits(
+        state2.params["text"], cfg.text, input_ids=ids,
+        lora=state2.params["lora"], lora_scale=lcfg.scale)
+    merged = merge_lora(state2.params["text"], state2.params["lora"], lcfg)
+    with_merged = qwen3.forward_logits(merged, cfg.text, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(with_lora), np.asarray(with_merged),
+                               atol=1e-5)
+
+
+def test_adapter_export_roundtrip(tmp_path, setup):
+    cfg, params, _ = setup
+    lcfg = LoraConfig(r=2)
+    lp = attach_lora(params, cfg, lcfg, jax.random.key(4))
+    path = str(tmp_path / "adapter.npz")
+    export_adapter(path, lp)
+    # load onto a tree with zeroed adapters/projectors
+    zeroed = dict(lp)
+    zeroed["lora"] = jax.tree.map(jnp.zeros_like, lp["lora"])
+    zeroed["dna_rna_projector"] = jax.tree.map(
+        jnp.zeros_like, lp["dna_rna_projector"])
+    restored = load_adapter(path, zeroed)
+    for k in ("lora", "dna_rna_projector", "protein_projector"):
+        a = jax.tree_util.tree_leaves(lp[k])
+        b = jax.tree_util.tree_leaves(restored[k])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x, dtype=np.float32),
+                                       np.asarray(y, dtype=np.float32))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, setup):
+    from molly_tpu.training import restore_train_state, save_train_state
+
+    cfg, params, batch = setup
+    tc = TrainConfig(learning_rate=1e-3, total_steps=10)
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc))
+    state, _ = step(state, batch, jax.random.key(0))
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state)
+    blank = init_train_state(params, tc)
+    restored = restore_train_state(path, blank)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
