@@ -53,13 +53,12 @@ def dot_product_attention(
     HF eager attention and what the Pallas flash kernel does).
     """
     impl = impl or _IMPL
-    if impl == "flash" and causal and q.shape[1] > 1:
+    # flash path: decode steps (Sq==1) stay on XLA (bandwidth-bound, no
+    # benefit); traced q_offset can't feed the static kernel params
+    if (impl == "flash" and q.shape[1] > 1 and isinstance(q_offset, int)
+            and (mask is None or mask.ndim == 2)):
         from .flash_attention import flash_attention
-        return flash_attention(q, k, v, mask=mask, causal=causal, scale=scale,
-                               q_offset=q_offset)
-    if impl == "flash" and not causal:
-        from .flash_attention import flash_attention
-        return flash_attention(q, k, v, mask=mask, causal=False, scale=scale)
+        return flash_attention(q, k, v, mask, causal, scale, q_offset)
     return _xla_attention(q, k, v, mask=mask, causal=causal, scale=scale,
                           q_offset=q_offset)
 
