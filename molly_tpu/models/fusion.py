@@ -177,9 +177,46 @@ def cross_entropy_loss(
     return loss, metrics
 
 
+def lm_head_weight(params: Params, cfg: Qwen3Config) -> jnp.ndarray:
+    text = params["text"] if "text" in params else params
+    return text["embed"].T if cfg.tie_word_embeddings else text["lm_head"]
+
+
+def loss_from_hidden(
+    params: Params, cfg: FusionConfig, hidden: jnp.ndarray,
+    batch: Dict[str, jnp.ndarray], *, z_loss: float = 0.0,
+    fused_lce: bool = True, chunk_size: int = 256,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """LM loss + metrics from final hidden states. fused_lce avoids the
+    [B, S, V] logit tensor (ops.lce); the naive path materializes it."""
+    labels = batch["labels"]
+    task_label = batch.get("task_label")
+    if not fused_lce:
+        logits = qwen3.logits_from_hidden(params["text"], cfg.text, hidden)
+        return cross_entropy_loss(logits, labels, task_label=task_label,
+                                  z_loss=z_loss)
+    from ..ops.lce import causal_lm_loss
+    w = lm_head_weight(params, cfg.text)
+    loss, per_nll, per_tok = causal_lm_loss(
+        hidden, w, labels, chunk_size=chunk_size, z_loss=z_loss)
+    metrics: Dict[str, jnp.ndarray] = {
+        "loss": loss, "tokens": jnp.sum(per_tok)}
+    if task_label is not None:
+        per_sample = per_nll / jnp.maximum(per_tok, 1)
+        tid = jnp.where(task_label == UNKNOWN_TASK_ID, NUM_DOMAIN_TASKS,
+                        task_label)
+        onehot = jax.nn.one_hot(tid, NUM_DOMAIN_TASKS + 1, dtype=jnp.float32)
+        metrics["domain_loss_sum"] = onehot.T @ per_sample
+        metrics["domain_loss_count"] = jnp.sum(onehot, axis=0)
+    return loss, metrics
+
+
 def loss_fn(params: Params, cfg: FusionConfig,
-            batch: Dict[str, jnp.ndarray], *, z_loss: float = 0.0):
-    logits = forward_logits(params, cfg, batch)
-    return cross_entropy_loss(logits, batch["labels"],
-                              task_label=batch.get("task_label"),
-                              z_loss=z_loss)
+            batch: Dict[str, jnp.ndarray], *, z_loss: float = 0.0,
+            fused_lce: bool = True):
+    embeds = build_inputs_embeds(params, cfg, batch)
+    hidden, _ = qwen3.forward_hidden(
+        params["text"], cfg.text, inputs_embeds=embeds,
+        attention_mask=batch.get("attention_mask"))
+    return loss_from_hidden(params, cfg, hidden, batch, z_loss=z_loss,
+                            fused_lce=fused_lce)

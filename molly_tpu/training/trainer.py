@@ -53,6 +53,8 @@ class TrainConfig:
     # LoRA regime: when set, base LLM is frozen and adapters train
     lora: Optional[LoraConfig] = None
     z_loss: float = 0.0
+    # chunked linear+CE (ops.lce) instead of [B,S,V] logits
+    fused_lce: bool = True
 
 
 def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
@@ -150,24 +152,18 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
     lora_cfg = train_cfg.lora
 
     def loss_fn(params, batch, rng):
-        lora_params = params.get("lora")
-        logits = _forward(params, lora_params, batch, rng)
-        return fusion.cross_entropy_loss(
-            logits, batch["labels"], task_label=batch.get("task_label"),
-            z_loss=train_cfg.z_loss)
-
-    def _forward(params, lora_params, batch, rng):
         from ..models import qwen3
         embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
         hidden, _ = qwen3.forward_hidden(
             params["text"], model_cfg.text, inputs_embeds=embeds,
             attention_mask=batch.get("attention_mask"),
-            lora=lora_params,
+            lora=params.get("lora"),
             lora_scale=lora_cfg.scale if lora_cfg else 1.0,
             lora_dropout=lora_cfg.dropout if lora_cfg else 0.0,
             dropout_rng=rng if (lora_cfg and lora_cfg.dropout > 0) else None)
-        return qwen3.logits_from_hidden(params["text"], model_cfg.text,
-                                        hidden)
+        return fusion.loss_from_hidden(
+            params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
+            fused_lce=train_cfg.fused_lce)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
