@@ -1,0 +1,310 @@
+"""Training entry point — the ``deepspeed src/train.py`` equivalent
+(/root/reference/src/train.py:236-719), one process driving the whole TPU
+slice via GSPMD instead of one process per accelerator.
+
+Flow (mirrors train.py:main): tokenizers (+9 omics specials) -> model
+config + params (HF import or random) -> datasets -> freeze/LoRA regime ->
+sharded train loop with periodic eval, early stopping, checkpointing,
+per-task domain losses, and JSONL metric logging.
+
+Usage:
+  python -m molly_tpu.training.cli --train-dataset-path train.parquet \
+      [--eval-dataset-path eval.parquet] [--text-model-path /hf/qwen3] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+from typing import Optional
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in {"true", "t", "1", "yes", "y"}:
+        return True
+    if v.lower() in {"false", "f", "0", "no", "n"}:
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("molly_tpu train")
+    # experiment / logging
+    p.add_argument("--experiment-name", default="molly_tpu")
+    p.add_argument("--output-dir", default="runs/molly")
+    p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    # model
+    p.add_argument("--text-model-path", default=None)
+    p.add_argument("--dna-rna-model-path", default=None)
+    p.add_argument("--protein-model-path", default=None)
+    p.add_argument("--text-preset", default="qwen3-1.7b")
+    p.add_argument("--dna-rna-preset", default="nt-500m")
+    p.add_argument("--protein-preset", default="esm2-650m")
+    p.add_argument("--no-load-pretrained", action="store_true",
+                   help="random init (smoke runs)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model (CI smoke)")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--gradient-checkpointing", type=str2bool, default=False)
+    # data
+    p.add_argument("--train-dataset-path", required=True)
+    p.add_argument("--eval-dataset-path", default=None)
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--eval-max-len", type=int, default=1024)
+    p.add_argument("--dna-rna-k-tokens", type=int, default=128)
+    p.add_argument("--protein-k-tokens", type=int, default=128)
+    p.add_argument("--max-dna-rna-segments", type=int, default=4)
+    p.add_argument("--max-protein-segments", type=int, default=4)
+    p.add_argument("--read-nums", type=int, default=None)
+    p.add_argument("--eval-read-nums", type=int, default=None)
+    p.add_argument("--mode", default="sft", choices=["sft", "pretrain"])
+    # optimization
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--train-iters", type=int, default=None,
+                   help="cap total optimizer steps")
+    p.add_argument("--batch-size-per-gpu", type=int, default=4,
+                   help="global microbatch size (name kept for parity)")
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--warmup", type=float, default=0.03,
+                   help="warmup ratio")
+    p.add_argument("--lr-decay-style", default="cosine",
+                   choices=["cosine", "linear", "constant"])
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--clip-grad-max-norm", type=float, default=1.0)
+    p.add_argument("--z-loss", type=float, default=0.0)
+    # freeze / LoRA (reference --train-bio/--train-mlp/--train-llm)
+    p.add_argument("--train-bio", type=str2bool, default=False)
+    p.add_argument("--train-mlp", type=str2bool, default=True)
+    p.add_argument("--train-llm", type=str2bool, default=True)
+    p.add_argument("--use-lora", type=str2bool, default=False)
+    p.add_argument("--lora-r", type=int, default=64)
+    p.add_argument("--lora-alpha", type=float, default=64.0)
+    p.add_argument("--lora-dropout", type=float, default=0.05)
+    # eval / save
+    p.add_argument("--eval-interval", type=int, default=200)
+    p.add_argument("--save-interval", type=int, default=500)
+    p.add_argument("--save-total-limit", type=int, default=3)
+    p.add_argument("--early-stopping-patience", type=int, default=3)
+    p.add_argument("--compute-domain-losses", type=str2bool, default=False)
+    # parallelism
+    p.add_argument("--mesh-data", type=int, default=1)
+    p.add_argument("--mesh-fsdp", type=int, default=-1)
+    p.add_argument("--mesh-tensor", type=int, default=1)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    run_training(args)
+
+
+def run_training(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import (DataConfig, NucleotideTokenizer, OmicsDataset,
+                        ProteinTokenizer, collate_train, iterate_batches,
+                        load_text_tokenizer)
+    from ..models import ESM_PRESETS, QWEN3_PRESETS, fusion, tiny_esm, \
+        tiny_qwen3
+    from ..models.fusion import FusionConfig
+    from ..models.lora import LoraConfig
+    from ..parallel import (host_shard_range, initialize_distributed,
+                            make_mesh, shard_batch, shard_params)
+    from ..utils import MetricLogger, domain_loss_metrics, print_rank_0, \
+        time_count
+    from . import checkpoint as ckpt_lib
+    from .trainer import (TrainConfig, attach_lora, init_train_state,
+                          make_train_step)
+
+    initialize_distributed()
+    np.random.seed(args.seed)
+
+    # ---- tokenizers (train.py:66-91) ----
+    text_tok = load_text_tokenizer(args.text_model_path)
+    dna_tok, prot_tok = NucleotideTokenizer(), ProteinTokenizer()
+
+    # ---- model config + params (train.py:93-159) ----
+    import dataclasses
+    if args.tiny:
+        text_cfg = tiny_qwen3(
+            vocab_size=-(-text_tok.vocab_size // 128) * 128,
+            dtype=args.dtype, remat=args.gradient_checkpointing)
+        dna_cfg = tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
+                           dtype=args.dtype)
+        prot_cfg = tiny_esm(vocab_size=prot_tok.vocab_size,
+                            mask_token_id=prot_tok.mask_id, dtype=args.dtype)
+    else:
+        text_cfg = dataclasses.replace(
+            QWEN3_PRESETS[args.text_preset], dtype=args.dtype,
+            remat=args.gradient_checkpointing)
+        dna_cfg = dataclasses.replace(ESM_PRESETS[args.dna_rna_preset],
+                                      dtype=args.dtype)
+        prot_cfg = dataclasses.replace(ESM_PRESETS[args.protein_preset],
+                                       dtype=args.dtype)
+    cfg = FusionConfig(text=text_cfg, dna_rna=dna_cfg, protein=prot_cfg,
+                       dna_rna_k_tokens=args.dna_rna_k_tokens,
+                       protein_k_tokens=args.protein_k_tokens)
+
+    key = jax.random.key(args.seed)
+    with time_count("init params"):
+        params = fusion.init_params(cfg, key)
+        if not args.no_load_pretrained and not args.tiny:
+            from ..models.hf_import import (esm_from_hf, load_hf_state,
+                                            qwen3_from_hf)
+            if args.text_model_path:
+                params["text"] = qwen3_from_hf(
+                    load_hf_state(args.text_model_path), text_cfg)
+            if args.dna_rna_model_path:
+                params["dna_rna"] = esm_from_hf(
+                    load_hf_state(args.dna_rna_model_path), dna_cfg)
+            if args.protein_model_path:
+                params["protein"] = esm_from_hf(
+                    load_hf_state(args.protein_model_path), prot_cfg)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print_rank_0(f"Total parameters: {n_params:,}")
+
+    # ---- datasets (train.py:161-233) ----
+    dconf = DataConfig(max_len=args.max_len, mode=args.mode,
+                       dna_rna_k_tokens=args.dna_rna_k_tokens,
+                       protein_k_tokens=args.protein_k_tokens,
+                       max_dna_rna_segments=args.max_dna_rna_segments,
+                       max_protein_segments=args.max_protein_segments)
+    train_ds = OmicsDataset(args.train_dataset_path, text_tok, dna_tok,
+                            prot_tok, dconf, read_nums=args.read_nums,
+                            shuffle=True, seed=args.seed)
+    eval_ds = None
+    if args.eval_dataset_path:
+        econf = dataclasses.replace(dconf, max_len=args.eval_max_len)
+        eval_ds = OmicsDataset(args.eval_dataset_path, text_tok, dna_tok,
+                               prot_tok, econf,
+                               read_nums=args.eval_read_nums)
+
+    # ---- schedule length ----
+    steps_per_epoch = len(train_ds) // (
+        args.batch_size_per_gpu * args.gradient_accumulation_steps)
+    total_steps = steps_per_epoch * args.epochs
+    if args.train_iters:
+        total_steps = min(total_steps, args.train_iters)
+    total_steps = max(total_steps, 1)
+
+    lora_cfg = (LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
+                           dropout=args.lora_dropout)
+                if args.use_lora else None)
+    tc = TrainConfig(
+        learning_rate=args.lr, warmup_ratio=args.warmup,
+        total_steps=total_steps, schedule=args.lr_decay_style,
+        weight_decay=args.weight_decay, grad_clip=args.clip_grad_max_norm,
+        accum_steps=args.gradient_accumulation_steps,
+        train_bio=args.train_bio, train_mlp=args.train_mlp,
+        train_llm=args.train_llm, lora=lora_cfg, z_loss=args.z_loss)
+
+    if lora_cfg:
+        params = attach_lora(params, cfg, lora_cfg, jax.random.key(1))
+
+    # ---- mesh + sharding (replaces NCCL/ZeRO init, train.py:606-620) ----
+    mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                     tensor=args.mesh_tensor)
+    print_rank_0(f"mesh: {dict(mesh.shape)}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = MetricLogger(args.output_dir, args.experiment_name,
+                          console_every=args.log_interval)
+
+    with jax.sharding.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        state = init_train_state(params, tc)
+        del params
+        step_fn = jax.jit(make_train_step(cfg, tc))
+
+        micro = args.batch_size_per_gpu * args.gradient_accumulation_steps
+        n_shard = mesh.shape["data"] * mesh.shape["fsdp"]
+        assert micro % n_shard == 0, (
+            f"global microbatch {micro} must divide over data*fsdp={n_shard}")
+
+        eval_loss_fn = jax.jit(
+            lambda p, b: fusion.loss_fn(p, cfg, b)[0])
+
+        def run_eval() -> float:
+            losses = []
+            for eb in iterate_batches(eval_ds, micro, drop_last=True):
+                eb = shard_batch(
+                    {k: jnp.asarray(v) for k, v in eb.items()}, mesh)
+                losses.append(float(eval_loss_fn(state.params, eb)))
+            return float(np.mean(losses)) if losses else float("nan")
+
+        best_eval, bad_evals = float("inf"), 0
+        saved = []
+        step = 0
+        t_start = time.perf_counter()
+        rng = jax.random.key(args.seed + 7)
+        stop = False
+
+        for epoch in range(args.epochs):
+            if stop:
+                break
+            for batch in iterate_batches(train_ds, micro, shuffle=True,
+                                         seed=args.seed, epoch=epoch):
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                rng, srng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, srng)
+                step += 1
+                if step % args.log_interval == 0:
+                    record = {"loss": metrics["loss"],
+                              "grad_norm": metrics["grad_norm"],
+                              "learning_rate": metrics["learning_rate"],
+                              "epoch": epoch}
+                    if args.compute_domain_losses:
+                        record.update(domain_loss_metrics(
+                            {k: np.asarray(v) for k, v in metrics.items()}))
+                    logger.log(step, record)
+                if eval_ds is not None and step % args.eval_interval == 0:
+                    el = run_eval()
+                    logger.log(step, {"eval_loss": el})
+                    if el < best_eval:
+                        best_eval, bad_evals = el, 0
+                    else:
+                        bad_evals += 1
+                        if bad_evals >= args.early_stopping_patience:
+                            print_rank_0(
+                                f"early stopping at step {step} "
+                                f"(best eval {best_eval:.4f})")
+                            stop = True
+                            break
+                if step % args.save_interval == 0 or step == total_steps:
+                    path = os.path.join(args.output_dir, f"ckpt_{step}")
+                    ckpt_lib.save_train_state(path, state)
+                    if lora_cfg or True:
+                        ckpt_lib.export_adapter(
+                            os.path.join(args.output_dir,
+                                         f"adapter_{step}.npz"),
+                            state.params)
+                    saved.append(path)
+                    while len(saved) > args.save_total_limit:
+                        old = saved.pop(0)
+                        import shutil
+                        shutil.rmtree(old, ignore_errors=True)
+                if step >= total_steps:
+                    stop = True
+                    break
+
+        wall = time.perf_counter() - t_start
+        final_loss = float(metrics["loss"])
+        print_rank_0(f"done: {step} steps in {wall:.1f}s "
+                     f"(final loss {final_loss:.4f})")
+        logger.close()
+        return {"steps": step, "final_loss": final_loss,
+                "best_eval": best_eval, "wall_seconds": wall}
+
+
+if __name__ == "__main__":
+    main()
