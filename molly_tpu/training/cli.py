@@ -92,6 +92,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save-total-limit", type=int, default=3)
     p.add_argument("--early-stopping-patience", type=int, default=3)
     p.add_argument("--compute-domain-losses", type=str2bool, default=False)
+    p.add_argument("--profile-log-dir", default=None,
+                   help="jax.profiler trace output dir")
     # parallelism
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-fsdp", type=int, default=-1)
@@ -120,6 +122,7 @@ def run_training(args) -> dict:
                             make_mesh, shard_batch, shard_params)
     from ..utils import MetricLogger, domain_loss_metrics, print_rank_0, \
         time_count
+    from ..utils.profiling import StepTimer, trace
     from . import checkpoint as ckpt_lib
     from .trainer import (TrainConfig, attach_lora, init_train_state,
                           make_train_step)
@@ -244,6 +247,7 @@ def run_training(args) -> dict:
         best_eval, bad_evals = float("inf"), 0
         saved = []
         step = 0
+        timer = StepTimer()
         t_start = time.perf_counter()
         rng = jax.random.key(args.seed + 7)
         stop = False
@@ -256,7 +260,10 @@ def run_training(args) -> dict:
                 batch = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
                 rng, srng = jax.random.split(rng)
-                state, metrics = step_fn(state, batch, srng)
+                timer.start()
+                with trace(args.profile_log_dir if step == 2 else None):
+                    state, metrics = step_fn(state, batch, srng)
+                timer.stop()
                 step += 1
                 if step % args.log_interval == 0:
                     record = {"loss": metrics["loss"],
@@ -300,10 +307,12 @@ def run_training(args) -> dict:
         wall = time.perf_counter() - t_start
         final_loss = float(metrics["loss"])
         print_rank_0(f"done: {step} steps in {wall:.1f}s "
-                     f"(final loss {final_loss:.4f})")
+                     f"(final loss {final_loss:.4f}) "
+                     f"timing={timer.summary()}")
         logger.close()
         return {"steps": step, "final_loss": final_loss,
-                "best_eval": best_eval, "wall_seconds": wall}
+                "best_eval": best_eval, "wall_seconds": wall,
+                "step_timing": timer.summary()}
 
 
 if __name__ == "__main__":
