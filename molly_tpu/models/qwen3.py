@@ -118,12 +118,16 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
                                      scale=Dh ** -0.5)
         new_cache = None
     else:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, kk.astype(ck.dtype),
-                                          (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_index, 0, 0))
-        attn = dot_product_attention(q, ck, cv, mask=mask, causal=causal,
+        # full [L, B, Smax, Nkv, Dh] cache + layer index: write ONLY the new
+        # token rows (16KB/layer at decode), then read this layer's window
+        ck, cv, li = cache_kv
+        ck = jax.lax.dynamic_update_slice(
+            ck, kk[None].astype(ck.dtype), (li, 0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v[None].astype(cv.dtype), (li, 0, cache_index, 0, 0))
+        k_l = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
+        attn = dot_product_attention(q, k_l, v_l, mask=mask, causal=causal,
                                      scale=Dh ** -0.5, q_offset=cache_index)
         new_cache = (ck, cv)
     attn_flat = attn.reshape(B, S, Nq * Dh)
@@ -181,30 +185,37 @@ def forward_hidden(
     else:
         layer_rngs = None
 
-    def body(carry, xs):
-        h = carry
-        layer_params, cache_k, cache_v, lora_l, rng = xs
-        kv = None if cache is None else (cache_k, cache_v)
-        h, new_kv = _layer(cfg, h, layer_params, cos, sin, attention_mask,
-                           True, kv, cache_index, lora_l, lora_scale,
-                           lora_dropout, rng)
-        return h, new_kv
+    if cache is None:
+        def body(carry, xs):
+            h = carry
+            layer_params, lora_l, rng = xs
+            h, _ = _layer(cfg, h, layer_params, cos, sin, attention_mask,
+                          True, None, 0, lora_l, lora_scale,
+                          lora_dropout, rng)
+            return h, None
 
-    if cfg.remat:
-        body = jax.checkpoint(body)
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        hidden, _ = jax.lax.scan(body, hidden, (lp, lora_layers, layer_rngs))
+        new_cache = None
+    else:
+        # cache rides the scan CARRY (per-layer dynamic updates in place)
+        # instead of being re-stacked as scan ys — avoids rewriting the
+        # whole [L, B, Smax, Nkv, Dh] buffers every decode step.
+        def body(carry, xs):
+            h, ck, cv, li = carry
+            layer_params, lora_l, rng = xs
+            h, (ck, cv) = _layer(cfg, h, layer_params, cos, sin,
+                                 attention_mask, True, (ck, cv, li),
+                                 cache_index, lora_l, lora_scale,
+                                 lora_dropout, rng)
+            return (h, ck, cv, li + 1), None
 
-    xs = (lp,
-          cache["k"] if cache is not None else None,
-          cache["v"] if cache is not None else None,
-          lora_layers,
-          layer_rngs)
-    # lax.scan requires every xs leaf to have the L axis; None entries are
-    # pruned from the pytree automatically.
-    hidden, scanned = jax.lax.scan(body, hidden, xs)
-
-    new_cache = None
-    if cache is not None:
-        nk, nv = scanned
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        (hidden, nk, nv, _), _ = jax.lax.scan(
+            body, (hidden, cache["k"], cache["v"], jnp.int32(0)),
+            (lp, lora_layers, layer_rngs))
         new_cache = {"k": nk, "v": nv}
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)

@@ -14,17 +14,23 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_IMPL = "xla"  # overridden to "flash" by ops.use_flash_attention()
+_IMPL = "auto"  # auto: Pallas flash on TPU, XLA reference elsewhere
 
 
 def set_attention_impl(name: str) -> None:
     global _IMPL
-    assert name in ("xla", "flash"), name
+    assert name in ("auto", "xla", "flash"), name
     _IMPL = name
 
 
 def get_attention_impl() -> str:
     return _IMPL
+
+
+def _resolve_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    return "flash" if jax.default_backend() == "tpu" else "xla"
 
 
 def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
@@ -52,7 +58,7 @@ def dot_product_attention(
     Softmax is computed in float32 regardless of input dtype (matches both
     HF eager attention and what the Pallas flash kernel does).
     """
-    impl = impl or _IMPL
+    impl = _resolve_impl(impl or _IMPL)
     # flash path: decode steps (Sq==1) stay on XLA (bandwidth-bound, no
     # benefit); traced q_offset can't feed the static kernel params
     if (impl == "flash" and q.shape[1] > 1 and isinstance(q_offset, int)
@@ -69,28 +75,29 @@ def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0):
     if scale is None:
         scale = dh ** -0.5
     n_rep = nq // nkv
-    k = repeat_kv(k, n_rep)
-    v = repeat_kv(v, n_rep)
+    # grouped-query einsum: never materializes repeated K/V (matters for
+    # decode, where the KV cache read dominates)
+    qg = q.reshape(b, sq, nkv, n_rep, dh)
 
-    # [B, N, Sq, Skv]
-    logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
+    # [B, Nkv, G, Sq, Skv]
+    logits = jnp.einsum("bqngd,bknd->bngqk", qg, k,
                         preferred_element_type=jnp.float32)
     logits = logits * scale
 
     neg = jnp.finfo(jnp.float32).min
     if mask is not None:
         if mask.ndim == 2:  # [B, Skv] padding mask
-            bias = jnp.where(mask[:, None, None, :] != 0, 0.0, neg)
-        else:
-            bias = jnp.where(mask, 0.0, neg)
+            bias = jnp.where(mask[:, None, None, None, :] != 0, 0.0, neg)
+        else:  # bool [B, 1, Sq, Skv]
+            bias = jnp.where(mask[:, :, None], 0.0, neg)
         logits = logits + bias.astype(jnp.float32)
     if causal:
         q_pos = jnp.arange(sq) + q_offset
         kv_pos = jnp.arange(skv)
         causal_mask = q_pos[:, None] >= kv_pos[None, :]
-        logits = jnp.where(causal_mask[None, None], logits, neg)
+        logits = jnp.where(causal_mask[None, None, None], logits, neg)
 
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bnqk,bknd->bqnd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bngqk,bknd->bqngd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return out.reshape(b, sq, nq, dh).astype(q.dtype)

@@ -131,8 +131,14 @@ def flash_attention(
 ) -> jnp.ndarray:
     B, Sq, N, D = q.shape
     Skv = k.shape[1]
-    BQ = min(block_sizes[0], _cdiv(Sq, 8) * 8)
-    BK = min(block_sizes[1], _cdiv(Skv, 8) * 8)
+    # Mosaic requires 128-aligned dynamic slices in the lane dim (the
+    # in-kernel KV loop) — round block sizes to 128 and pad S dims to match
+    BQ = min(max(block_sizes[0], 128), _cdiv(Sq, 128) * 128)
+    BK = min(max(block_sizes[1], 128), _cdiv(Skv, 128) * 128)
+    if block_sizes[0] < 128 and block_sizes[1] < 128:
+        # explicit small blocks (interpret-mode tests) are honored as-is
+        BQ = min(block_sizes[0], _cdiv(Sq, 8) * 8)
+        BK = min(block_sizes[1], _cdiv(Skv, 8) * 8)
     # [B, N, S, D] kernel layout
     qt = _pad_axis(q.transpose(0, 2, 1, 3), 2, BQ)
     kt = _pad_axis(k.transpose(0, 2, 1, 3), 2, BK)
