@@ -52,6 +52,10 @@ class EsmConfig:
     num_hidden_layers: int = 6
     num_attention_heads: int = 20
     position_embedding_type: str = "rotary"  # "rotary" | "absolute"
+    # NT-v2 checkpoints use a bias-free SwiGLU FFN (InstaDeep's ESM fork);
+    # ESM-2 / NT-v1 use biased GELU
+    mlp_type: str = "gelu"  # "gelu" | "swiglu"
+    mlp_bias: bool = True
     emb_layer_norm_before: bool = False
     token_dropout: bool = True
     layer_norm_eps: float = 1e-5
@@ -93,11 +97,13 @@ ESM_PRESETS = {
     "esm2-650m": EsmConfig(vocab_size=33, hidden_size=1280,
                            intermediate_size=5120, num_hidden_layers=33,
                            num_attention_heads=20),
-    # nucleotide-transformer-v2: ESM-family, 6-mer vocab (4107 tokens), rotary
+    # nucleotide-transformer-v2: ESM-family, 6-mer vocab (4107 tokens),
+    # rotary + bias-free SwiGLU FFN
     "nt-500m": EsmConfig(vocab_size=4107, hidden_size=1280,
                          intermediate_size=5120, num_hidden_layers=24,
                          num_attention_heads=20, mask_token_id=2,
-                         token_dropout=True,
+                         token_dropout=True, mlp_type="swiglu",
+                         mlp_bias=False,
                          max_position_embeddings=2050),
 }
 

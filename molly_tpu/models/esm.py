@@ -61,6 +61,8 @@ def init_params(cfg: EsmConfig, key: jax.Array) -> Params:
             "ffn_ln": ln(L, H),
             "ffn_in": lin(next(ks), L, H, I), "ffn_in_b": jnp.zeros((L, I), dt),
             "ffn_out": lin(next(ks), L, I, H), "ffn_out_b": jnp.zeros((L, H), dt),
+            **({"ffn_gate": lin(next(ks), L, H, I)}
+               if cfg.mlp_type == "swiglu" else {}),
         },
         "final_ln": ln(H),
     }
@@ -92,8 +94,13 @@ def _layer(cfg: EsmConfig, hidden, p, cos, sin, mask):
 
     x = layer_norm(hidden, p["ffn_ln"]["weight"], p["ffn_ln"]["bias"],
                    cfg.layer_norm_eps)
-    x = erf_gelu(x @ p["ffn_in"] + p["ffn_in_b"])
-    x = x @ p["ffn_out"] + p["ffn_out_b"]
+    if cfg.mlp_type == "swiglu":
+        x = jax.nn.silu(x @ p["ffn_gate"]) * (x @ p["ffn_in"])
+    else:
+        x = erf_gelu(x @ p["ffn_in"] + p["ffn_in_b"])
+    x = x @ p["ffn_out"]
+    if cfg.mlp_bias:
+        x = x + p["ffn_out_b"]
     return hidden + x
 
 
@@ -108,7 +115,7 @@ def forward_hidden(
     if attention_mask is None:
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
     dt = jnp.dtype(cfg.dtype)
-    emb = jnp.take(params["embed"], input_ids, axis=0)
+    emb = jnp.take(params["embed"], input_ids, axis=0, mode="clip")
 
     if cfg.token_dropout:
         is_mask = (input_ids == cfg.mask_token_id)
@@ -122,7 +129,7 @@ def forward_hidden(
         # RoBERTa-style pad-offset ids (modeling_esm.py create_position_ids)
         m = attention_mask.astype(jnp.int32)
         pos_ids = jnp.cumsum(m, axis=1) * m + cfg.pad_token_id
-        emb = emb + jnp.take(params["pos_embed"], pos_ids, axis=0)
+        emb = emb + jnp.take(params["pos_embed"], pos_ids, axis=0, mode="clip")
 
     if cfg.emb_layer_norm_before:
         emb = layer_norm(emb, params["emb_ln"]["weight"],

@@ -136,15 +136,39 @@ def esm_from_hf(state: Mapping[str, Any], cfg: EsmConfig,
             "attn_out_b": _stack(state, lf + "attention.output.dense.bias", L).astype(dt),
             "ffn_ln": ln_stack(lf + "LayerNorm"),
             "ffn_in": _stack(state, lf + "intermediate.dense.weight", L, True).astype(dt),
-            "ffn_in_b": _stack(state, lf + "intermediate.dense.bias", L).astype(dt),
             "ffn_out": _stack(state, lf + "output.dense.weight", L, True).astype(dt),
-            "ffn_out_b": _stack(state, lf + "output.dense.bias", L).astype(dt),
         },
         "final_ln": {
             "weight": one(pre + "encoder.emb_layer_norm_after.weight"),
             "bias": one(pre + "encoder.emb_layer_norm_after.bias"),
         },
     }
+    if cfg.mlp_bias:
+        params["layers"]["ffn_in_b"] = _stack(
+            state, lf + "intermediate.dense.bias", L).astype(dt)
+        params["layers"]["ffn_out_b"] = _stack(
+            state, lf + "output.dense.bias", L).astype(dt)
+    else:
+        # bias-free FFN (NT-v2): keep zero biases so the pytree structure
+        # matches init_params
+        params["layers"]["ffn_in_b"] = np.zeros(
+            (L, cfg.intermediate_size), dt)
+        params["layers"]["ffn_out_b"] = np.zeros((L, cfg.hidden_size), dt)
+    if cfg.mlp_type == "swiglu":
+        # NT-v2 custom-code checkpoints name the gate differently across
+        # releases; accept the known variants
+        for cand in ("intermediate.gate_proj.weight", "gate_proj.weight",
+                     "intermediate.dense_gate.weight", "mlp.gate.weight"):
+            if (lf.format(i=0) + cand).replace("{i}", "0") in state or \
+                    lf.format(i=0) + cand in state:
+                params["layers"]["ffn_gate"] = _stack(
+                    state, lf + cand, L, True).astype(dt)
+                break
+        else:
+            raise KeyError(
+                "could not locate the SwiGLU gate weight in this checkpoint; "
+                "expected one of intermediate.gate_proj/gate_proj/"
+                "intermediate.dense_gate/mlp.gate")
     if cfg.emb_layer_norm_before:
         params["emb_ln"] = {
             "weight": one(pre + "embeddings.layer_norm.weight"),

@@ -162,7 +162,7 @@ def forward_hidden(
     full cache (prefill: S=prompt len, index 0; decode: S=1).
     """
     if inputs_embeds is None:
-        inputs_embeds = jnp.take(params["embed"], input_ids, axis=0)
+        inputs_embeds = embed_tokens(params, input_ids)
     hidden = inputs_embeds
     B, S, _ = hidden.shape
 
@@ -235,4 +235,6 @@ def forward_logits(params: Params, cfg: Qwen3Config, **kw) -> jnp.ndarray:
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params["embed"], input_ids, axis=0)
+    # mode="clip": out-of-vocab ids must not poison the batch with NaN
+    # (jnp.take's default OOB fill) — silent-NaN debugging on TPU is brutal
+    return jnp.take(params["embed"], input_ids, axis=0, mode="clip")

@@ -1,0 +1,77 @@
+"""HF export roundtrip + NT-v2 SwiGLU variant tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from molly_tpu.models import esm, qwen3, tiny_esm, tiny_qwen3
+from molly_tpu.models.hf_export import qwen3_to_hf_state, save_hf_checkpoint
+from molly_tpu.models.hf_import import load_hf_state, qwen3_from_hf
+
+
+def test_qwen3_export_import_roundtrip(tmp_path):
+    cfg = tiny_qwen3(num_hidden_layers=2, tie_word_embeddings=False)
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    path = str(tmp_path / "hf")
+    save_hf_checkpoint(path, params, cfg)
+
+    state = load_hf_state(path)
+    assert "model.embed_tokens.weight" in state
+    restored = qwen3_from_hf(state, cfg, dtype="float32")
+
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=0)
+
+    # logits identical through the roundtrip
+    ids = jnp.arange(12)[None] % cfg.vocab_size
+    l1 = qwen3.forward_logits(params, cfg, input_ids=ids)
+    l2 = qwen3.forward_logits(restored, cfg, input_ids=ids)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_export_loads_in_transformers(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import AutoModelForCausalLM
+
+    cfg = tiny_qwen3(num_hidden_layers=2, tie_word_embeddings=True)
+    params = qwen3.init_params(cfg, jax.random.key(1))
+    path = str(tmp_path / "hf")
+    save_hf_checkpoint(path, params, cfg)
+
+    model = AutoModelForCausalLM.from_pretrained(
+        path, attn_implementation="eager").eval().to(torch.float32)
+    ids = np.arange(10)[None] % cfg.vocab_size
+    with torch.no_grad():
+        ref = model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(qwen3.forward_logits(params, cfg,
+                                          input_ids=jnp.asarray(ids)))
+    assert np.abs(ref - got).max() < 5e-3  # fp32 accumulation-order envelope
+
+
+def test_esm_swiglu_variant():
+    cfg = tiny_esm(mlp_type="swiglu", mlp_bias=False)
+    params = esm.init_params(cfg, jax.random.key(2))
+    assert "ffn_gate" in params["layers"]
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, 30, (2, 10)))
+    h = esm.forward_hidden(params, cfg, ids)
+    assert np.isfinite(np.asarray(h)).all()
+
+    # numeric check of the swiglu ffn against manual numpy for one layer
+    x = np.asarray(jax.random.normal(jax.random.key(3), (3, 32)), np.float32)
+    p = {k: (np.asarray(v[0]) if not isinstance(v, dict)
+             else {kk: np.asarray(vv[0]) for kk, vv in v.items()})
+         for k, v in params["layers"].items()}
+
+    def silu(z):
+        return z / (1 + np.exp(-z))
+
+    expect = (silu(x @ p["ffn_gate"]) * (x @ p["ffn_in"])) @ p["ffn_out"]
+    got = np.asarray(
+        jax.nn.silu(jnp.asarray(x) @ jnp.asarray(p["ffn_gate"]))
+        * (jnp.asarray(x) @ jnp.asarray(p["ffn_in"]))
+        @ jnp.asarray(p["ffn_out"]))
+    np.testing.assert_allclose(got, expect, atol=1e-4)
