@@ -91,14 +91,14 @@ def main(argv=None) -> dict:
     import numpy as np
     import optax
 
-    from ..data import NucleotideTokenizer, ProteinTokenizer
+    from ..data import default_modality_tokenizers
     from ..data.collate import iterate_batches
     from ..models import ESM_PRESETS, tiny_esm
     from ..utils import MetricLogger, print_rank_0
     from .dataset import ClassificationDataset, collate
     from .model import BaselineConfig, forward_logits, init_params, loss_fn
 
-    dna_tok, prot_tok = NucleotideTokenizer(), ProteinTokenizer()
+    dna_tok, prot_tok = default_modality_tokenizers()
     if args.tiny:
         nt_cfg = tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
                           dtype="float32")

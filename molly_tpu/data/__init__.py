@@ -17,3 +17,16 @@ from .omics_dataset import (
     UNKNOWN_TASK_ID,
 )
 from .collate import collate_train, collate_test, iterate_batches
+
+
+def default_modality_tokenizers():
+    """(dna_rna, protein) tokenizers — native C++ when buildable, else Python."""
+    try:
+        from .native_tokenizers import (NativeNucleotideTokenizer,
+                                        NativeProteinTokenizer,
+                                        native_available)
+        if native_available():
+            return NativeNucleotideTokenizer(), NativeProteinTokenizer()
+    except Exception:
+        pass
+    return NucleotideTokenizer(), ProteinTokenizer()

@@ -55,8 +55,8 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ..data import (DataConfig, NucleotideTokenizer, OmicsDataset,
-                        ProteinTokenizer, collate_test, iterate_batches,
+    from ..data import (DataConfig, OmicsDataset, collate_test,
+                        default_modality_tokenizers, iterate_batches,
                         load_text_tokenizer)
     from ..models import ESM_PRESETS, QWEN3_PRESETS, fusion
     from ..models.fusion import FusionConfig
@@ -66,9 +66,9 @@ def main(argv=None) -> None:
     dcfg = DataConfig(max_len=args.max_length,
                       dna_rna_k_tokens=args.dna_rna_k_tokens,
                       protein_k_tokens=args.protein_k_tokens)
-    ds = OmicsDataset(args.input_file, text_tok, NucleotideTokenizer(),
-                      ProteinTokenizer(), dcfg, mode="test",
-                      read_nums=args.read_nums)
+    dna_tok, prot_tok = default_modality_tokenizers()
+    ds = OmicsDataset(args.input_file, text_tok, dna_tok, prot_tok, dcfg,
+                      mode="test", read_nums=args.read_nums)
 
     text_cfg = QWEN3_PRESETS[args.preset]
     if text_tok.vocab_size > text_cfg.vocab_size or (

@@ -111,8 +111,8 @@ def run_training(args) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data import (DataConfig, NucleotideTokenizer, OmicsDataset,
-                        ProteinTokenizer, collate_train, iterate_batches,
+    from ..data import (DataConfig, OmicsDataset, collate_train,
+                        default_modality_tokenizers, iterate_batches,
                         load_text_tokenizer)
     from ..models import ESM_PRESETS, QWEN3_PRESETS, fusion, tiny_esm, \
         tiny_qwen3
@@ -132,7 +132,7 @@ def run_training(args) -> dict:
 
     # ---- tokenizers (train.py:66-91) ----
     text_tok = load_text_tokenizer(args.text_model_path)
-    dna_tok, prot_tok = NucleotideTokenizer(), ProteinTokenizer()
+    dna_tok, prot_tok = default_modality_tokenizers()
 
     # ---- model config + params (train.py:93-159) ----
     import dataclasses
