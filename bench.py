@@ -30,7 +30,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=128)
+    ap.add_argument("--mode", default="decode",
+                    choices=["decode", "encoder", "ttft"],
+                    help="secondary metrics from BASELINE.json's spec")
     args = ap.parse_args()
+
+    if args.mode == "encoder":
+        return bench_encoder(args)
+    if args.mode == "ttft":
+        return bench_ttft(args)
 
     import jax
     import jax.numpy as jnp
@@ -79,6 +87,70 @@ def main():
         "value": round(toks_per_s, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(toks_per_s / A100_BASELINE_TOKS_PER_S, 3),
+    }))
+
+
+def bench_encoder(args):
+    """Encoder throughput (seqs/sec): ESM2-650M-config, seq 1024."""
+    import jax
+    import jax.numpy as jnp
+
+    from molly_tpu.models import ESM_PRESETS, esm
+
+    cfg = ESM_PRESETS["esm2-650m"]
+    params = esm.init_params(cfg, jax.random.key(0))
+    B, S = (2, 16) if args.smoke else (16, 1024)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 30, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    f = jax.jit(lambda p, i, m: jnp.sum(
+        esm.forward_hidden(p, cfg, i, m).astype(jnp.float32)))
+    float(f(params, ids, mask))
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        float(f(params, ids, mask))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"esm2-650m encoder throughput (1 chip, bf16, batch {B}, "
+                  f"seq {S})",
+        "value": round(B / dt, 1), "unit": "seqs/sec/chip",
+        "vs_baseline": 0.0,
+    }))
+
+
+def bench_ttft(args):
+    """p50 time-to-first-token: prefill + first sampled token."""
+    import jax
+    import jax.numpy as jnp
+
+    from molly_tpu.models import QWEN3_PRESETS, qwen3, tiny_qwen3
+    from molly_tpu.inference.engine import GenerationConfig,         _generate_from_embeds
+
+    cfg = tiny_qwen3(dtype="bfloat16") if args.smoke else         QWEN3_PRESETS["qwen3-1.7b"]
+    B, S = (2, 16) if args.smoke else (args.batch, args.prompt_len)
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    embeds = qwen3.embed_tokens(params, ids)
+    mask = jnp.ones((B, S), jnp.int32)
+    gen = GenerationConfig(max_new_tokens=1, do_sample=True, temperature=0.8,
+                           top_p=0.95, top_k=20, repetition_penalty=1.1,
+                           eos_token_id=-1, pad_token_id=0)
+    np.asarray(_generate_from_embeds(params, cfg, embeds, mask, gen,
+                                     jax.random.key(1)))
+    times = []
+    for i in range(9):
+        t0 = time.perf_counter()
+        np.asarray(_generate_from_embeds(params, cfg, embeds, mask, gen,
+                                         jax.random.key(2 + i)))
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": f"qwen3-1.7b p50 TTFT (1 chip, bf16, batch {B}, "
+                  f"prompt {S})" if not args.smoke else "smoke p50 TTFT",
+        "value": round(p50 * 1e3, 1), "unit": "ms",
+        "vs_baseline": 0.0,
     }))
 
 
