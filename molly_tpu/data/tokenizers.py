@@ -251,6 +251,13 @@ class HFTextTokenizer:
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = False) -> str:
         return self._tok.decode(list(ids), skip_special_tokens=skip_special_tokens)
 
+    def save(self, path: str) -> None:
+        """Serialize the EXTENDED tokenizer (base vocab + the 9 appended
+        omics tokens). Special-token ids depend on append order
+        (/root/reference/src/train.py:73-85), so shipping the extended
+        tokenizer with checkpoints removes id drift."""
+        self._tok.save_pretrained(path)
+
 
 def load_text_tokenizer(path: Optional[str] = None):
     """Load the production HF tokenizer from ``path`` or fall back to bytes."""

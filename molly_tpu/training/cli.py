@@ -94,6 +94,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute-domain-losses", type=str2bool, default=False)
     p.add_argument("--profile-log-dir", default=None,
                    help="jax.profiler trace output dir")
+    p.add_argument("--resume-from", default=None,
+                   help="orbax checkpoint dir to resume train state from")
     # parallelism
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-fsdp", type=int, default=-1)
@@ -226,6 +228,10 @@ def run_training(args) -> dict:
         params = shard_params(params, mesh)
         state = init_train_state(params, tc)
         del params
+        if args.resume_from:
+            state = ckpt_lib.restore_train_state(args.resume_from, state)
+            print_rank_0(f"resumed from {args.resume_from} "
+                         f"at step {int(state.step)}")
         step_fn = jax.jit(make_train_step(cfg, tc))
 
         micro = args.batch_size_per_gpu * args.gradient_accumulation_steps

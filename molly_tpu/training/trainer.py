@@ -199,7 +199,16 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
         updates, opt_state = get_tx(state.params).update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {**metrics, "grad_norm": gnorm,
+        # NaN/Inf guard (HF Trainer keeps non-finite-loss filtering,
+        # domain_loss.py:655-661): skip the update, keep the old state
+        ok = jnp.isfinite(metrics["loss"]) & jnp.isfinite(gnorm)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), params, state.params)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(
+                new, "dtype") else new,
+            opt_state, state.opt_state)
+        metrics = {**metrics, "grad_norm": gnorm, "skipped": ~ok,
                    "learning_rate": make_schedule(train_cfg)(state.step)}
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
