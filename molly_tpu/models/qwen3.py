@@ -201,7 +201,9 @@ def forward_hidden(
     else:
         # cache rides the scan CARRY (per-layer dynamic updates in place)
         # instead of being re-stacked as scan ys — avoids rewriting the
-        # whole [L, B, Smax, Nkv, Dh] buffers every decode step.
+        # whole [L, B, Smax, Nkv, Dh] buffers every decode step. (An
+        # unrolled decode loop was measured SLOWER: 1131 vs 1287 tok/s —
+        # XLA pipelines the scan better.)
         def body(carry, xs):
             h, ck, cv, li = carry
             layer_params, lora_l, rng = xs
