@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--mode", default="decode",
                     choices=["decode", "encoder", "ttft"],
                     help="secondary metrics from BASELINE.json's spec")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only decode (ops.quant)")
     args = ap.parse_args()
 
     if args.mode == "encoder":
@@ -55,6 +57,8 @@ def main():
         B, S, T = args.batch, args.prompt_len, args.new_tokens
 
     params = qwen3.init_params(cfg, jax.random.key(0))
+    if args.int8:
+        params = qwen3.quantize_for_decode(params, cfg)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
     embeds = qwen3.embed_tokens(params, ids)
@@ -81,7 +85,8 @@ def main():
 
     toks_per_s = (B * T) / dt
     print(json.dumps({
-        "metric": "qwen3-1.7b decode throughput (1 chip, bf16, "
+        "metric": "qwen3-1.7b decode throughput (1 chip, "
+                  f"{'int8' if args.int8 else 'bf16'}, "
                   f"batch {B}, prompt {S}, gen {T})"
                   if not args.smoke else "smoke decode throughput",
         "value": round(toks_per_s, 1),

@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import quant
 from ..ops.attention import dot_product_attention
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
@@ -96,7 +97,7 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
                    cfg.head_dim)
 
     def proj(x, name):
-        out = x @ p[name]
+        out = quant.linear(x, p[name])
         ll = lora_layer.get(name) if lora_layer is not None else None
         rng = (jax.random.fold_in(dropout_rng, _TARGET_IDX[name])
                if dropout_rng is not None else None)
@@ -226,9 +227,30 @@ def forward_hidden(
 
 def logits_from_hidden(params: Params, cfg: Qwen3Config,
                        hidden: jnp.ndarray) -> jnp.ndarray:
+    if "lm_head_q" in params:  # int8 decode path (quantize_for_decode)
+        return quant.int8_matmul(hidden, params["lm_head_q"])
     if cfg.tie_word_embeddings:
         return hidden @ params["embed"].T
     return hidden @ params["lm_head"]
+
+
+QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_for_decode(params: Params, cfg: Qwen3Config) -> Params:
+    """Int8-quantize the layer linears + lm head for serving (weight-only,
+    per-output-channel). Embedding stays bf16 (gather reads are tiny)."""
+    new_layers = dict(params["layers"])
+    for name in QUANT_TARGETS:
+        new_layers[name] = jax.vmap(quant.quantize_int8)(params["layers"][name])
+    out = {**params, "layers": new_layers}
+    head = (params["embed"].T if cfg.tie_word_embeddings
+            else params["lm_head"])
+    out["lm_head_q"] = quant.quantize_int8(head)
+    if not cfg.tie_word_embeddings:
+        out.pop("lm_head", None)
+    return out
 
 
 def forward_logits(params: Params, cfg: Qwen3Config, **kw) -> jnp.ndarray:
