@@ -20,7 +20,11 @@ import time
 
 import numpy as np
 
-A100_BASELINE_TOKS_PER_S = 500.0  # estimated reference stack, see docstring
+# estimated reference-stack decode throughput on one A100 (HF generate +
+# FA2, bf16, batch 8, short context) — see benchmarks/README.md
+A100_BASELINES = {"qwen3-1.7b": 500.0, "qwen3-0.6b": 700.0,
+                  "qwen3-4b": 400.0, "qwen3-8b": 350.0}
+A100_BASELINE_TOKS_PER_S = A100_BASELINES["qwen3-1.7b"]
 
 
 def main():
@@ -35,6 +39,8 @@ def main():
                     help="secondary metrics from BASELINE.json's spec")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only decode (ops.quant)")
+    ap.add_argument("--preset", default="qwen3-1.7b",
+                    help="decoder preset (e.g. qwen3-8b with --int8)")
     args = ap.parse_args()
 
     if args.mode == "encoder":
@@ -53,12 +59,15 @@ def main():
         cfg = tiny_qwen3(num_hidden_layers=2, dtype="bfloat16")
         B, S, T = 2, 16, 8
     else:
-        cfg = QWEN3_PRESETS["qwen3-1.7b"]
+        cfg = QWEN3_PRESETS[args.preset]
         B, S, T = args.batch, args.prompt_len, args.new_tokens
 
-    params = qwen3.init_params(cfg, jax.random.key(0))
     if args.int8:
-        params = qwen3.quantize_for_decode(params, cfg)
+        # build int8 params directly (quantizing a materialized bf16 8B
+        # would OOM the chip first; values don't affect throughput)
+        params = _random_int8_params(cfg)
+    else:
+        params = qwen3.init_params(cfg, jax.random.key(0))
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
     embeds = qwen3.embed_tokens(params, ids)
@@ -85,14 +94,53 @@ def main():
 
     toks_per_s = (B * T) / dt
     print(json.dumps({
-        "metric": "qwen3-1.7b decode throughput (1 chip, "
+        "metric": f"{args.preset} decode throughput (1 chip, "
                   f"{'int8' if args.int8 else 'bf16'}, "
                   f"batch {B}, prompt {S}, gen {T})"
                   if not args.smoke else "smoke decode throughput",
         "value": round(toks_per_s, 1),
         "unit": "tokens/sec/chip",
-        "vs_baseline": round(toks_per_s / A100_BASELINE_TOKS_PER_S, 3),
+        "vs_baseline": round(
+            toks_per_s / A100_BASELINES.get(args.preset, 500.0), 3),
     }))
+
+
+def _random_int8_params(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from molly_tpu.models import qwen3
+
+    key = jax.random.key(0)
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    dims = {"q_proj": (H, cfg.q_dim), "k_proj": (H, cfg.kv_dim),
+            "v_proj": (H, cfg.kv_dim), "o_proj": (cfg.q_dim, H),
+            "gate_proj": (H, I), "up_proj": (H, I), "down_proj": (I, H)}
+
+    def qrand(k, shape):
+        # per-output-channel scales, stacked like the weights
+        scale_shape = shape[:-2] + (shape[-1],)
+        return {"w_q": jax.random.randint(k, shape, -127, 127, jnp.int8),
+                "scale": jnp.full(scale_shape, 2e-4, jnp.float32)}
+
+    keys = iter(jax.random.split(key, 16))
+    layers = {
+        "input_norm": jnp.ones((L, H), jnp.bfloat16),
+        "post_attn_norm": jnp.ones((L, H), jnp.bfloat16),
+        "q_norm": jnp.ones((L, cfg.head_dim), jnp.bfloat16),
+        "k_norm": jnp.ones((L, cfg.head_dim), jnp.bfloat16),
+    }
+    for name, (din, dout) in dims.items():
+        layers[name] = qrand(next(keys), (L, din, dout))
+    params = {
+        "embed": (0.02 * jax.random.normal(
+            next(keys), (cfg.vocab_size, H), jnp.float32)
+        ).astype(jnp.bfloat16),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head_q": qrand(next(keys), (H, cfg.vocab_size)),
+    }
+    return params
 
 
 def bench_encoder(args):
