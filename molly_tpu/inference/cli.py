@@ -44,6 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=20)
     p.add_argument("--repetition-penalty", type=float, default=1.1)
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decode of the text model")
     p.add_argument("--read-nums", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     return p
@@ -86,6 +88,9 @@ def main(argv=None) -> None:
         protein_k_tokens=args.protein_k_tokens)
 
     params = _load_params(args, cfg)
+    if args.int8:
+        from ..models import qwen3 as _q
+        params["text"] = _q.quantize_for_decode(params["text"], cfg.text)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens,
         do_sample=not args.greedy,
