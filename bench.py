@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--mode", default="decode",
-                    choices=["decode", "encoder", "ttft"],
+                    choices=["decode", "encoder", "ttft", "fusion"],
                     help="secondary metrics from BASELINE.json's spec")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only decode (ops.quant)")
@@ -47,6 +47,8 @@ def main():
         return bench_encoder(args)
     if args.mode == "ttft":
         return bench_ttft(args)
+    if args.mode == "fusion":
+        return bench_fusion(args)
 
     import jax
     import jax.numpy as jnp
@@ -141,6 +143,79 @@ def _random_int8_params(cfg):
         "lm_head_q": qrand(next(keys), (H, cfg.vocab_size)),
     }
     return params
+
+
+def bench_fusion(args):
+    """Tri-encoder fusion batched inference with KV cache (BASELINE.json
+    config 3): prompt with injected DNA+protein segments, sampled decode."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from molly_tpu.models import ESM_PRESETS, QWEN3_PRESETS, esm, fusion,         qwen3
+    from molly_tpu.models.fusion import FusionConfig
+    from molly_tpu.inference.engine import GenerationConfig,         _generate_from_embeds
+
+    K = 128
+    cfg = FusionConfig(
+        text=QWEN3_PRESETS[args.preset],
+        dna_rna=dataclasses.replace(ESM_PRESETS["nt-500m"],
+                                    dtype="bfloat16"),
+        protein=dataclasses.replace(ESM_PRESETS["esm2-650m"],
+                                    dtype="bfloat16"),
+        dna_rna_k_tokens=K, protein_k_tokens=K)
+    params = {
+        "text": (_random_int8_params(cfg.text) if args.int8 else
+                 qwen3.init_params(cfg.text, jax.random.key(0))),
+        "dna_rna": esm.init_params(cfg.dna_rna, jax.random.key(1)),
+        "protein": esm.init_params(cfg.protein, jax.random.key(2)),
+        "dna_rna_projector": {
+            "kernel": jnp.zeros((cfg.dna_rna.hidden_size,
+                                 cfg.text.hidden_size), jnp.bfloat16),
+            "bias": jnp.zeros((cfg.text.hidden_size,), jnp.bfloat16)},
+        "protein_projector": {
+            "kernel": jnp.zeros((cfg.protein.hidden_size,
+                                 cfg.text.hidden_size), jnp.bfloat16),
+            "bias": jnp.zeros((cfg.text.hidden_size,), jnp.bfloat16)},
+    }
+    B, T = args.batch, args.new_tokens
+    S = args.prompt_len + 2 * (K + 2)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, cfg.text.vocab_size, (B, S)), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "dna_rna_tokens": jnp.asarray(rng.integers(6, 4102, (B, 1, K)),
+                                      jnp.int32),
+        "dna_rna_pos": jnp.asarray([[1]] * B, jnp.int32),
+        "protein_tokens": jnp.asarray(rng.integers(4, 24, (B, 1, K)),
+                                      jnp.int32),
+        "protein_pos": jnp.asarray([[K + 4]] * B, jnp.int32),
+    }
+    gen = GenerationConfig(max_new_tokens=T, do_sample=True,
+                           temperature=0.8, top_p=0.95, top_k=20,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+
+    from molly_tpu.inference.engine import generate as fusion_generate
+
+    def run(key):
+        return fusion_generate(params, cfg, batch, gen, key)
+
+    np.asarray(run(jax.random.key(1)))
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        np.asarray(run(jax.random.key(2 + i)))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"{args.preset} tri-encoder fusion inference (1 chip, "
+                  f"{'int8' if args.int8 else 'bf16'} decoder, batch {B}, "
+                  f"prompt {S} incl 2x{K}-token injected segments, gen {T})",
+        "value": round(B * T / dt, 1), "unit": "tokens/sec/chip",
+        "vs_baseline": round(B * T / dt / A100_BASELINES.get(
+            args.preset, 500.0), 3),
+    }))
 
 
 def bench_encoder(args):

@@ -40,6 +40,13 @@ class GenerationConfig:
     pad_token_id: int = 0
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _build_embeds_jit(params, cfg, batch):
+    # eager dispatch over the tunneled TPU costs ~10ms/op; the encoder +
+    # injection graph is hundreds of ops — must be jitted
+    return fusion.build_inputs_embeds(params, cfg, batch)
+
+
 def generate(
     params: Dict[str, Any],
     cfg: FusionConfig,
@@ -50,7 +57,10 @@ def generate(
     """Returns new tokens only, [B, max_new_tokens], rows padded with
     pad_token_id after EOS (matching HF generate-on-embeds semantics,
     omics_one.py:220-233)."""
-    embeds = fusion.build_inputs_embeds(params, cfg, batch)
+    embed_batch = {k: batch[k] for k in
+                   ("input_ids", "dna_rna_tokens", "dna_rna_pos",
+                    "protein_tokens", "protein_pos") if k in batch}
+    embeds = _build_embeds_jit(params, cfg, embed_batch)
     return _generate_from_embeds(
         params["text"], cfg.text, embeds, batch["attention_mask"], gen, rng)
 
