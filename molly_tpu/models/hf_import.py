@@ -226,3 +226,64 @@ def esm_cfg_from_hf_config(hf_cfg, **overrides) -> EsmConfig:
     )
     kw.update(overrides)
     return EsmConfig(**kw)
+
+
+def peft_lora_from_hf(state: Mapping[str, Any], cfg: Qwen3Config,
+                      lora_r: int, dtype=np.float32) -> Dict[str, Any]:
+    """PEFT adapter state dict -> models.lora pytree.
+
+    The reference saves LoRA runs as a PEFT adapter + two projector .bins
+    (/root/reference/src/trainer/omics_trainer.py:85-105) and reloads them
+    at inference (/root/reference/src/inference_lora.py:214-234). PEFT key
+    shape: ``base_model.model.model.layers.{i}.self_attn.q_proj.
+    lora_A.weight`` [r, in] / ``lora_B.weight`` [out, r]; ours is
+    a [L, in, r] / b [L, r, out].
+    """
+    from .lora import LORA_TARGETS
+
+    # locate the key prefix (PEFT nests differently across versions)
+    sample = None
+    for k in state:
+        if "lora_A" in k and "layers.0." in k:
+            sample = k
+            break
+    if sample is None:
+        raise KeyError("no lora_A weights found in adapter state dict")
+    prefix = sample.split("layers.0.")[0]
+
+    L = cfg.num_hidden_layers
+    layers: Dict[str, Any] = {}
+    for target in LORA_TARGETS:
+        a_fmt = prefix + "layers.{i}." + _peft_target_path(target) + \
+            ".lora_A.weight"
+        b_fmt = prefix + "layers.{i}." + _peft_target_path(target) + \
+            ".lora_B.weight"
+        if a_fmt.format(i=0) not in state:
+            continue  # adapter trained on a subset of targets
+        layers[target] = {
+            "a": _stack(state, a_fmt, L, transpose=True).astype(dtype),
+            "b": _stack(state, b_fmt, L, transpose=True).astype(dtype),
+        }
+    if not layers:
+        raise KeyError("no recognized LoRA targets in adapter state dict")
+    return _to_jnp({"layers": layers})
+
+
+def _peft_target_path(target: str) -> str:
+    if target in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        return f"self_attn.{target}"
+    return f"mlp.{target}"
+
+
+def projector_from_hf(state: Mapping[str, Any], dtype=np.float32
+                      ) -> Dict[str, Any]:
+    """A single nn.Linear state dict ({weight, bias}) -> projector pytree
+    (the dna_rna_projector.bin / protein_projector.bin files the reference
+    exports, omics_trainer.py:85-105)."""
+    # keys may be prefixed (e.g. 'dna_rna_projector.weight')
+    wkey = next(k for k in state if k.endswith("weight"))
+    bkey = next(k for k in state if k.endswith("bias"))
+    return _to_jnp({
+        "kernel": _np(state[wkey]).astype(dtype).T,
+        "bias": _np(state[bkey]).astype(dtype),
+    })

@@ -16,6 +16,30 @@ import numpy as np
 
 def embed_batch(params, cfg, batch) -> np.ndarray:
     """[B, H_text + H_dna + H_prot] embedding for one collated batch."""
+    import jax
+
+    return np.asarray(_embed_batch_jit(params, cfg, batch))
+
+
+def _embed_jit_key(cfg):
+    return cfg
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _get_embed_fn(cfg):
+    import jax
+
+    return jax.jit(lambda p, b: _embed_batch_impl(p, cfg, b))
+
+
+def _embed_batch_jit(params, cfg, batch):
+    return _get_embed_fn(cfg)(params, batch)
+
+
+def _embed_batch_impl(params, cfg, batch):
     import jax.numpy as jnp
 
     from ..models import esm, fusion, qwen3
@@ -41,10 +65,9 @@ def embed_batch(params, cfg, batch) -> np.ndarray:
 
     dna_pool = pooled("dna_rna", cfg.dna_rna, batch["dna_rna_tokens"])
     prot_pool = pooled("protein", cfg.protein, batch["protein_tokens"])
-    out = jnp.concatenate([text_pool.astype(jnp.float32),
-                           dna_pool.astype(jnp.float32),
-                           prot_pool.astype(jnp.float32)], axis=-1)
-    return np.asarray(out)
+    return jnp.concatenate([text_pool.astype(jnp.float32),
+                            dna_pool.astype(jnp.float32),
+                            prot_pool.astype(jnp.float32)], axis=-1)
 
 
 def pca_2d(x: np.ndarray) -> np.ndarray:

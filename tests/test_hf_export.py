@@ -75,3 +75,65 @@ def test_esm_swiglu_variant():
         * (jnp.asarray(x) @ jnp.asarray(p["ffn_in"]))
         @ jnp.asarray(p["ffn_out"]))
     np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_peft_adapter_import():
+    """Synthetic PEFT-layout adapter -> our lora pytree; forward with the
+    imported adapter must equal forward with the natively-built one."""
+    import torch
+
+    from molly_tpu.models.hf_import import peft_lora_from_hf, \
+        projector_from_hf
+    from molly_tpu.models.lora import LORA_TARGETS, LoraConfig
+
+    cfg = tiny_qwen3(num_hidden_layers=2)
+    r = 4
+    rng = np.random.default_rng(0)
+    dims = {"q_proj": (64, 64), "k_proj": (64, 32), "v_proj": (64, 32),
+            "o_proj": (64, 64), "gate_proj": (64, 128),
+            "up_proj": (64, 128), "down_proj": (128, 64)}
+    state = {}
+    native = {"layers": {}}
+    for t, (din, dout) in dims.items():
+        path = ("self_attn." if "proj" in t and t[0] in "qkvo"
+                else "mlp.")
+        sub = f"self_attn.{t}" if t in ("q_proj", "k_proj", "v_proj",
+                                        "o_proj") else f"mlp.{t}"
+        a_layers, b_layers = [], []
+        for i in range(2):
+            A = rng.normal(size=(r, din)).astype(np.float32) / r
+            B = rng.normal(size=(dout, r)).astype(np.float32) * 0.01
+            state[f"base_model.model.model.layers.{i}.{sub}."
+                  f"lora_A.weight"] = A
+            state[f"base_model.model.model.layers.{i}.{sub}."
+                  f"lora_B.weight"] = B
+            a_layers.append(A.T)
+            b_layers.append(B.T)
+        native["layers"][t] = {"a": jnp.asarray(np.stack(a_layers)),
+                               "b": jnp.asarray(np.stack(b_layers))}
+
+    imported = peft_lora_from_hf(state, cfg, r)
+    for t in LORA_TARGETS:
+        for key in ("a", "b"):
+            np.testing.assert_allclose(
+                np.asarray(imported["layers"][t][key]),
+                np.asarray(native["layers"][t][key]), atol=1e-6)
+
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    ids = jnp.arange(10)[None] % cfg.vocab_size
+    lcfg = LoraConfig(r=r)
+    out_native = qwen3.forward_logits(params, cfg, input_ids=ids,
+                                      lora=native, lora_scale=lcfg.scale)
+    out_imported = qwen3.forward_logits(params, cfg, input_ids=ids,
+                                        lora=imported,
+                                        lora_scale=lcfg.scale)
+    np.testing.assert_allclose(np.asarray(out_native),
+                               np.asarray(out_imported), atol=1e-5)
+
+    # projector .bin roundtrip
+    w = rng.normal(size=(64, 48)).astype(np.float32)
+    b = rng.normal(size=(64,)).astype(np.float32)
+    proj = projector_from_hf({"weight": torch.tensor(w),
+                              "bias": torch.tensor(b)})
+    np.testing.assert_allclose(np.asarray(proj["kernel"]), w.T)
+    np.testing.assert_allclose(np.asarray(proj["bias"]), b)
