@@ -146,8 +146,14 @@ def _scale(value, factor=100, places=2):
 
 def evaluate_file(input_file_path: str,
                   sentiment_fn: Optional[M.SentimentFn] = None,
-                  scale: bool = True) -> Dict[str, Dict[str, dict]]:
-    """Full pipeline -> {omics: {task: {metric: score}}} (x100 scaled)."""
+                  scale: bool = True,
+                  processed_dir: Optional[str] = None
+                  ) -> Dict[str, Dict[str, dict]]:
+    """Full pipeline -> {omics: {task: {metric: score}}} (x100 scaled).
+
+    processed_dir: when set, dumps each task's grouped entries as JSON for
+    inspection (the reference's save_processed_data affordance,
+    eval.py:115-124)."""
     groups = group_entries(load_entries(input_file_path))
     ec_labels = load_ec_labels()
     by_omics: Dict[str, Dict[str, dict]] = defaultdict(dict)
@@ -159,6 +165,12 @@ def evaluate_file(input_file_path: str,
         result = evaluate_task(task_name, entries, sentiment_fn, ec_labels)
         omics = TASK_REGISTRY[base]["omics"]
         by_omics[omics][task_name] = _scale(result) if scale else result
+        if processed_dir:
+            os.makedirs(processed_dir, exist_ok=True)
+            with open(os.path.join(processed_dir,
+                                   f"{task_name}_processed_data.json"),
+                      "w") as f:
+                json.dump(entries, f, indent=2, default=str)
     return dict(by_omics)
 
 
@@ -170,9 +182,11 @@ def main(argv=None) -> None:
     ap.add_argument("--model_name", default="molly_tpu")
     ap.add_argument("--OMICS", default="All")
     ap.add_argument("--output", default=None)
+    ap.add_argument("--processed-dir", default=None)
     args = ap.parse_args(argv)
 
-    result = evaluate_file(args.input_file_path)
+    result = evaluate_file(args.input_file_path,
+                           processed_dir=args.processed_dir)
     out = args.output or (
         f"metrics_result_{args.model_name}_{args.OMICS}.json")
     with open(out, "w") as f:

@@ -30,6 +30,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="orbax train-state dir or HF dir with full weights")
     p.add_argument("--adapter", default=None,
                    help="adapter .npz from training.export_adapter")
+    p.add_argument("--peft-adapter", default=None,
+                   help="reference-style PEFT adapter dir (adapter .bin/"
+                        ".safetensors + projector .bins)")
+    p.add_argument("--lora-r", type=int, default=64)
     p.add_argument("--preset", default="qwen3-1.7b",
                    help="model preset when no checkpoint config is given")
     p.add_argument("--dna-rna-preset", default="nt-500m")
@@ -150,6 +154,26 @@ def _load_params(args, cfg):
     if args.adapter:
         from ..training.checkpoint import load_adapter
         params = load_adapter(args.adapter, params)
+    if args.peft_adapter:
+        import glob as _glob
+
+        import torch
+
+        from ..models.hf_import import (load_hf_state, peft_lora_from_hf,
+                                        projector_from_hf)
+        adir = args.peft_adapter
+        try:
+            state = load_hf_state(adir)
+        except FileNotFoundError:
+            bins = _glob.glob(os.path.join(adir, "adapter_model*.bin"))
+            state = torch.load(bins[0], map_location="cpu",
+                               weights_only=True)
+        params["lora"] = peft_lora_from_hf(state, cfg.text, args.lora_r)
+        for name in ("dna_rna_projector", "protein_projector"):
+            bp = os.path.join(adir, f"{name}.bin")
+            if os.path.exists(bp):
+                params[name] = projector_from_hf(
+                    torch.load(bp, map_location="cpu", weights_only=True))
     return params
 
 

@@ -60,9 +60,20 @@ def generate(
     embed_batch = {k: batch[k] for k in
                    ("input_ids", "dna_rna_tokens", "dna_rna_pos",
                     "protein_tokens", "protein_pos") if k in batch}
-    embeds = _build_embeds_jit(params, cfg, embed_batch)
+    lora = params.get("lora")
+    model_params = params["text"]
+    if lora is not None:
+        # fold adapters into the base weights once: decode then runs at
+        # full speed (PEFT merge_and_unload equivalent)
+        from ..models.lora import LoraConfig, merge_lora
+        r = lora["layers"]["q_proj"]["a"].shape[-1]
+        model_params = merge_lora(params["text"], lora, LoraConfig(r=r))
+        params = {**params, "text": model_params}
+    embeds = _build_embeds_jit(
+        {**params, "lora": None} if "lora" in params else params,
+        cfg, embed_batch)
     return _generate_from_embeds(
-        params["text"], cfg.text, embeds, batch["attention_mask"], gen, rng)
+        model_params, cfg.text, embeds, batch["attention_mask"], gen, rng)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen"))

@@ -224,6 +224,18 @@ def run_training(args) -> dict:
     logger = MetricLogger(args.output_dir, args.experiment_name,
                           console_every=args.log_interval)
 
+    # preemption handling (beyond the reference, SURVEY.md §5.3): SIGTERM
+    # requests a checkpoint at the next step boundary
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # non-main thread (tests)
+
     with jax.sharding.set_mesh(mesh):
         params = shard_params(params, mesh)
         state = init_train_state(params, tc)
@@ -306,6 +318,12 @@ def run_training(args) -> dict:
                         old = saved.pop(0)
                         import shutil
                         shutil.rmtree(old, ignore_errors=True)
+                if preempted["flag"]:
+                    path = os.path.join(args.output_dir, "ckpt_preempt")
+                    ckpt_lib.save_train_state(path, state)
+                    print_rank_0(f"SIGTERM: saved {path}; exiting")
+                    stop = True
+                    break
                 if step >= total_steps:
                     stop = True
                     break
