@@ -16,13 +16,7 @@ import numpy as np
 
 def embed_batch(params, cfg, batch) -> np.ndarray:
     """[B, H_text + H_dna + H_prot] embedding for one collated batch."""
-    import jax
-
     return np.asarray(_embed_batch_jit(params, cfg, batch))
-
-
-def _embed_jit_key(cfg):
-    return cfg
 
 
 import functools

@@ -15,10 +15,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import time
-from typing import Optional
 
 
 def str2bool(v) -> bool:
@@ -113,15 +111,15 @@ def run_training(args) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data import (DataConfig, OmicsDataset, collate_train,
+    from ..data import (DataConfig, OmicsDataset,
                         default_modality_tokenizers, iterate_batches,
                         load_text_tokenizer)
     from ..models import ESM_PRESETS, QWEN3_PRESETS, fusion, tiny_esm, \
         tiny_qwen3
     from ..models.fusion import FusionConfig
     from ..models.lora import LoraConfig
-    from ..parallel import (host_shard_range, initialize_distributed,
-                            make_mesh, shard_batch, shard_params)
+    from ..parallel import (initialize_distributed, make_mesh,
+                            shard_batch, shard_params)
     from ..utils import MetricLogger, domain_loss_metrics, print_rank_0, \
         time_count
     from ..utils.profiling import StepTimer, trace

@@ -20,8 +20,7 @@ Feature parity map:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
