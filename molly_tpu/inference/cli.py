@@ -173,6 +173,13 @@ def _load_params(args, cfg):
             if os.path.exists(bp):
                 params[name] = projector_from_hf(
                     torch.load(bp, map_location="cpu", weights_only=True))
+    if "lora" in params:
+        # merge ONCE at load (PEFT merge_and_unload equivalent) so decode
+        # never pays the merge again
+        from ..models.lora import LoraConfig, merge_lora
+        lora = params.pop("lora")
+        r = lora["layers"]["q_proj"]["a"].shape[-1]
+        params["text"] = merge_lora(params["text"], lora, LoraConfig(r=r))
     return params
 
 

@@ -63,15 +63,18 @@ def generate(
     lora = params.get("lora")
     model_params = params["text"]
     if lora is not None:
-        # fold adapters into the base weights once: decode then runs at
-        # full speed (PEFT merge_and_unload equivalent)
+        # fold adapters into the base weights (PEFT merge_and_unload
+        # equivalent). NOTE: callers doing repeated batched inference should
+        # merge once up front (the CLI does); this per-call path is a
+        # convenience for one-off use. Quantized bases can't be merged.
+        from ..ops.quant import is_quantized
+        assert not is_quantized(model_params["layers"]["q_proj"]), (
+            "merge adapters before quantize_for_decode")
         from ..models.lora import LoraConfig, merge_lora
         r = lora["layers"]["q_proj"]["a"].shape[-1]
         model_params = merge_lora(params["text"], lora, LoraConfig(r=r))
-        params = {**params, "text": model_params}
-    embeds = _build_embeds_jit(
-        {**params, "lora": None} if "lora" in params else params,
-        cfg, embed_batch)
+        params = {**params, "text": model_params, "lora": None}
+    embeds = _build_embeds_jit(params, cfg, embed_batch)
     return _generate_from_embeds(
         model_params, cfg.text, embeds, batch["attention_mask"], gen, rng)
 
