@@ -200,3 +200,49 @@ def test_cross_entropy_loss_and_domain():
     np.testing.assert_allclose(ds[19], per_sample[1], rtol=1e-5)
     np.testing.assert_allclose(ds[20], per_sample[2], rtol=1e-5)  # unknown
     assert dc[0] == 1 and dc[19] == 1 and dc[20] == 1 and dc[1:19].sum() == 0
+
+
+def test_inject_many_mixed_segments():
+    """Stress: 4 DNA + 3 protein segments per sample, interleaved, with
+    inactive slots — one compiled graph regardless of layout."""
+    import jax
+
+    from molly_tpu.models import fusion as F
+    from molly_tpu.models import tiny_esm, tiny_qwen3
+
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=128, hidden_size=32,
+                        intermediate_size=64, num_hidden_layers=1,
+                        num_attention_heads=2, num_key_value_heads=1,
+                        head_dim=16),
+        dna_rna=tiny_esm(vocab_size=16), protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=3, protein_k_tokens=3)
+    params = F.init_params(cfg, jax.random.key(0))
+    B, S, K = 2, 64, 3
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 128, (B, S))),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "dna_rna_tokens": jnp.asarray(rng.integers(6, 16, (B, 4, K))),
+        # sample 0: 4 active at 0,5,10,15; sample 1: 2 active
+        "dna_rna_pos": jnp.asarray([[0, 5, 10, 15], [3, 40, -1, -1]]),
+        "protein_tokens": jnp.asarray(rng.integers(4, 20, (B, 3, K))),
+        "protein_pos": jnp.asarray([[20, 30, 44], [-1, -1, -1]]),
+    }
+    emb = F.build_inputs_embeds(params, cfg, batch)
+    assert np.isfinite(np.asarray(emb, dtype=np.float32)).all()
+    base = qwen3_embed(params, batch["input_ids"])
+    changed = np.abs(np.asarray(emb) - np.asarray(base)).sum(axis=-1) > 1e-6
+    # sample 0: rows 1..4, 6..9, 11..14, 16..19 (dna) + 21..24,31..34,45..48
+    for start in (0, 5, 10, 15, 20, 30, 44):
+        assert changed[0, start + 1 : start + 1 + K].all(), start
+    assert not changed[0, 50:].any()
+    # sample 1: only two dna segments
+    for start in (3, 40):
+        assert changed[1, start + 1 : start + 1 + K].all(), start
+    assert not changed[1, 50:].any()
+
+
+def qwen3_embed(params, ids):
+    from molly_tpu.models import qwen3 as q
+    return q.embed_tokens(params["text"], ids)
