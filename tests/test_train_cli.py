@@ -64,3 +64,34 @@ def test_train_cli_smoke(tmp_path, use_lora):
     # checkpoint + adapter exported at final step
     assert os.path.isdir(os.path.join(out_dir, "ckpt_3"))
     assert os.path.exists(os.path.join(out_dir, "adapter_3.npz"))
+
+
+def test_train_cli_resume(tmp_path):
+    from molly_tpu.training.cli import build_argparser, run_training
+
+    train_p = str(tmp_path / "train.parquet")
+    _toy_parquet(train_p, 16)
+    base = [
+        "--train-dataset-path", train_p,
+        "--tiny", "--dtype", "float32",
+        "--max-len", "192", "--dna-rna-k-tokens", "4",
+        "--protein-k-tokens", "4",
+        "--batch-size-per-gpu", "4", "--epochs", "1",
+        "--log-interval", "1", "--lr", "1e-3",
+        "--mesh-data", "1", "--mesh-fsdp", "4", "--mesh-tensor", "2",
+    ]
+    out1 = str(tmp_path / "run1")
+    args = build_argparser().parse_args(
+        base + ["--output-dir", out1, "--train-iters", "2",
+                "--save-interval", "2"])
+    r1 = run_training(args)
+    assert r1["steps"] == 2
+
+    out2 = str(tmp_path / "run2")
+    args = build_argparser().parse_args(
+        base + ["--output-dir", out2, "--train-iters", "3",
+                "--save-interval", "3",
+                "--resume-from", f"{out1}/ckpt_2"])
+    r2 = run_training(args)
+    # resumed at step 2, ran up to total 3
+    assert r2["steps"] >= 1
