@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--mode", default="decode",
-                    choices=["decode", "encoder", "ttft", "fusion"],
+                    choices=["decode", "encoder", "ttft", "fusion", "train"],
                     help="secondary metrics from BASELINE.json's spec")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only decode (ops.quant)")
@@ -49,6 +49,8 @@ def main():
         return bench_ttft(args)
     if args.mode == "fusion":
         return bench_fusion(args)
+    if args.mode == "train":
+        return bench_train(args)
 
     import jax
     import jax.numpy as jnp
@@ -143,6 +145,66 @@ def _random_int8_params(cfg):
         "lm_head_q": qrand(next(keys), (H, cfg.vocab_size)),
     }
     return params
+
+
+def bench_train(args):
+    """LoRA fine-tune step throughput (the reference's flagship training
+    recipe): fusion model, frozen base + encoders, remat, fused LCE."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from molly_tpu.models import ESM_PRESETS, QWEN3_PRESETS, fusion
+    from molly_tpu.models.fusion import FusionConfig
+    from molly_tpu.models.lora import LoraConfig
+    from molly_tpu.training import (TrainConfig, attach_lora,
+                                    init_train_state, make_train_step)
+
+    text = dataclasses.replace(QWEN3_PRESETS[args.preset], remat=True)
+    cfg = FusionConfig(
+        text=text,
+        dna_rna=dataclasses.replace(ESM_PRESETS["nt-500m"],
+                                    dtype="bfloat16"),
+        protein=dataclasses.replace(ESM_PRESETS["esm2-8m"],
+                                    dtype="bfloat16"),
+        dna_rna_k_tokens=128, protein_k_tokens=128)
+    B, S = 4, 1024
+    rng = np.random.default_rng(0)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, S // 2:] = rng.integers(1, cfg.text.vocab_size, (B, S // 2))
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, cfg.text.vocab_size, (B, S)), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.asarray(rng.integers(6, 4102, (B, 1, 128)),
+                                      jnp.int32),
+        "dna_rna_pos": jnp.asarray([[1]] * B, jnp.int32),
+        "protein_tokens": jnp.full((B, 1, 128), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+        "task_label": jnp.asarray(rng.integers(0, 20, (B,)), jnp.int32),
+    }
+    lcfg = LoraConfig(r=64, dropout=0.05)
+    tc = TrainConfig(learning_rate=1e-4, total_steps=100, lora=lcfg)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    params = attach_lora(params, cfg, lcfg, jax.random.key(3),
+                         dtype="bfloat16")
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc), donate_argnums=0)
+    state, m = step(state, batch, jax.random.key(1))
+    float(m["loss"])
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch, jax.random.key(2 + i))
+        float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"{args.preset} LoRA fine-tune step (fusion model, "
+                  f"1 chip, seq {S}, micro-bs {B}, remat)",
+        "value": round(B * S / dt, 1), "unit": "tokens/sec/chip",
+        "vs_baseline": 0.0,
+    }))
 
 
 def bench_fusion(args):
