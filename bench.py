@@ -117,9 +117,9 @@ def _random_int8_params(cfg):
 
     key = jax.random.key(0)
     H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
-    dims = {"q_proj": (H, cfg.q_dim), "k_proj": (H, cfg.kv_dim),
-            "v_proj": (H, cfg.kv_dim), "o_proj": (cfg.q_dim, H),
-            "gate_proj": (H, I), "up_proj": (H, I), "down_proj": (I, H)}
+    dims = {"qkv_proj": (H, cfg.q_dim + 2 * cfg.kv_dim),
+            "o_proj": (cfg.q_dim, H),
+            "gateup_proj": (H, 2 * I), "down_proj": (I, H)}
 
     def qrand(k, shape):
         # per-output-channel scales, stacked like the weights

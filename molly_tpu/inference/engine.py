@@ -67,8 +67,8 @@ def generate(
         # equivalent). NOTE: callers doing repeated batched inference should
         # merge once up front (the CLI does); this per-call path is a
         # convenience for one-off use. Quantized bases can't be merged.
-        from ..ops.quant import is_quantized
-        assert not is_quantized(model_params["layers"]["q_proj"]), (
+        assert "q_proj" in model_params["layers"] and not isinstance(
+            model_params["layers"]["q_proj"], dict), (
             "merge adapters before quantize_for_decode")
         from ..models.lora import LoraConfig, merge_lora
         r = lora["layers"]["q_proj"]["a"].shape[-1]

@@ -104,9 +104,16 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         return apply_lora(x, out, ll, lora_scale, lora_dropout, rng)
 
     x = rms_norm(hidden, p["input_norm"], cfg.rms_norm_eps)
-    q = proj(x, "q_proj").reshape(B, S, Nq, Dh)
-    kk = proj(x, "k_proj").reshape(B, S, Nkv, Dh)
-    v = proj(x, "v_proj").reshape(B, S, Nkv, Dh)
+    if "qkv_proj" in p:  # fused decode weights (quantize_for_decode)
+        qkv = quant.linear(x, p["qkv_proj"])
+        q, kk, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], -1)
+        q = q.reshape(B, S, Nq, Dh)
+        kk = kk.reshape(B, S, Nkv, Dh)
+        v = v.reshape(B, S, Nkv, Dh)
+    else:
+        q = proj(x, "q_proj").reshape(B, S, Nq, Dh)
+        kk = proj(x, "k_proj").reshape(B, S, Nkv, Dh)
+        v = proj(x, "v_proj").reshape(B, S, Nkv, Dh)
     # Qwen3 applies RMSNorm on the head dim of q/k before RoPE
     # (modeling_qwen3.py:200-201).
     q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
@@ -136,7 +143,12 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
     hidden = hidden + attn
 
     x = rms_norm(hidden, p["post_attn_norm"], cfg.rms_norm_eps)
-    mlp = jax.nn.silu(proj(x, "gate_proj")) * proj(x, "up_proj")
+    if "gateup_proj" in p:
+        gu = quant.linear(x, p["gateup_proj"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        mlp = jax.nn.silu(gate) * up
+    else:
+        mlp = jax.nn.silu(proj(x, "gate_proj")) * proj(x, "up_proj")
     down = proj(mlp, "down_proj")
     return hidden + down, new_cache
 
@@ -238,12 +250,28 @@ QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_for_decode(params: Params, cfg: Qwen3Config) -> Params:
+def quantize_for_decode(params: Params, cfg: Qwen3Config,
+                        fuse: bool = True) -> Params:
     """Int8-quantize the layer linears + lm head for serving (weight-only,
-    per-output-channel). Embedding stays bf16 (gather reads are tiny)."""
+    per-output-channel). Embedding stays bf16 (gather reads are tiny).
+    fuse=True additionally merges q/k/v and gate/up into single matmuls
+    (fewer ops per decode step)."""
     new_layers = dict(params["layers"])
-    for name in QUANT_TARGETS:
-        new_layers[name] = jax.vmap(quant.quantize_int8)(params["layers"][name])
+    if fuse:
+        lp = params["layers"]
+        qkv = jnp.concatenate([lp["q_proj"], lp["k_proj"], lp["v_proj"]],
+                              axis=-1)
+        gateup = jnp.concatenate([lp["gate_proj"], lp["up_proj"]], axis=-1)
+        new_layers["qkv_proj"] = jax.vmap(quant.quantize_int8)(qkv)
+        new_layers["gateup_proj"] = jax.vmap(quant.quantize_int8)(gateup)
+        for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+            del new_layers[name]
+        for name in ("o_proj", "down_proj"):
+            new_layers[name] = jax.vmap(quant.quantize_int8)(lp[name])
+    else:
+        for name in QUANT_TARGETS:
+            new_layers[name] = jax.vmap(quant.quantize_int8)(
+                params["layers"][name])
     out = {**params, "layers": new_layers}
     head = (params["embed"].T if cfg.tie_word_embeddings
             else params["lm_head"])

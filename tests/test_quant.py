@@ -38,10 +38,12 @@ def test_quantized_decode_close_to_full_precision():
                      tie_word_embeddings=True)
     params = qwen3.init_params(cfg, jax.random.key(0))
     qparams = qwen3.quantize_for_decode(params, cfg)
-    assert is_quantized(qparams["layers"]["q_proj"]) or \
-        is_quantized(jax.tree.map(lambda x: x[0],
-                                  qparams["layers"]["q_proj"]))
+    assert "qkv_proj" in qparams["layers"]  # fused decode weights
     assert "lm_head_q" in qparams
+    # unfused variant keeps the per-projection layout
+    qp2 = qwen3.quantize_for_decode(params, cfg, fuse=False)
+    assert is_quantized(jax.tree.map(lambda x: x[0],
+                                     qp2["layers"]["q_proj"]))
 
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 300, (2, 12)))
     full = qwen3.forward_logits(params, cfg, input_ids=ids)
