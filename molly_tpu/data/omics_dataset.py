@@ -90,6 +90,11 @@ class DataConfig:
     # every batch has one compiled shape.
     max_dna_rna_segments: int = 4
     max_protein_segments: int = 4
+    # Supervise the CoT "think" field by prepending <think>...</think> to
+    # the answer. (The reference tokenizes `think` but never feeds it to the
+    # loss, omics_dataset.py:298-299 vs :346-373 — its CoT runs bake the
+    # reasoning into `output` upstream; this flag does it at the dataset.)
+    include_think: bool = False
 
 
 class OmicsSampleEncoder:
@@ -171,6 +176,10 @@ class OmicsSampleEncoder:
         input_ids.extend(self.assistant_start_ids)
 
         output_text = (row.get("output") or "").strip()
+        if cfg.include_think:
+            think = (row.get("think") or "").strip()
+            if think:
+                output_text = f"<think>{think}</think>\n{output_text}"
         if cfg.mode == "sft":
             output_ids = (
                 self.tok.encode(output_text, add_special_tokens=False)

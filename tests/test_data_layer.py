@@ -221,3 +221,17 @@ def test_dataset_test_mode_and_iterate(toks):
     batches = list(iterate_batches(ds_train, 2, shuffle=True, seed=1))
     assert len(batches) == 2
     assert batches[0]["input_ids"].shape == (2, 128)
+
+
+def test_include_think_supervision(toks):
+    enc, _ = make_encoder(toks, max_len=512, include_think=True)
+    row = {"input": "q", "output": "yes", "think": "because X", "task": ""}
+    s = enc.encode_train(row)
+    sup = s["labels"][s["labels"] != LABEL_IGNORE]
+    decoded = enc.tok.decode(sup[:-1])  # drop eos
+    assert decoded == "<think>because X</think>\nyes"
+    # default off: think ignored (reference behavior)
+    enc2, _ = make_encoder(toks, max_len=512)
+    s2 = enc2.encode_train(row)
+    sup2 = s2["labels"][s2["labels"] != LABEL_IGNORE]
+    assert enc2.tok.decode(sup2[:-1]) == "yes"
