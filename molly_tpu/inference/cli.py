@@ -51,6 +51,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="int8 weight-only decode of the text model")
     p.add_argument("--read-nums", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model matching the train CLI's --tiny")
     return p
 
 
@@ -75,20 +77,34 @@ def main(argv=None) -> None:
     ds = OmicsDataset(args.input_file, text_tok, dna_tok, prot_tok, dcfg,
                       mode="test", read_nums=args.read_nums)
 
-    text_cfg = QWEN3_PRESETS[args.preset]
-    if text_tok.vocab_size > text_cfg.vocab_size or (
-            args.text_model_path is None and args.checkpoint is None):
-        # byte-fallback tokenizer / demo mode: size the embedding to the
-        # tokenizer (rounded to an MXU-friendly multiple of 128)
-        import dataclasses
-        v = -(-text_tok.vocab_size // 128) * 128
-        text_cfg = dataclasses.replace(text_cfg, vocab_size=v)
-    cfg = FusionConfig(
-        text=text_cfg,
-        dna_rna=ESM_PRESETS[args.dna_rna_preset],
-        protein=ESM_PRESETS[args.protein_preset],
-        dna_rna_k_tokens=args.dna_rna_k_tokens,
-        protein_k_tokens=args.protein_k_tokens)
+    if args.tiny:
+        from ..models import tiny_esm, tiny_qwen3
+        dna_tok_v, prot_tok_v = dna_tok.vocab_size, prot_tok.vocab_size
+        cfg = FusionConfig(
+            text=tiny_qwen3(vocab_size=-(-text_tok.vocab_size // 128) * 128,
+                            dtype="float32"),
+            dna_rna=tiny_esm(vocab_size=dna_tok_v, mask_token_id=2,
+                             dtype="float32"),
+            protein=tiny_esm(vocab_size=prot_tok_v,
+                             mask_token_id=prot_tok.mask_id,
+                             dtype="float32"),
+            dna_rna_k_tokens=args.dna_rna_k_tokens,
+            protein_k_tokens=args.protein_k_tokens)
+    else:
+        text_cfg = QWEN3_PRESETS[args.preset]
+        if text_tok.vocab_size > text_cfg.vocab_size or (
+                args.text_model_path is None and args.checkpoint is None):
+            # byte-fallback tokenizer / demo mode: size the embedding to the
+            # tokenizer (rounded to an MXU-friendly multiple of 128)
+            import dataclasses
+            v = -(-text_tok.vocab_size // 128) * 128
+            text_cfg = dataclasses.replace(text_cfg, vocab_size=v)
+        cfg = FusionConfig(
+            text=text_cfg,
+            dna_rna=ESM_PRESETS[args.dna_rna_preset],
+            protein=ESM_PRESETS[args.protein_preset],
+            dna_rna_k_tokens=args.dna_rna_k_tokens,
+            protein_k_tokens=args.protein_k_tokens)
 
     params = _load_params(args, cfg)
     if args.int8:

@@ -67,8 +67,12 @@ def export_adapter(path: str, params: Dict[str, Any]) -> None:
 
 def load_adapter(path: str, params: Dict[str, Any],
                  dtype=None) -> Dict[str, Any]:
-    """Inverse of export_adapter: graft saved leaves onto a param tree with
-    the same structure (base weights untouched)."""
+    """Inverse of export_adapter: graft saved leaves onto a param tree
+    (base weights untouched). The LoRA subtree is reconstructed directly
+    from the archive keys, so it loads even when the target tree has no
+    adapter attached yet (the usual inference case)."""
+    import jax.numpy as jnp
+
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     out = dict(params)
 
@@ -77,12 +81,19 @@ def load_adapter(path: str, params: Dict[str, Any],
             key = prefix + "/".join(
                 str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
             arr = data[key]
-            import jax.numpy as jnp
             return jnp.asarray(arr, dtype=dtype or leaf.dtype)
         return jax.tree_util.tree_map_with_path(visit, tree)
 
-    if "lora" in params:
-        out["lora"] = rebuild("lora/", params["lora"])
+    lora_keys = [k for k in data.files if k.startswith("lora/")]
+    if lora_keys:
+        lora: Dict[str, Any] = {}
+        for k in lora_keys:
+            node = lora
+            parts = k.split("/")[1:]
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.asarray(data[k], dtype=dtype)
+        out["lora"] = lora
     out["dna_rna_projector"] = rebuild("dna_rna_projector/",
                                        params["dna_rna_projector"])
     out["protein_projector"] = rebuild("protein_projector/",
