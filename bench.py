@@ -12,6 +12,11 @@ BASELINE.json's north star is >=1.5x A100 tok/s/chip.
 
 Run on the real chip (no JAX_PLATFORMS override). Small smoke mode:
   python bench.py --smoke   (tiny model, CPU-safe, for plumbing tests)
+
+Default configuration = the flagship single-chip serving point: int8
+weight-only Qwen3-1.7B at the reference's operating batch of 32
+(/root/reference/scripts/infer/inference_nt_lora.sh:25-36). bf16 via
+--no-int8; other presets/batches via flags.
 """
 
 import argparse
@@ -31,17 +36,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model for plumbing tests")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 32 (reference operating batch) int8, "
+                         "8 bf16/smoke")
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--mode", default="decode",
                     choices=["decode", "encoder", "ttft", "fusion", "train"],
                     help="secondary metrics from BASELINE.json's spec")
-    ap.add_argument("--int8", action="store_true",
-                    help="int8 weight-only decode (ops.quant)")
+    ap.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="int8 weight-only decode (ops.quant); default on "
+                         "for the main decode bench, off for --smoke and "
+                         "other modes")
     ap.add_argument("--preset", default="qwen3-1.7b",
                     help="decoder preset (e.g. qwen3-8b with --int8)")
     args = ap.parse_args()
+
+    # Flagship default: int8 1.7B decode at the reference's batch 32.
+    if args.int8 is None:
+        args.int8 = args.mode == "decode" and not args.smoke
+    if args.batch is None:
+        args.batch = 32 if args.int8 and args.mode == "decode" else 8
 
     if args.mode == "encoder":
         return bench_encoder(args)
@@ -97,15 +113,17 @@ def main():
     dt = (time.perf_counter() - t0) / n_iter
 
     toks_per_s = (B * T) / dt
+    base = A100_BASELINES.get(args.preset, 500.0)
     print(json.dumps({
         "metric": f"{args.preset} decode throughput (1 chip, "
                   f"{'int8' if args.int8 else 'bf16'}, "
-                  f"batch {B}, prompt {S}, gen {T})"
+                  f"batch {B}, prompt {S}, gen {T}; baseline = "
+                  f"ESTIMATED reference stack on A100 {base:.0f} tok/s, "
+                  f"unmeasured, see benchmarks/README.md)"
                   if not args.smoke else "smoke decode throughput",
         "value": round(toks_per_s, 1),
         "unit": "tokens/sec/chip",
-        "vs_baseline": round(
-            toks_per_s / A100_BASELINES.get(args.preset, 500.0), 3),
+        "vs_baseline": round(toks_per_s / base, 3),
     }))
 
 
