@@ -47,7 +47,9 @@ class NativeNucleotideTokenizer(NucleotideTokenizer):
     def encode_batch(self, seqs: Sequence[str],
                      max_length: int) -> np.ndarray:
         if not native.available():
-            return np.stack([super().encode(s, max_length) for s in seqs])
+            # zero-arg super() inside a comprehension raises on py<3.12
+            enc = super().encode
+            return np.stack([enc(s, max_length) for s in seqs])
         return _batch_call("nt_encode_batch", seqs, max_length)
 
 
@@ -60,5 +62,6 @@ class NativeProteinTokenizer(ProteinTokenizer):
     def encode_batch(self, seqs: Sequence[str],
                      max_length: int) -> np.ndarray:
         if not native.available():
-            return np.stack([super().encode(s, max_length) for s in seqs])
+            enc = super().encode
+            return np.stack([enc(s, max_length) for s in seqs])
         return _batch_call("protein_encode_batch", seqs, max_length)

@@ -21,6 +21,7 @@ Semantics mirrored exactly (with file:line citations to the reference):
 from __future__ import annotations
 
 import re
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -95,6 +96,12 @@ class DataConfig:
     # loss, omics_dataset.py:298-299 vs :346-373 — its CoT runs bake the
     # reasoning into `output` upstream; this flag does it at the dataset.)
     include_think: bool = False
+    # Segment-capacity / truncation policy. The reference hard-errors when
+    # placeholder counts and injected segments disagree
+    # (omics_one.py:167-170); we either raise (strict) or degrade loudly:
+    # overflow segments keep their raw sequence as plain text (no orphan
+    # placeholders), truncation-straddled segments are deactivated.
+    strict_segments: bool = False
 
 
 class OmicsSampleEncoder:
@@ -142,6 +149,10 @@ class OmicsSampleEncoder:
         input_ids: List[int] = list(self.system_prompt_ids)
         segments: List[Dict[str, Any]] = []  # {"type","start","raw"}
         cursor = 0
+        counts = {"dna_rna": 0, "protein": 0}
+        caps = {"dna_rna": self.cfg.max_dna_rna_segments,
+                "protein": self.cfg.max_protein_segments}
+        overflowed = []
         for i in order:
             info = seq_info[i]
             kind = info["type"]
@@ -149,6 +160,16 @@ class OmicsSampleEncoder:
                 self.tok.encode(input_text[cursor : info["s"]],
                                 add_special_tokens=False)
             )
+            modality = "dna_rna" if kind in ("dna", "rna") else "protein"
+            if counts[modality] >= caps[modality]:
+                # over the static slot budget: keep the raw sequence as
+                # plain text so no placeholder tokens are left uninjected
+                overflowed.append(kind)
+                input_ids.extend(self.tok.encode(raw_seqs[i],
+                                                 add_special_tokens=False))
+                cursor = info["e"]
+                continue
+            counts[modality] += 1
             # start position = index of the start token (the reference stores
             # len(input_ids) *before* appending start, then injects at
             # start+1 .. start+1+k — omics_dataset.py:277, omics_one.py:97).
@@ -161,6 +182,16 @@ class OmicsSampleEncoder:
             input_ids.extend([sp["pad"]] * k)
             input_ids.append(sp["end"])
             cursor = info["e"]
+        if overflowed:
+            msg = (f"sample has more omics segments than the static slot "
+                   f"budget (dropped {len(overflowed)}: {overflowed}; "
+                   f"caps dna_rna={caps['dna_rna']} "
+                   f"protein={caps['protein']}); overflow sequences were "
+                   f"kept as plain text — raise max_*_segments to encode "
+                   f"them")
+            if self.cfg.strict_segments:
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         if cursor < len(input_text):
             input_ids.extend(
                 self.tok.encode(input_text[cursor:], add_special_tokens=False)
@@ -194,9 +225,16 @@ class OmicsSampleEncoder:
             full = list(input_ids)
             labels = list(full)
 
+        segments = spliced["segments"]
         if len(full) > cfg.max_len:  # keep EOS (omics_dataset.py:371-373)
             full = full[: cfg.max_len - 1] + [self.eos_id]
             labels = labels[: cfg.max_len - 1] + [self.eos_id]
+            # deactivate segments whose placeholder block straddles the cut:
+            # injecting them would overwrite the surviving tail rows
+            # (including the supervised EOS) with encoder embeddings
+            segments = self._drop_cut_segments(
+                segments, lambda seg, k: seg["start"] + k + 1
+                <= cfg.max_len - 2, "right-truncation")
 
         attention_mask = [1] * len(full)
         if cfg.padding and len(full) < cfg.max_len:
@@ -205,7 +243,7 @@ class OmicsSampleEncoder:
             labels += [LABEL_IGNORE] * pad_n
             attention_mask += [0] * pad_n
 
-        out = self._pack_segments(spliced["segments"], shift=0)
+        out = self._pack_segments(segments, shift=0)
         out.update(
             input_ids=np.asarray(full, dtype=np.int32),
             labels=np.asarray(labels, dtype=np.int32),
@@ -221,6 +259,25 @@ class OmicsSampleEncoder:
         spliced = self.splice((row.get("input") or "").strip())
         input_ids: List[int] = spliced["input_ids"]
         input_ids.extend(self.assistant_start_ids)
+        segments = spliced["segments"]
+
+        if len(input_ids) > cfg.max_len:
+            # truncate from the LEFT (keep the prompt tail = the question),
+            # never leaving a partial placeholder block in the stream: the
+            # cut advances past any straddled start..start+k+1 block, and
+            # fully-cut segments are dropped.
+            cut = len(input_ids) - cfg.max_len
+            for seg in segments:  # sorted by start
+                k = (cfg.dna_rna_k_tokens if seg["type"] in ("dna", "rna")
+                     else cfg.protein_k_tokens)
+                if seg["start"] < cut <= seg["start"] + k + 1:
+                    cut = seg["start"] + k + 2
+            input_ids = input_ids[cut:]
+            segments = self._drop_cut_segments(
+                segments, lambda seg, k: seg["start"] >= cut,
+                "left-truncation")
+            segments = [dict(seg, start=seg["start"] - cut)
+                        for seg in segments]
 
         attention_mask = [1] * len(input_ids)
         shift = 0
@@ -229,7 +286,7 @@ class OmicsSampleEncoder:
             input_ids = [self.pad_id] * shift + input_ids
             attention_mask = [0] * shift + attention_mask
 
-        out = self._pack_segments(spliced["segments"], shift=shift)
+        out = self._pack_segments(segments, shift=shift)
         out.update(
             input_ids=np.asarray(input_ids, dtype=np.int32),
             attention_mask=np.asarray(attention_mask, dtype=np.int32),
@@ -240,6 +297,23 @@ class OmicsSampleEncoder:
             kind=row.get("kind", ""),
         )
         return out
+
+    def _drop_cut_segments(self, segments, keep_fn, why: str):
+        """Filter segments through keep_fn(seg, k); warn or raise on drops."""
+        kept, dropped = [], []
+        for seg in segments:
+            k = (self.cfg.dna_rna_k_tokens if seg["type"] in ("dna", "rna")
+                 else self.cfg.protein_k_tokens)
+            (kept if keep_fn(seg, k) else dropped).append(seg)
+        if dropped:
+            msg = (f"{why} at max_len={self.cfg.max_len} cut "
+                   f"{len(dropped)} omics segment(s) "
+                   f"({[s['type'] for s in dropped]}); their injection is "
+                   f"dropped — raise max_len or shorten the prompt")
+            if self.cfg.strict_segments:
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        return kept
 
     def _pack_segments(self, segments: List[Dict[str, Any]], shift: int):
         """Pack ragged segments into fixed [G, K] token blocks + [G] starts."""
@@ -258,7 +332,7 @@ class OmicsSampleEncoder:
             start = seg["start"] + shift
             if seg["type"] in ("dna", "rna"):
                 if di >= cfg.max_dna_rna_segments:
-                    continue  # overflow segments are dropped (logged upstream)
+                    continue  # unreachable: splice() caps per-modality count
                 dna_tokens[di] = self.dna_tok.encode(
                     seg["raw"], max_length=cfg.dna_rna_k_tokens)
                 dna_pos[di] = start

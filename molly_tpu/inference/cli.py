@@ -33,6 +33,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="reference-style PEFT adapter dir (adapter .bin/"
                         ".safetensors + projector .bins)")
     p.add_argument("--lora-r", type=int, default=64)
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="merge scale override; default = recorded adapter "
+                        "meta (adapter .npz / PEFT adapter_config.json), "
+                        "else 64")
     p.add_argument("--preset", default="qwen3-1.7b",
                    help="model preset when no checkpoint config is given")
     p.add_argument("--dna-rna-preset", default="nt-500m")
@@ -166,9 +170,13 @@ def _load_params(args, cfg):
             with ocp.StandardCheckpointer() as c:
                 restored = c.restore(os.path.abspath(args.checkpoint))
             params = restored["params"]
+    lora_alpha = args.lora_alpha  # explicit flag wins
     if args.adapter:
-        from ..training.checkpoint import load_adapter
+        from ..training.checkpoint import adapter_meta, load_adapter
         params = load_adapter(args.adapter, params)
+        meta = adapter_meta(args.adapter)
+        if meta is not None and lora_alpha is None:
+            lora_alpha = meta["alpha"]
     if args.peft_adapter:
         import glob as _glob
 
@@ -184,6 +192,10 @@ def _load_params(args, cfg):
             state = torch.load(bins[0], map_location="cpu",
                                weights_only=True)
         params["lora"] = peft_lora_from_hf(state, cfg.text, args.lora_r)
+        acfg = os.path.join(adir, "adapter_config.json")
+        if os.path.exists(acfg) and lora_alpha is None:
+            with open(acfg) as f:
+                lora_alpha = json.load(f).get("lora_alpha")
         for name in ("dna_rna_projector", "protein_projector"):
             bp = os.path.join(adir, f"{name}.bin")
             if os.path.exists(bp):
@@ -195,7 +207,10 @@ def _load_params(args, cfg):
         from ..models.lora import LoraConfig, merge_lora
         lora = params.pop("lora")
         r = lora["layers"]["q_proj"]["a"].shape[-1]
-        params["text"] = merge_lora(params["text"], lora, LoraConfig(r=r))
+        params["text"] = merge_lora(
+            params["text"], lora,
+            LoraConfig(r=r, alpha=float(lora_alpha if lora_alpha is not None
+                                        else 64.0)))
     return params
 
 

@@ -53,6 +53,7 @@ def generate(
     batch: Dict[str, jnp.ndarray],
     gen: GenerationConfig,
     rng: jax.Array,
+    lora_alpha: Optional[float] = None,
 ) -> jnp.ndarray:
     """Returns new tokens only, [B, max_new_tokens], rows padded with
     pad_token_id after EOS (matching HF generate-on-embeds semantics,
@@ -72,7 +73,9 @@ def generate(
             "merge adapters before quantize_for_decode")
         from ..models.lora import LoraConfig, merge_lora
         r = lora["layers"]["q_proj"]["a"].shape[-1]
-        model_params = merge_lora(params["text"], lora, LoraConfig(r=r))
+        alpha = float(lora_alpha) if lora_alpha is not None else 64.0
+        model_params = merge_lora(params["text"], lora,
+                                  LoraConfig(r=r, alpha=alpha))
         params = {**params, "text": model_params, "lora": None}
     embeds = _build_embeds_jit(params, cfg, embed_batch)
     return _generate_from_embeds(

@@ -45,9 +45,15 @@ def restore_train_state(path: str, state):
                        step=restored["step"])
 
 
-def export_adapter(path: str, params: Dict[str, Any]) -> None:
+def export_adapter(path: str, params: Dict[str, Any],
+                   lora_cfg=None) -> None:
     """Save LoRA A/B + projectors as one .npz (the reference saves
-    adapter_model.bin + dna_rna_projector.bin + protein_projector.bin)."""
+    adapter_model.bin + dna_rna_projector.bin + protein_projector.bin).
+
+    ``lora_cfg`` (models.lora.LoraConfig) records r/alpha in a
+    ``__lora_meta__`` entry so inference merges with the trained scale —
+    an adapter trained with alpha != 64 must not be silently merged with
+    the default (PEFT stores the same in adapter_config.json)."""
     flat = {}
 
     def add(prefix, tree):
@@ -59,10 +65,26 @@ def export_adapter(path: str, params: Dict[str, Any]) -> None:
 
     if "lora" in params:
         add("lora/", params["lora"])
+        r = int(next(iter(
+            params["lora"]["layers"].values()))["a"].shape[-1])
+        alpha = float(lora_cfg.alpha) if lora_cfg is not None else 64.0
+        if lora_cfg is not None and lora_cfg.r != r:
+            raise ValueError(f"lora_cfg.r={lora_cfg.r} != adapter r={r}")
+        flat["__lora_meta__"] = np.asarray([r, alpha], np.float32)
     add("dna_rna_projector/", params["dna_rna_projector"])
     add("protein_projector/", params["protein_projector"])
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **flat)
+
+
+def adapter_meta(path: str) -> Optional[Dict[str, float]]:
+    """{'r': int, 'alpha': float} recorded at export time, or None for
+    pre-meta archives (callers fall back to shape-derived r, alpha=64)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    if "__lora_meta__" not in data.files:
+        return None
+    r, alpha = data["__lora_meta__"]
+    return {"r": int(r), "alpha": float(alpha)}
 
 
 def load_adapter(path: str, params: Dict[str, Any],

@@ -263,6 +263,7 @@ def run_training(args) -> dict:
         best_eval, bad_evals = float("inf"), 0
         saved = []
         step = 0
+        metrics = None  # stays None if no step runs (tiny dataset/epochs=0)
         timer = StepTimer()
         t_start = time.perf_counter()
         rng = jax.random.key(args.seed + 7)
@@ -306,11 +307,10 @@ def run_training(args) -> dict:
                 if step % args.save_interval == 0 or step == total_steps:
                     path = os.path.join(args.output_dir, f"ckpt_{step}")
                     ckpt_lib.save_train_state(path, state)
-                    if lora_cfg or True:
-                        ckpt_lib.export_adapter(
-                            os.path.join(args.output_dir,
-                                         f"adapter_{step}.npz"),
-                            state.params)
+                    ckpt_lib.export_adapter(
+                        os.path.join(args.output_dir,
+                                     f"adapter_{step}.npz"),
+                        state.params, lora_cfg=lora_cfg)
                     saved.append(path)
                     while len(saved) > args.save_total_limit:
                         old = saved.pop(0)
@@ -327,6 +327,12 @@ def run_training(args) -> dict:
                     break
 
         wall = time.perf_counter() - t_start
+        if metrics is None:
+            raise SystemExit(
+                "no training step executed: dataset yielded zero batches "
+                f"(len(train)={len(train_ds)}, batch-size={args.batch_size} "
+                f"x accum={args.accum_steps}, epochs={args.epochs}) — "
+                "reduce batch size / accumulation or add data")
         final_loss = float(metrics["loss"])
         print_rank_0(f"done: {step} steps in {wall:.1f}s "
                      f"(final loss {final_loss:.4f}) "

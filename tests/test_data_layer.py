@@ -168,6 +168,90 @@ def test_encode_test_left_pad_shifts_starts(toks):
     assert ids[start + 1] == sp["pad"]
 
 
+# ---------------- segment capacity / truncation policy ----------------
+
+def test_segment_overflow_kept_as_text_and_warns(toks):
+    enc, cfg = make_encoder(toks, dna_rna_k_tokens=2, max_dna_rna_segments=2,
+                            max_len=512)
+    text = " ".join(f"<dna>ACGTAC</dna>" for _ in range(5))
+    with pytest.warns(RuntimeWarning, match="static slot budget"):
+        out = enc.splice(text)
+    assert len(out["segments"]) == 2  # capped at the slot budget
+    ids = out["input_ids"]
+    sp = enc.special["dna"]
+    # exactly 2 placeholder blocks; overflow sequences present as plain text
+    assert ids.count(sp["start"]) == 2 and ids.count(sp["pad"]) == 4
+    tail = enc.tok.decode(ids[out["segments"][-1]["start"] + 4:])
+    assert "ACGTAC" in tail  # 3rd..5th sequences kept as raw text
+    # end-to-end: encode_train packs only the 2 active slots
+    with pytest.warns(RuntimeWarning):
+        s = enc.encode_train({"input": text, "output": "y", "task": ""})
+    assert (s["dna_rna_pos"] >= 0).sum() == 2
+
+
+def test_segment_overflow_strict_raises(toks):
+    enc, _ = make_encoder(toks, max_dna_rna_segments=1, strict_segments=True)
+    with pytest.raises(ValueError, match="static slot budget"):
+        enc.splice("<dna>ACGT</dna> <dna>ACGT</dna>")
+
+
+def test_encode_train_truncation_deactivates_straddled_segment(toks):
+    # prompt short, placeholder block crosses max_len: the segment must be
+    # deactivated or injection would overwrite the supervised EOS tail
+    enc, cfg = make_encoder(toks, dna_rna_k_tokens=64, max_len=128)
+    row = {"input": "q " * 30 + "<dna>ACGTACGTACGT</dna>",
+           "output": "yes", "task": ""}
+    with pytest.warns(RuntimeWarning, match="right-truncation"):
+        s = enc.encode_train(row)
+    assert (s["dna_rna_pos"] == -1).all()
+    assert s["input_ids"][127] == enc.eos_id
+
+
+def test_encode_test_left_truncates_overlong_prompt(toks):
+    enc, cfg = make_encoder(toks, dna_rna_k_tokens=4, max_len=64)
+    row = {"input": "x" * 100 + " <dna>ACGT</dna> " + "tail question",
+           "task": "t"}
+    s = enc.encode_test(row)
+    assert s["input_ids"].shape == (64,)
+    assert int(s["attention_mask"].sum()) == 64  # no padding, full window
+    # segment survived (it sits near the tail) with shifted start
+    start = int(s["dna_rna_pos"][0])
+    assert start >= 0
+    assert s["input_ids"][start] == enc.special["dna"]["start"]
+    assert s["input_ids"][start + 1] == enc.special["dna"]["pad"]
+    # the tail text is preserved
+    dec = enc.tok.decode(s["input_ids"].tolist(), skip_special_tokens=True)
+    assert "tail question" in dec
+
+
+def test_encode_test_left_truncation_drops_cut_segment(toks):
+    # segment sits in the cut-off head: dropped, and no partial placeholder
+    # block remains in the stream
+    enc, cfg = make_encoder(toks, dna_rna_k_tokens=8, max_len=64)
+    row = {"input": "<dna>ACGTACGT</dna> " + "y" * 200, "task": "t"}
+    with pytest.warns(RuntimeWarning, match="left-truncation"):
+        s = enc.encode_test(row)
+    assert (s["dna_rna_pos"] == -1).all()
+    ids = s["input_ids"].tolist()
+    sp = enc.special["dna"]
+    assert sp["pad"] not in ids and sp["end"] not in ids
+
+
+def test_encode_test_batch_stacks_after_truncation(toks):
+    # regression: ragged prompts used to crash collate_test's np.stack
+    text, dna, prot = toks
+    cfg = DataConfig(max_len=64, dna_rna_k_tokens=4)
+    df = pd.DataFrame([
+        {"task": "t", "input": "short", "think": "", "output": "",
+         "label": "", "kind": ""},
+        {"task": "t", "input": "z" * 500, "think": "", "output": "",
+         "label": "", "kind": ""},
+    ])
+    ds = OmicsDataset(df, text, dna, prot, cfg, mode="test")
+    batches = list(iterate_batches(ds, 2, collate_fn=collate_test))
+    assert batches[0]["input_ids"].shape == (2, 64)
+
+
 # ---------------- task ids ----------------
 
 def test_task_name_to_id():

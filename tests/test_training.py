@@ -151,6 +151,28 @@ def test_adapter_export_roundtrip(tmp_path, setup):
                                        np.asarray(y, dtype=np.float32))
 
 
+def test_adapter_meta_records_r_and_alpha(tmp_path, setup):
+    """An adapter trained with alpha != 64 must merge with ITS scale at
+    inference, not the default (ADVICE round 1, medium)."""
+    from molly_tpu.training.checkpoint import adapter_meta
+
+    cfg, params, _ = setup
+    lcfg = LoraConfig(r=2, alpha=17.0)
+    lp = attach_lora(params, cfg, lcfg, jax.random.key(4))
+    path = str(tmp_path / "adapter.npz")
+    export_adapter(path, lp, lora_cfg=lcfg)
+    meta = adapter_meta(path)
+    assert meta == {"r": 2, "alpha": 17.0}
+    # mismatched r is an export-time error, not a silent mis-merge
+    with pytest.raises(ValueError, match="r="):
+        export_adapter(str(tmp_path / "bad.npz"), lp,
+                       lora_cfg=LoraConfig(r=8, alpha=17.0))
+    # archives without meta (pre-meta exports) report None
+    export_adapter(str(tmp_path / "nometa.npz"), lp)
+    m2 = adapter_meta(str(tmp_path / "nometa.npz"))
+    assert m2 == {"r": 2, "alpha": 64.0}
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path, setup):
     from molly_tpu.training import restore_train_state, save_train_state
 
