@@ -88,6 +88,8 @@ def main():
         params = _random_int8_params(cfg)
     else:
         params = qwen3.init_params(cfg, jax.random.key(0))
+        if not args.smoke:
+            params = qwen3.fuse_for_decode(params, cfg)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
     embeds = qwen3.embed_tokens(params, ids)
@@ -149,8 +151,9 @@ def _random_int8_params(cfg):
     layers = {
         "input_norm": jnp.ones((L, H), jnp.bfloat16),
         "post_attn_norm": jnp.ones((L, H), jnp.bfloat16),
-        "q_norm": jnp.ones((L, cfg.head_dim), jnp.bfloat16),
-        "k_norm": jnp.ones((L, cfg.head_dim), jnp.bfloat16),
+        "qk_norm": jnp.ones(
+            (L, cfg.num_attention_heads + cfg.num_key_value_heads,
+             cfg.head_dim), jnp.bfloat16),
     }
     for name, (din, dout) in dims.items():
         layers[name] = qrand(next(keys), (L, din, dout))

@@ -80,10 +80,14 @@ def init_params(cfg: Qwen3Config, key: jax.Array) -> Params:
 
 def init_cache(cfg: Qwen3Config, batch: int, max_len: int,
                dtype=None) -> Dict[str, jnp.ndarray]:
+    """KV cache, ONE head-major array [L, B, Nkv, Smax, 2*Dh] (k ‖ v on the
+    minor dim): head-major means both attention dots read the window
+    natively (no per-step transpose); one array means one dynamic write +
+    one indexed read per layer instead of four ops."""
     dt = dtype or _dtype(cfg)
-    shape = (cfg.num_hidden_layers, batch, max_len,
-             cfg.num_key_value_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
+             max_len, 2 * cfg.head_dim)
+    return {"kv": jnp.zeros(shape, dt)}
 
 
 def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
@@ -104,40 +108,45 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         return apply_lora(x, out, ll, lora_scale, lora_dropout, rng)
 
     x = rms_norm(hidden, p["input_norm"], cfg.rms_norm_eps)
-    if "qkv_proj" in p:  # fused decode weights (quantize_for_decode)
+    if "qkv_proj" in p:  # fused decode weights ({quantize,fuse}_for_decode)
+        # q‖k stay contiguous out of the fused dot, so Qwen3's per-head-dim
+        # q/k RMSNorm (modeling_qwen3.py:200-201) and RoPE run as ONE op
+        # each over [B, S, Nq+Nkv, Dh] with stacked qk_norm weights.
         qkv = quant.linear(x, p["qkv_proj"])
-        q, kk, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], -1)
-        q = q.reshape(B, S, Nq, Dh)
-        kk = kk.reshape(B, S, Nkv, Dh)
-        v = v.reshape(B, S, Nkv, Dh)
+        qk = qkv[..., : cfg.q_dim + cfg.kv_dim].reshape(B, S, Nq + Nkv, Dh)
+        v = qkv[..., cfg.q_dim + cfg.kv_dim :].reshape(B, S, Nkv, Dh)
+        qk = rms_norm(qk, p["qk_norm"], cfg.rms_norm_eps)
+        qk = apply_rope(qk, cos, sin)
+        q, kk = qk[:, :, :Nq], qk[:, :, Nq:]
     else:
         q = proj(x, "q_proj").reshape(B, S, Nq, Dh)
         kk = proj(x, "k_proj").reshape(B, S, Nkv, Dh)
         v = proj(x, "v_proj").reshape(B, S, Nkv, Dh)
-    # Qwen3 applies RMSNorm on the head dim of q/k before RoPE
-    # (modeling_qwen3.py:200-201).
-    q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
-    kk = rms_norm(kk, p["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos, sin)
-    kk = apply_rope(kk, cos, sin)
+        # Qwen3 applies RMSNorm on the head dim of q/k before RoPE
+        # (modeling_qwen3.py:200-201).
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        kk = rms_norm(kk, p["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
 
     if cache_kv is None:
         attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
                                      scale=Dh ** -0.5)
         new_cache = None
     else:
-        # full [L, B, Smax, Nkv, Dh] cache + layer index: write ONLY the new
-        # token rows (16KB/layer at decode), then read this layer's window
-        ck, cv, li = cache_kv
-        ck = jax.lax.dynamic_update_slice(
-            ck, kk[None].astype(ck.dtype), (li, 0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v[None].astype(cv.dtype), (li, 0, cache_index, 0, 0))
-        k_l = jax.lax.dynamic_index_in_dim(ck, li, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(cv, li, 0, keepdims=False)
-        attn = dot_product_attention(q, k_l, v_l, mask=mask, causal=causal,
-                                     scale=Dh ** -0.5, q_offset=cache_index)
-        new_cache = (ck, cv)
+        # full [L, B, Nkv, Smax, 2*Dh] cache + layer index: write ONLY the
+        # new token rows (k ‖ v, one update), then read this layer's window
+        ckv, li = cache_kv
+        kv_new = jnp.concatenate(
+            [kk.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)],
+            axis=-1)[None].astype(ckv.dtype)
+        ckv = jax.lax.dynamic_update_slice(
+            ckv, kv_new, (li, 0, 0, cache_index, 0))
+        kv_l = jax.lax.dynamic_index_in_dim(ckv, li, 0, keepdims=False)
+        attn = dot_product_attention(
+            q, kv_l[..., :Dh], kv_l[..., Dh:], mask=mask, causal=causal,
+            scale=Dh ** -0.5, q_offset=cache_index, kv_layout="bnsd")
+        new_cache = ckv
     attn_flat = attn.reshape(B, S, Nq * Dh)
     attn = proj(attn_flat, "o_proj")
     hidden = hidden + attn
@@ -218,20 +227,20 @@ def forward_hidden(
         # unrolled decode loop was measured SLOWER: 1131 vs 1287 tok/s —
         # XLA pipelines the scan better.)
         def body(carry, xs):
-            h, ck, cv, li = carry
+            h, ckv, li = carry
             layer_params, lora_l, rng = xs
-            h, (ck, cv) = _layer(cfg, h, layer_params, cos, sin,
-                                 attention_mask, True, (ck, cv, li),
-                                 cache_index, lora_l, lora_scale,
-                                 lora_dropout, rng)
-            return (h, ck, cv, li + 1), None
+            h, ckv = _layer(cfg, h, layer_params, cos, sin,
+                            attention_mask, True, (ckv, li),
+                            cache_index, lora_l, lora_scale,
+                            lora_dropout, rng)
+            return (h, ckv, li + 1), None
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        (hidden, nk, nv, _), _ = jax.lax.scan(
-            body, (hidden, cache["k"], cache["v"], jnp.int32(0)),
+        (hidden, nkv, _), _ = jax.lax.scan(
+            body, (hidden, cache["kv"], jnp.int32(0)),
             (lp, lora_layers, layer_rngs))
-        new_cache = {"k": nk, "v": nv}
+        new_cache = {"kv": nkv}
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache
@@ -241,13 +250,48 @@ def logits_from_hidden(params: Params, cfg: Qwen3Config,
                        hidden: jnp.ndarray) -> jnp.ndarray:
     if "lm_head_q" in params:  # int8 decode path (quantize_for_decode)
         return quant.int8_matmul(hidden, params["lm_head_q"])
-    if cfg.tie_word_embeddings:
-        return hidden @ params["embed"].T
-    return hidden @ params["lm_head"]
+    if "lm_head" in params:  # untied, or [H,V] copy from fuse_for_decode
+        return hidden @ params["lm_head"]
+    return hidden @ params["embed"].T  # tied embeddings
 
 
 QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj")
+
+
+def _stacked_qk_norm(cfg: Qwen3Config, lp: Params) -> jnp.ndarray:
+    """q_norm/k_norm [L, Dh] -> [L, Nq+Nkv, Dh] so the fused-decode branch
+    norms q‖k in one op."""
+    qn = jnp.broadcast_to(lp["q_norm"][:, None, :],
+                          (cfg.num_hidden_layers, cfg.num_attention_heads,
+                           cfg.head_dim))
+    kn = jnp.broadcast_to(lp["k_norm"][:, None, :],
+                          (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                           cfg.head_dim))
+    return jnp.concatenate([qn, kn], axis=1)
+
+
+def fuse_for_decode(params: Params, cfg: Qwen3Config) -> Params:
+    """bf16 serving prep: merge q/k/v and gate/up into single matmuls
+    (same fusion quantize_for_decode does for int8) — fewer, larger dots
+    per decode step stream weights from HBM better. LoRA must be merged
+    first (the fused branch of _layer skips adapters)."""
+    lp = params["layers"]
+    new_layers = dict(lp)
+    new_layers["qkv_proj"] = jnp.concatenate(
+        [lp["q_proj"], lp["k_proj"], lp["v_proj"]], axis=-1)
+    new_layers["gateup_proj"] = jnp.concatenate(
+        [lp["gate_proj"], lp["up_proj"]], axis=-1)
+    new_layers["qk_norm"] = _stacked_qk_norm(cfg, lp)
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                 "q_norm", "k_norm"):
+        del new_layers[name]
+    out = {**params, "layers": new_layers}
+    if "lm_head" not in out:
+        # tied embeddings: materialize the head in [H, V] so the per-step
+        # logits dot reads it straight (no in-loop transpose of ~0.6 GB)
+        out["lm_head"] = out["embed"].T.copy()
+    return out
 
 
 def quantize_for_decode(params: Params, cfg: Qwen3Config,
@@ -264,7 +308,9 @@ def quantize_for_decode(params: Params, cfg: Qwen3Config,
         gateup = jnp.concatenate([lp["gate_proj"], lp["up_proj"]], axis=-1)
         new_layers["qkv_proj"] = jax.vmap(quant.quantize_int8)(qkv)
         new_layers["gateup_proj"] = jax.vmap(quant.quantize_int8)(gateup)
-        for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        new_layers["qk_norm"] = _stacked_qk_norm(cfg, lp)
+        for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                     "q_norm", "k_norm"):
             del new_layers[name]
         for name in ("o_proj", "down_proj"):
             new_layers[name] = jax.vmap(quant.quantize_int8)(lp[name])

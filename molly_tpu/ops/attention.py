@@ -52,6 +52,7 @@ def dot_product_attention(
     scale: Optional[float] = None,
     q_offset: int | jnp.ndarray = 0,  # absolute position of q[0] (decode step)
     impl: Optional[str] = None,
+    kv_layout: str = "bsnd",  # or "bnsd" (head-major KV cache, decode path)
 ) -> jnp.ndarray:
     """Scaled dot-product attention with GQA, padding mask, causal mask.
 
@@ -64,14 +65,23 @@ def dot_product_attention(
     if (impl == "flash" and q.shape[1] > 1 and isinstance(q_offset, int)
             and (mask is None or mask.ndim == 2)):
         from .flash_attention import flash_attention
+        if kv_layout == "bnsd":  # one-time per prefill, not per decode step
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
         return flash_attention(q, k, v, mask, causal, scale, q_offset)
     return _xla_attention(q, k, v, mask=mask, causal=causal, scale=scale,
-                          q_offset=q_offset)
+                          q_offset=q_offset, kv_layout=kv_layout)
 
 
-def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0):
+def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0,
+                   kv_layout="bsnd"):
     b, sq, nq, dh = q.shape
-    _, skv, nkv, _ = k.shape
+    if kv_layout == "bsnd":
+        skv, nkv = k.shape[1], k.shape[2]
+        k_sub, v_sub = "bknd", "bknd"
+    else:  # "bnsd": head-major cache — both dots read it with no transpose
+        nkv, skv = k.shape[1], k.shape[2]
+        k_sub, v_sub = "bnkd", "bnkd"
     if scale is None:
         scale = dh ** -0.5
     n_rep = nq // nkv
@@ -80,7 +90,7 @@ def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0):
     qg = q.reshape(b, sq, nkv, n_rep, dh)
 
     # [B, Nkv, G, Sq, Skv]
-    logits = jnp.einsum("bqngd,bknd->bngqk", qg, k,
+    logits = jnp.einsum(f"bqngd,{k_sub}->bngqk", qg, k,
                         preferred_element_type=jnp.float32)
     logits = logits * scale
 
@@ -98,6 +108,6 @@ def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0):
         logits = jnp.where(causal_mask[None, None, None], logits, neg)
 
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bngqk,bknd->bqngd", probs.astype(v.dtype), v,
+    out = jnp.einsum(f"bngqk,{v_sub}->bqngd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.reshape(b, sq, nq, dh).astype(q.dtype)
