@@ -109,9 +109,11 @@ def forward_hidden(
     cfg: EsmConfig,
     input_ids: jnp.ndarray,          # [B, S]
     attention_mask: Optional[jnp.ndarray] = None,  # [B, S] 1=real
+    output_hidden_states: bool = False,
 ) -> jnp.ndarray:
     """Returns final hidden states [B, S, H] (after emb_layer_norm_after) —
-    what the fusion model projects (/root/reference/src/model/omics_one.py:91)."""
+    what the fusion model projects (/root/reference/src/model/omics_one.py:91).
+    With output_hidden_states, returns (final, per-layer [L, B, S, H])."""
     if attention_mask is None:
         attention_mask = (input_ids != cfg.pad_token_id).astype(jnp.int32)
     dt = jnp.dtype(cfg.dtype)
@@ -140,12 +142,15 @@ def forward_hidden(
     cos, sin = rope_cos_sin(jnp.arange(S), cfg.head_dim, 10000.0, dtype=dt)
 
     def body(h, layer_params):
-        return _layer(cfg, h, layer_params, cos, sin, attention_mask), None
+        h = _layer(cfg, h, layer_params, cos, sin, attention_mask)
+        return h, (h if output_hidden_states else None)
 
     if cfg.remat:
         body = jax.checkpoint(body)
-    hidden, _ = jax.lax.scan(body, emb, params["layers"])
+    hidden, per_layer = jax.lax.scan(body, emb, params["layers"])
 
     hidden = layer_norm(hidden, params["final_ln"]["weight"],
                         params["final_ln"]["bias"], cfg.layer_norm_eps)
+    if output_hidden_states:
+        return hidden, per_layer
     return hidden

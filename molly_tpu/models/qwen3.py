@@ -176,12 +176,18 @@ def forward_hidden(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    output_hidden_states: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack; returns (final hidden states, updated cache).
 
     Without a cache this is a plain causal forward (training). With a cache,
     the S new tokens are written at cache_index and attention runs over the
     full cache (prefill: S=prompt len, index 0; decode: S=1).
+
+    output_hidden_states (no-cache path only) returns a third element: the
+    per-layer outputs [L, B, S, H] pre-final-norm — the layer-by-layer
+    parity harness (tools.parity) compares these against HF's
+    ``hidden_states`` to localize divergence.
     """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
@@ -214,12 +220,16 @@ def forward_hidden(
             h, _ = _layer(cfg, h, layer_params, cos, sin, attention_mask,
                           True, None, 0, lora_l, lora_scale,
                           lora_dropout, rng)
-            return h, None
+            return h, (h if output_hidden_states else None)
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        hidden, _ = jax.lax.scan(body, hidden, (lp, lora_layers, layer_rngs))
+        hidden, per_layer = jax.lax.scan(
+            body, hidden, (lp, lora_layers, layer_rngs))
         new_cache = None
+        if output_hidden_states:
+            out = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+            return out, new_cache, per_layer
     else:
         # cache rides the scan CARRY (per-layer dynamic updates in place)
         # instead of being re-stacked as scan ys — avoids rewriting the
