@@ -359,7 +359,13 @@ class OmicsDataset:
     def __init__(self, source, text_tokenizer, dna_rna_tokenizer,
                  protein_tokenizer, config: DataConfig,
                  mode: str = "train", read_nums: Optional[int] = None,
-                 shuffle: bool = False, seed: int = 42):
+                 shuffle: bool = False, seed: int = 42,
+                 shard_index: int = 0, shard_count: int = 1):
+        """shard_index/shard_count: per-host input sharding for multi-host
+        training (every host must pass the same seed so the pre-shard
+        shuffle is one consistent global permutation; hosts then own
+        disjoint contiguous slices — the GSPMD analogue of the reference's
+        DistributedSampler, SURVEY.md §5.8)."""
         import pandas as pd
 
         if isinstance(source, str):
@@ -371,6 +377,12 @@ class OmicsDataset:
         if shuffle:
             rng = np.random.default_rng(seed)
             df = df.sample(frac=1, random_state=rng).reset_index(drop=True)
+        if shard_count > 1:
+            per = len(df) // shard_count
+            start = shard_index * per
+            stop = len(df) if shard_index == shard_count - 1 \
+                else start + per
+            df = df.iloc[start:stop]
         self.df = df.reset_index(drop=True)
         self.mode = mode
         self.encoder = OmicsSampleEncoder(

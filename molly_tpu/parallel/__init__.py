@@ -5,6 +5,7 @@ from .sharding import (
     batch_specs,
     host_shard_range,
     initialize_distributed,
+    make_global_batch,
     make_mesh,
     param_specs,
     shard_batch,

@@ -151,3 +151,19 @@ def host_shard_range(n: int, process_index: Optional[int] = None,
     start = pi * per
     stop = n if pi == pc - 1 else start + per
     return start, stop
+
+
+def make_global_batch(batch: Any, mesh: Mesh) -> Any:
+    """Assemble a GLOBAL data-sharded batch from this host's LOCAL rows.
+
+    Multi-host: every host feeds its own ``global_batch/process_count``
+    rows (read from its host_shard_range slice of the dataset) and
+    ``jax.make_array_from_process_local_data`` stitches them into one
+    global jax.Array sharded over (data, fsdp) — the GSPMD equivalent of
+    the reference's DistributedSampler + per-rank DataLoader (SURVEY.md
+    §5.8). Single-process this is exactly shard_batch.
+    """
+    sharding = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)

@@ -118,8 +118,8 @@ def run_training(args) -> dict:
         tiny_qwen3
     from ..models.fusion import FusionConfig
     from ..models.lora import LoraConfig
-    from ..parallel import (initialize_distributed, make_mesh,
-                            shard_batch, shard_params)
+    from ..parallel import (initialize_distributed, make_global_batch,
+                            make_mesh, shard_params)
     from ..utils import MetricLogger, domain_loss_metrics, print_rank_0, \
         time_count
     from ..utils.profiling import StepTimer, trace
@@ -181,19 +181,26 @@ def run_training(args) -> dict:
                        protein_k_tokens=args.protein_k_tokens,
                        max_dna_rna_segments=args.max_dna_rna_segments,
                        max_protein_segments=args.max_protein_segments)
+    # per-host input sharding (multi-host GSPMD: each host reads only its
+    # slice, batches reassemble globally via make_global_batch below)
+    pi, pc = jax.process_index(), jax.process_count()
     train_ds = OmicsDataset(args.train_dataset_path, text_tok, dna_tok,
                             prot_tok, dconf, read_nums=args.read_nums,
-                            shuffle=True, seed=args.seed)
+                            shuffle=True, seed=args.seed,
+                            shard_index=pi, shard_count=pc)
     eval_ds = None
     if args.eval_dataset_path:
         econf = dataclasses.replace(dconf, max_len=args.eval_max_len)
         eval_ds = OmicsDataset(args.eval_dataset_path, text_tok, dna_tok,
                                prot_tok, econf,
-                               read_nums=args.eval_read_nums)
+                               read_nums=args.eval_read_nums,
+                               shard_index=pi, shard_count=pc)
 
     # ---- schedule length ----
-    steps_per_epoch = len(train_ds) // (
-        args.batch_size_per_gpu * args.gradient_accumulation_steps)
+    # len(train_ds) is already this host's shard; each host feeds
+    # global_batch/pc rows per step
+    steps_per_epoch = len(train_ds) // max(
+        1, args.batch_size_per_gpu * args.gradient_accumulation_steps // pc)
     total_steps = steps_per_epoch * args.epochs
     if args.train_iters:
         total_steps = min(total_steps, args.train_iters)
@@ -248,15 +255,18 @@ def run_training(args) -> dict:
         n_shard = mesh.shape["data"] * mesh.shape["fsdp"]
         assert micro % n_shard == 0, (
             f"global microbatch {micro} must divide over data*fsdp={n_shard}")
+        assert micro % pc == 0, (
+            f"global microbatch {micro} must divide over "
+            f"process_count={pc}")
+        local_micro = micro // pc  # rows THIS host feeds per global batch
 
         eval_loss_fn = jax.jit(
             lambda p, b: fusion.loss_fn(p, cfg, b)[0])
 
         def run_eval() -> float:
             losses = []
-            for eb in iterate_batches(eval_ds, micro, drop_last=True):
-                eb = shard_batch(
-                    {k: jnp.asarray(v) for k, v in eb.items()}, mesh)
+            for eb in iterate_batches(eval_ds, local_micro, drop_last=True):
+                eb = make_global_batch(eb, mesh)
                 losses.append(float(eval_loss_fn(state.params, eb)))
             return float(np.mean(losses)) if losses else float("nan")
 
@@ -272,10 +282,9 @@ def run_training(args) -> dict:
         for epoch in range(args.epochs):
             if stop:
                 break
-            for batch in iterate_batches(train_ds, micro, shuffle=True,
+            for batch in iterate_batches(train_ds, local_micro, shuffle=True,
                                          seed=args.seed, epoch=epoch):
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                batch = make_global_batch(batch, mesh)
                 rng, srng = jax.random.split(rng)
                 timer.start()
                 with trace(args.profile_log_dir if step == 2 else None):
