@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("molly_tpu train")
     # experiment / logging
     p.add_argument("--experiment-name", default="molly_tpu")
+    p.add_argument("--report-to", default="jsonl",
+                   help="comma list of metric sinks: jsonl,wandb,swanlab,"
+                        "tensorboard (rank-0; missing libs degrade to a "
+                        "warning — mirrors the reference's --report_to, "
+                        "src/train.py:255-261)")
     p.add_argument("--output-dir", default="runs/molly")
     p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
@@ -227,7 +232,10 @@ def run_training(args) -> dict:
 
     os.makedirs(args.output_dir, exist_ok=True)
     logger = MetricLogger(args.output_dir, args.experiment_name,
-                          console_every=args.log_interval)
+                          console_every=args.log_interval,
+                          report_to=args.report_to,
+                          config={k: v for k, v in vars(args).items()
+                                  if isinstance(v, (int, float, str, bool))})
 
     # preemption handling (beyond the reference, SURVEY.md §5.3): SIGTERM
     # requests a checkpoint at the next step boundary
