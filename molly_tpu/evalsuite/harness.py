@@ -183,9 +183,17 @@ def main(argv=None) -> None:
     ap.add_argument("--OMICS", default="All")
     ap.add_argument("--output", default=None)
     ap.add_argument("--processed-dir", default=None)
+    ap.add_argument("--sentiment-model", default=None,
+                    help="local HF sequence-classification dir for the "
+                         "unparseable-binary-output fallback (reference "
+                         "eval.py:84-112); default = offline lexicon")
     args = ap.parse_args(argv)
 
+    sentiment_fn = None
+    if args.sentiment_model:
+        sentiment_fn = M.hf_sentiment_fn(args.sentiment_model)
     result = evaluate_file(args.input_file_path,
+                           sentiment_fn=sentiment_fn,
                            processed_dir=args.processed_dir)
     out = args.output or (
         f"metrics_result_{args.model_name}_{args.OMICS}.json")

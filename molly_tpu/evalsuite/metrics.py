@@ -82,6 +82,43 @@ def lexicon_sentiment(text: str) -> Tuple[int, float]:
 
 SentimentFn = Callable[[str], Tuple[int, float]]
 
+
+def hf_sentiment_fn(model_dir: str, device: str = "cpu",
+                    batch_hint: int = 512) -> SentimentFn:
+    """Model-backed sentiment fallback: loads a local HF sequence-
+    classification checkpoint (the reference uses
+    twitter-roberta-base-sentiment-latest, eval.py:84-112) and returns the
+    same (class, score) contract as lexicon_sentiment. The id2label map
+    must contain 'positive' and 'negative' (case-insensitive)."""
+    import torch
+    from transformers import (AutoConfig, AutoModelForSequenceClassification,
+                              AutoTokenizer)
+
+    tokenizer = AutoTokenizer.from_pretrained(model_dir)
+    config = AutoConfig.from_pretrained(model_dir)
+    model = AutoModelForSequenceClassification.from_pretrained(
+        model_dir).to(device).eval()
+    id2label = {i: str(l).lower() for i, l in config.id2label.items()}
+    try:
+        pos_idx = next(i for i, l in id2label.items() if l == "positive")
+        neg_idx = next(i for i, l in id2label.items() if l == "negative")
+    except StopIteration:
+        raise ValueError(
+            f"sentiment model must label 'positive'/'negative'; "
+            f"got id2label={config.id2label}")
+
+    def classify(text: str) -> Tuple[int, float]:
+        enc = tokenizer(text, padding=True, truncation=True,
+                        max_length=batch_hint, return_tensors="pt"
+                        ).to(device)
+        with torch.no_grad():
+            logits = model(**enc).logits
+        probs = torch.softmax(logits, dim=-1)[0]
+        pos, neg = float(probs[pos_idx]), float(probs[neg_idx])
+        return (1, pos) if pos > neg else (0, neg)
+
+    return classify
+
 # ---------------------------------------------------------------------------
 # regression metrics (with invalid-fraction downweighting)
 # ---------------------------------------------------------------------------
