@@ -60,6 +60,20 @@ def main(argv=None) -> None:
     c.add_argument("--src", required=True)
     c.add_argument("--preview", type=int, default=2)
 
+    c = sub.add_parser("ablation",
+                       help="task-subset split by tagged modalities "
+                            "(reference scripts/train/run_train_dna.sh "
+                            "etc. train on such subsets)")
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    c.add_argument("--modalities", required=True,
+                   help="comma list from {dna,rna,protein}")
+
+    c = sub.add_parser("kegg", help="KEGG free-text accuracy report "
+                                    "(reference compute_kegg.py)")
+    c.add_argument("--src", required=True, help="inference JSONL")
+    c.add_argument("--confusion-png", default=None)
+
     args = p.parse_args(argv)
     import pandas as pd
 
@@ -93,6 +107,15 @@ def main(argv=None) -> None:
         out = dt.balanced_subsample(df, args.n)
         out.to_parquet(args.dst)
         print(f"subsampled {len(df)} -> {len(out)}")
+    elif args.cmd == "ablation":
+        df = pd.read_parquet(args.src)
+        out = dt.ablation_subset(df, args.modalities.split(","))
+        out.to_parquet(args.dst)
+        print(f"ablation[{args.modalities}]: {len(df)} -> {len(out)} rows "
+              f"-> {args.dst}")
+    elif args.cmd == "kegg":
+        print(json.dumps(dt.kegg_report(args.src, args.confusion_png),
+                         indent=2))
     elif args.cmd == "inspect":
         if args.src.endswith((".jsonl", ".json")):
             rows = [json.loads(l) for l in open(args.src) if l.strip()]

@@ -204,3 +204,92 @@ def filter_by_markers(df, required: Optional[List[str]] = None,
         return True
 
     return df[df["input"].map(ok)].reset_index(drop=True)
+
+
+def ablation_subset(df, modalities: Sequence[str]):
+    """Task-subset ablation split (reference scripts/train/run_train_{dna,
+    rna,protein,dna_rna,dna_protein,rna_protein}.sh train on pre-filtered
+    parquets): keep rows whose tagged sequences use ONLY the requested
+    modalities (at least one tag present)."""
+    want = {m.lower() for m in modalities}
+    assert want <= {"dna", "rna", "protein"}, modalities
+
+    def row_mods(text: str) -> set:
+        text = text or ""
+        return {m for m in ("dna", "rna", "protein") if f"<{m}>" in text}
+
+    def ok(text: str) -> bool:
+        mods = row_mods(text)
+        return bool(mods) and mods <= want
+
+    return df[df["input"].map(ok)].reset_index(drop=True)
+
+
+_ANSWER_RE = re.compile(r"(?<=Answer[:：])\s*(.*?)(?=\n|$)",
+                        re.IGNORECASE | re.DOTALL)
+
+
+def extract_answer(text: str) -> str:
+    """'Answer: X' extraction (compute_kegg.py:18-31)."""
+    if not text:
+        return ""
+    m = _ANSWER_RE.search(text)
+    return m.group(1).strip().lower() if m else ""
+
+
+def kegg_report(jsonl_path: str, save_confusion: Optional[str] = None
+                ) -> Dict[str, object]:
+    """KEGG free-text accuracy analysis (reference data_tools/
+    compute_kegg.py): extract 'Answer:' spans, fuzzy-match substrings to
+    the gold label, report Accuracy/macro-P/R/F1 (+ optional confusion-
+    matrix PNG)."""
+    from sklearn.metrics import (accuracy_score, confusion_matrix,
+                                 precision_recall_fscore_support)
+
+    y_true, y_pred, fuzzy = [], [], 0
+    with open(jsonl_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            item = json.loads(line)
+            gt = str(item.get("gt_label", "")).strip().lower()
+            pred = extract_answer(item.get("decoded_output", ""))
+            # fuzzy: one-sided substring counts as a match (:83-88)
+            if pred and gt and pred != gt and (pred in gt or gt in pred):
+                pred = gt
+                fuzzy += 1
+            y_true.append(gt)
+            y_pred.append(pred)
+
+    labels = sorted(set(y_true))
+    prec, rec, f1, _ = precision_recall_fscore_support(
+        y_true, y_pred, average="macro", zero_division=0, labels=labels)
+    report = {
+        "n": len(y_true),
+        "labels": labels,
+        "fuzzy_matched": fuzzy,
+        "Accuracy": float(accuracy_score(y_true, y_pred)),
+        "Precision": float(prec),
+        "Recall": float(rec),
+        "F1-Score": float(f1),
+    }
+    if save_confusion:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        cm = confusion_matrix(y_true, y_pred, labels=labels)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(cm, cmap="Blues")
+        ax.set_xticks(range(len(labels)), labels, rotation=90, fontsize=6)
+        ax.set_yticks(range(len(labels)), labels, fontsize=6)
+        for i in range(len(labels)):
+            for j in range(len(labels)):
+                ax.text(j, i, cm[i, j], ha="center", va="center", fontsize=6)
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("Ground Truth")
+        fig.colorbar(im)
+        fig.savefig(save_confusion, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        report["confusion_matrix_png"] = save_confusion
+    return report

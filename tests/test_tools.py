@@ -162,3 +162,69 @@ def test_embed_tool_small():
     assert np.isfinite(emb).all()
     proj = pca_2d(emb)
     assert proj.shape == (2, 2)
+
+
+def test_ablation_subset():
+    import pandas as pd
+
+    from molly_tpu.tools.data_tools import ablation_subset
+
+    df = pd.DataFrame([
+        {"task": "a", "input": "x <dna>ACGT</dna>"},
+        {"task": "b", "input": "x <rna>ACGU</rna>"},
+        {"task": "c", "input": "x <protein>MKT</protein>"},
+        {"task": "d", "input": "<dna>ACGT</dna> <protein>MKT</protein>"},
+        {"task": "e", "input": "no tags at all"},
+    ])
+    assert list(ablation_subset(df, ["dna"])["task"]) == ["a"]
+    assert list(ablation_subset(df, ["dna", "protein"])["task"]) == \
+        ["a", "c", "d"]
+    assert list(ablation_subset(df, ["rna", "protein"])["task"]) == \
+        ["b", "c"]
+    # untagged rows never qualify
+    assert "e" not in set(ablation_subset(
+        df, ["dna", "rna", "protein"])["task"])
+
+
+def test_kegg_report(tmp_path):
+    import json as _json
+
+    from molly_tpu.tools.data_tools import extract_answer, kegg_report
+
+    assert extract_answer("blah\nAnswer: Glycolysis\nmore") == "glycolysis"
+    assert extract_answer("Answer：膜转运") == "膜转运"
+    assert extract_answer("no answer here") == ""
+
+    rows = [
+        {"decoded_output": "Answer: glycolysis", "gt_label": "Glycolysis"},
+        {"decoded_output": "Answer: the glycolysis pathway",
+         "gt_label": "glycolysis"},              # fuzzy substring match
+        {"decoded_output": "Answer: citrate cycle", "gt_label": "apoptosis"},
+    ]
+    p = tmp_path / "kegg.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    png = str(tmp_path / "cm.png")
+    rep = kegg_report(str(p), save_confusion=png)
+    assert rep["n"] == 3 and rep["fuzzy_matched"] == 1
+    assert abs(rep["Accuracy"] - 2 / 3) < 1e-9
+    import os
+    assert os.path.exists(png)
+
+
+def test_ablation_cli(tmp_path):
+    import pandas as pd
+
+    from molly_tpu.tools.cli import main as tools_main
+
+    df = pd.DataFrame([
+        {"task": "a", "input": "<dna>ACGT</dna>", "think": "",
+         "output": "y", "label": "", "kind": ""},
+        {"task": "b", "input": "<protein>MKT</protein>", "think": "",
+         "output": "y", "label": "", "kind": ""},
+    ])
+    src = str(tmp_path / "all.parquet")
+    dst = str(tmp_path / "dna.parquet")
+    df.to_parquet(src)
+    tools_main(["ablation", "--src", src, "--dst", dst,
+                "--modalities", "dna"])
+    assert list(pd.read_parquet(dst)["task"]) == ["a"]
