@@ -74,6 +74,15 @@ def main(argv=None) -> None:
     c.add_argument("--src", required=True, help="inference JSONL")
     c.add_argument("--confusion-png", default=None)
 
+    c = sub.add_parser("count-tokens",
+                       help="LLM-token stats per column (reference "
+                            "count_token_llm.py)")
+    c.add_argument("--src", required=True)
+    c.add_argument("--column", default="output")
+    c.add_argument("--model-path", default=None,
+                   help="HF tokenizer dir; default = bundled byte "
+                        "fallback tokenizer")
+
     args = p.parse_args(argv)
     import pandas as pd
 
@@ -116,6 +125,16 @@ def main(argv=None) -> None:
     elif args.cmd == "kegg":
         print(json.dumps(dt.kegg_report(args.src, args.confusion_png),
                          indent=2))
+    elif args.cmd == "count-tokens":
+        if args.model_path:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(args.model_path)
+        else:
+            from ..data.tokenizers import ByteTextTokenizer
+            tok = ByteTextTokenizer()
+        df = pd.read_parquet(args.src)
+        print(json.dumps(dt.count_tokens_with_tokenizer(
+            df, tok, args.column), indent=2))
     elif args.cmd == "inspect":
         if args.src.endswith((".jsonl", ".json")):
             rows = [json.loads(l) for l in open(args.src) if l.strip()]

@@ -28,6 +28,21 @@ from typing import Any, Dict, Optional, Set
 
 SYSTEM_PROMPT = "You are a helpful assistant."
 
+# Rephrasing mode mirrors the reference's bioinformatics system prompt
+# (data_tools/rephrasing_data.py:14-23) minus the vLLM dependency: any
+# OpenAI-compatible endpoint serves the rephrasing model instead.
+REPHRASE_SYSTEM_PROMPT = (
+    "You are a precise bioinformatics assistant. "
+    "The user has provided a DNA/RNA sequence and a question. "
+    "Your job is to generate a detailed, fluent paragraph that:\n"
+    "  1) restates the question in your own words,\n"
+    "  2) briefly analyses any relevant motifs or regions,\n"
+    "  3) gives biological reasoning in 2-3 sentences,\n"
+    "  4) ends with a single, clear sentence that exactly matches the "
+    "ground-truth label.\n"
+    "Do NOT contradict the ground-truth label."
+)
+
 
 def chat_completion(base_url: str, model: str, prompt: str,
                     api_key: str = "", timeout: float = 120.0,
@@ -84,19 +99,28 @@ def read_existing_ids(output_file: str) -> Set[Any]:
 def process_dataframe(df, output_file: str, *, base_url: str, model: str,
                       api_key: str = "", workers: int = 8,
                       max_retries: int = 3, transport=None,
-                      progress_every: int = 25) -> Dict[str, int]:
+                      progress_every: int = 25,
+                      rephrase: bool = False) -> Dict[str, int]:
     """Thread-pool fan-out over rows with resumable append-only output
-    (openai_api.py:141-186). Returns {"done", "skipped", "failed"}."""
+    (openai_api.py:141-186). rephrase=True swaps in the label-grounded
+    rephrasing prompt (rephrasing_data.py). Returns
+    {"done", "skipped", "failed"}."""
     done_ids = read_existing_ids(output_file)
     lock = threading.Lock()
     stats = {"done": 0, "skipped": 0, "failed": 0}
 
     def work(idx: int, row) -> Optional[Dict[str, Any]]:
         prompt = str(row["input"])
+        system = SYSTEM_PROMPT
+        if rephrase:
+            system = (REPHRASE_SYSTEM_PROMPT +
+                      "\nGround-truth label (you must agree): "
+                      f"{row.get('label', row.get('output', ''))}")
         for attempt in range(max_retries):
             try:
                 out = chat_completion(base_url, model, prompt,
-                                      api_key=api_key, transport=transport)
+                                      api_key=api_key, system=system,
+                                      transport=transport)
                 return {"id": idx, "task": row.get("task", ""),
                         "input": prompt, "think": out["reasoning"],
                         "output": out["content"],
@@ -144,6 +168,9 @@ def main(argv=None) -> Dict[str, int]:
                     help="env var holding the key (never a flag)")
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--read-nums", type=int, default=None)
+    ap.add_argument("--rephrase", action="store_true",
+                    help="label-grounded rephrasing prompt instead of CoT "
+                         "(reference data_tools/rephrasing_data.py)")
     args = ap.parse_args(argv)
 
     import pandas as pd
@@ -153,7 +180,8 @@ def main(argv=None) -> Dict[str, int]:
         df = df.head(args.read_nums)
     stats = process_dataframe(
         df, args.output, base_url=args.base_url, model=args.model,
-        api_key=os.environ.get(args.api_key_env, ""), workers=args.workers)
+        api_key=os.environ.get(args.api_key_env, ""), workers=args.workers,
+        rephrase=args.rephrase)
     print(f"[cot_gen] done={stats['done']} skipped={stats['skipped']} "
           f"failed={stats['failed']} -> {args.output}")
     return stats

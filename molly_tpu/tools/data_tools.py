@@ -293,3 +293,27 @@ def kegg_report(jsonl_path: str, save_confusion: Optional[str] = None
         plt.close(fig)
         report["confusion_matrix_png"] = save_confusion
     return report
+
+
+def count_tokens_with_tokenizer(df, tokenizer, column: str = "output"
+                                ) -> Dict[str, object]:
+    """Per-column LLM-token statistics (reference data_tools/
+    count_token_llm.py): total/mean/median/p95/max over tokenizer.encode
+    of each row."""
+    import numpy as np
+
+    if column not in df.columns:
+        raise ValueError(f"column {column!r} not in {list(df.columns)}")
+    counts = [len(tokenizer.encode(str(t), add_special_tokens=False))
+              for t in df[column]]
+    arr = np.asarray(counts, dtype=np.int64)
+    return {
+        "rows": int(len(arr)),
+        "column": column,
+        "total_tokens": int(arr.sum()),
+        "mean": float(arr.mean()) if len(arr) else 0.0,
+        "median": float(np.median(arr)) if len(arr) else 0.0,
+        "p95": float(np.percentile(arr, 95)) if len(arr) else 0.0,
+        "max": int(arr.max()) if len(arr) else 0,
+        "min": int(arr.min()) if len(arr) else 0,
+    }

@@ -77,3 +77,21 @@ def test_failed_rows_counted_not_written(tmp_path):
                               progress_every=0)
     assert stats["failed"] == 1 and len(calls) == 2
     assert read_existing_ids(out) == set()
+
+
+def test_rephrase_mode_grounds_label(tmp_path):
+    systems = []
+
+    def capture(url, payload):
+        systems.append(json.loads(payload)["messages"][0]["content"])
+        return {"choices": [{"message": {"content": "rephrased"}}],
+                "usage": {}}
+
+    df = pd.DataFrame([{"task": "t", "input": "q", "label": "GOLD"}])
+    out = str(tmp_path / "re.jsonl")
+    stats = process_dataframe(df, out, base_url="http://x/v1", model="m",
+                              workers=1, transport=capture,
+                              progress_every=0, rephrase=True)
+    assert stats["done"] == 1
+    assert "bioinformatics" in systems[0]
+    assert "GOLD" in systems[0]

@@ -228,3 +228,18 @@ def test_ablation_cli(tmp_path):
     tools_main(["ablation", "--src", src, "--dst", dst,
                 "--modalities", "dna"])
     assert list(pd.read_parquet(dst)["task"]) == ["a"]
+
+
+def test_count_tokens_stats():
+    import pandas as pd
+
+    from molly_tpu.data.tokenizers import ByteTextTokenizer
+    from molly_tpu.tools.data_tools import count_tokens_with_tokenizer
+
+    df = pd.DataFrame({"output": ["abc", "abcdef", ""]})
+    s = count_tokens_with_tokenizer(df, ByteTextTokenizer())
+    assert s["rows"] == 3 and s["total_tokens"] == 9
+    assert s["max"] == 6 and s["min"] == 0
+    import pytest
+    with pytest.raises(ValueError, match="column"):
+        count_tokens_with_tokenizer(df, ByteTextTokenizer(), column="nope")
