@@ -31,6 +31,11 @@ class Qwen3Config:
     # runtime knobs
     dtype: str = "bfloat16"
     remat: bool = False  # jax.checkpoint each layer
+    # context parallelism: shard the sequence over the mesh "seq" axis and
+    # run ring attention (parallel.ring_attention) — long-context training
+    # beyond the reference's single-device cap (SURVEY.md §5.7). Training
+    # (no-cache) path only; requires running under a mesh with a seq axis.
+    context_parallel: bool = False
 
     @property
     def q_dim(self) -> int:

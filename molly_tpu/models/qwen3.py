@@ -130,8 +130,15 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         kk = apply_rope(kk, cos, sin)
 
     if cache_kv is None:
-        attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
-                                     scale=Dh ** -0.5)
+        if cfg.context_parallel:
+            # ring attention over the mesh "seq" axis: only the seq dim
+            # goes manual (shard_map), batch/fsdp/tensor stay with GSPMD
+            from ..parallel.ring_attention import ring_attention_sharded
+            attn = ring_attention_sharded(q, kk, v, mask, causal=causal,
+                                          scale=Dh ** -0.5)
+        else:
+            attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
+                                         scale=Dh ** -0.5)
         new_cache = None
     else:
         # full [L, B, Nkv, Smax, 2*Dh] cache + layer index: write ONLY the

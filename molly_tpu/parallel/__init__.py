@@ -1,6 +1,11 @@
+from .ring_attention import (
+    ring_attention,
+    ring_attention_sharded,
+)
 from .sharding import (
     DATA_AXIS,
     FSDP_AXIS,
+    SEQ_AXIS,
     TENSOR_AXIS,
     batch_specs,
     host_shard_range,

@@ -31,19 +31,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
+SEQ_AXIS = "seq"  # context parallelism (ring attention) — beyond reference
 
 
 def make_mesh(data: int = 1, fsdp: int = -1, tensor: int = 1,
-              devices=None) -> Mesh:
-    """Build a 3-axis mesh. fsdp=-1 means "all remaining devices"."""
+              seq: int = 1, devices=None) -> Mesh:
+    """Build a 4-axis mesh. fsdp=-1 means "all remaining devices"."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp == -1:
-        assert n % (data * tensor) == 0, (n, data, tensor)
-        fsdp = n // (data * tensor)
-    assert data * fsdp * tensor == n, (data, fsdp, tensor, n)
-    arr = np.asarray(devices).reshape(data, fsdp, tensor)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+        assert n % (data * tensor * seq) == 0, (n, data, tensor, seq)
+        fsdp = n // (data * tensor * seq)
+    assert data * fsdp * tensor * seq == n, (data, fsdp, tensor, seq, n)
+    arr = np.asarray(devices).reshape(data, fsdp, tensor, seq)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS))
 
 
 # ---------------------------------------------------------------------------
@@ -112,9 +113,22 @@ def param_specs(params: Any, *, bare_text: bool = False) -> Any:
         lambda path, leaf: spec_for_path(_path_str(path), rules), params)
 
 
-def batch_specs(batch: Dict[str, Any]) -> Dict[str, P]:
-    """Shard every batch array along the combined data axes."""
-    return jax.tree.map(lambda _: P((DATA_AXIS, FSDP_AXIS)), batch)
+# [B, S] batch arrays whose dim 1 is the text sequence — these shard over
+# the seq axis under context parallelism; segment-token arrays ([B, G, K])
+# and per-sample scalars do not.
+_SEQ_DIM_KEYS = ("input_ids", "attention_mask", "labels")
+
+
+def batch_specs(batch: Dict[str, Any],
+                seq_shard: bool = False) -> Dict[str, P]:
+    """Shard every batch array along the combined data axes (and the text
+    sequence dim over ``seq`` when context parallelism is on)."""
+    def spec(key_path, _leaf):
+        name = _path_str(key_path)
+        if seq_shard and any(name.endswith(k) for k in _SEQ_DIM_KEYS):
+            return P((DATA_AXIS, FSDP_AXIS), SEQ_AXIS)
+        return P((DATA_AXIS, FSDP_AXIS))
+    return jax.tree_util.tree_map_with_path(spec, batch)
 
 
 def shard_params(params: Any, mesh: Mesh, *, bare_text: bool = False) -> Any:
@@ -123,10 +137,11 @@ def shard_params(params: Any, mesh: Mesh, *, bare_text: bool = False) -> Any:
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    spec = P((DATA_AXIS, FSDP_AXIS))
+def shard_batch(batch: Any, mesh: Mesh, seq_shard: bool = False) -> Any:
+    seq_shard = seq_shard and mesh.shape.get(SEQ_AXIS, 1) > 1
+    specs = batch_specs(batch, seq_shard=seq_shard)
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), batch)
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), batch, specs)
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +168,8 @@ def host_shard_range(n: int, process_index: Optional[int] = None,
     return start, stop
 
 
-def make_global_batch(batch: Any, mesh: Mesh) -> Any:
+def make_global_batch(batch: Any, mesh: Mesh,
+                      seq_shard: bool = False) -> Any:
     """Assemble a GLOBAL data-sharded batch from this host's LOCAL rows.
 
     Multi-host: every host feeds its own ``global_batch/process_count``
@@ -163,7 +179,8 @@ def make_global_batch(batch: Any, mesh: Mesh) -> Any:
     the reference's DistributedSampler + per-rank DataLoader (SURVEY.md
     §5.8). Single-process this is exactly shard_batch.
     """
-    sharding = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+    seq_shard = seq_shard and mesh.shape.get(SEQ_AXIS, 1) > 1
+    specs = batch_specs(batch, seq_shard=seq_shard)
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), batch)
+        lambda x, s: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, s), np.asarray(x)), batch, specs)

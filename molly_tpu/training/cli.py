@@ -103,6 +103,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-fsdp", type=int, default=-1)
     p.add_argument("--mesh-tensor", type=int, default=1)
+    p.add_argument("--mesh-seq", type=int, default=1,
+                   help="context-parallel axis size: shards the sequence "
+                        "and runs ring attention in the decoder (long-"
+                        "context training beyond the reference's single-"
+                        "device cap, SURVEY.md §5.7)")
     return p
 
 
@@ -157,6 +162,11 @@ def run_training(args) -> dict:
                                       dtype=args.dtype)
         prot_cfg = dataclasses.replace(ESM_PRESETS[args.protein_preset],
                                        dtype=args.dtype)
+    if args.mesh_seq > 1:
+        assert args.max_len % args.mesh_seq == 0, (
+            f"--max-len {args.max_len} must divide over "
+            f"--mesh-seq {args.mesh_seq}")
+        text_cfg = dataclasses.replace(text_cfg, context_parallel=True)
     cfg = FusionConfig(text=text_cfg, dna_rna=dna_cfg, protein=prot_cfg,
                        dna_rna_k_tokens=args.dna_rna_k_tokens,
                        protein_k_tokens=args.protein_k_tokens)
@@ -227,7 +237,7 @@ def run_training(args) -> dict:
 
     # ---- mesh + sharding (replaces NCCL/ZeRO init, train.py:606-620) ----
     mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                     tensor=args.mesh_tensor)
+                     tensor=args.mesh_tensor, seq=args.mesh_seq)
     print_rank_0(f"mesh: {dict(mesh.shape)}")
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -274,7 +284,7 @@ def run_training(args) -> dict:
         def run_eval() -> float:
             losses = []
             for eb in iterate_batches(eval_ds, local_micro, drop_last=True):
-                eb = make_global_batch(eb, mesh)
+                eb = make_global_batch(eb, mesh, seq_shard=args.mesh_seq > 1)
                 losses.append(float(eval_loss_fn(state.params, eb)))
             return float(np.mean(losses)) if losses else float("nan")
 
@@ -292,7 +302,8 @@ def run_training(args) -> dict:
                 break
             for batch in iterate_batches(train_ds, local_micro, shuffle=True,
                                          seed=args.seed, epoch=epoch):
-                batch = make_global_batch(batch, mesh)
+                batch = make_global_batch(batch, mesh,
+                                          seq_shard=args.mesh_seq > 1)
                 rng, srng = jax.random.split(rng)
                 timer.start()
                 with trace(args.profile_log_dir if step == 2 else None):
@@ -347,8 +358,10 @@ def run_training(args) -> dict:
         if metrics is None:
             raise SystemExit(
                 "no training step executed: dataset yielded zero batches "
-                f"(len(train)={len(train_ds)}, batch-size={args.batch_size} "
-                f"x accum={args.accum_steps}, epochs={args.epochs}) — "
+                f"(len(train)={len(train_ds)}, "
+                f"batch-size={args.batch_size_per_gpu} "
+                f"x accum={args.gradient_accumulation_steps}, "
+                f"epochs={args.epochs}) — "
                 "reduce batch size / accumulation or add data")
         final_loss = float(metrics["loss"])
         print_rank_0(f"done: {step} steps in {wall:.1f}s "
