@@ -1,3 +1,9 @@
+from .pipeline import (
+    decoder_forward_pp,
+    make_pp_mesh,
+    pp_loss_fn,
+    pp_param_specs,
+)
 from .ring_attention import (
     ring_attention,
     ring_attention_sharded,
