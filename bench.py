@@ -42,8 +42,11 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--mode", default="decode",
-                    choices=["decode", "encoder", "ttft", "fusion", "train"],
-                    help="secondary metrics from BASELINE.json's spec")
+                    choices=["decode", "encoder", "ttft", "fusion", "train",
+                             "serve"],
+                    help="secondary metrics from BASELINE.json's spec; "
+                         "serve = continuous batching on a mixed-length "
+                         "workload")
     ap.add_argument("--int8", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="int8 weight-only decode (ops.quant); default on "
@@ -55,10 +58,12 @@ def main():
 
     # Flagship default: int8 1.7B decode at the reference's batch 32.
     if args.int8 is None:
-        args.int8 = args.mode == "decode" and not args.smoke
+        args.int8 = args.mode in ("decode", "serve") and not args.smoke
     if args.batch is None:
         args.batch = 32 if args.int8 and args.mode == "decode" else 8
 
+    if args.mode == "serve":
+        return bench_serve(args)
     if args.mode == "encoder":
         return bench_encoder(args)
     if args.mode == "ttft":
@@ -166,6 +171,104 @@ def _random_int8_params(cfg):
         "lm_head_q": qrand(next(keys), (H, cfg.vocab_size)),
     }
     return params
+
+
+def bench_serve(args):
+    """Continuous batching (inference.server) on a mixed-length workload:
+    half the requests generate 32 tokens, half 256. Static batching (the
+    reference's scheme, inference_lora.py:284-321) pays max(len) for every
+    prompt in a batch; the serving engine backfills freed slots. Reports
+    engine throughput and the static-batch equivalent for the same work."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from molly_tpu.models import ESM_PRESETS, QWEN3_PRESETS, qwen3, \
+        tiny_esm, tiny_qwen3
+    from molly_tpu.models.fusion import FusionConfig
+    from molly_tpu.inference.engine import GenerationConfig
+    from molly_tpu.inference.server import Request, ServingEngine
+
+    short_t, long_t = (4, 16) if args.smoke else (32, 256)
+    n_req = 8 if args.smoke else 32
+    n_slots = 4 if args.smoke else args.batch
+    if args.smoke:
+        tcfg = tiny_qwen3(num_hidden_layers=2, dtype="bfloat16")
+        prompt, max_len, buckets = 16, 64, (16,)
+    else:
+        tcfg = QWEN3_PRESETS[args.preset]
+        prompt, max_len, buckets = args.prompt_len, \
+            args.prompt_len + long_t, (args.prompt_len,)
+    cfg = FusionConfig(text=tcfg, dna_rna=tiny_esm(), protein=tiny_esm())
+    if args.int8:
+        text = _random_int8_params(tcfg)
+    else:
+        text = qwen3.init_params(tcfg, jax.random.key(0))
+        if not args.smoke:
+            text = qwen3.fuse_for_decode(text, tcfg)
+    params = {"text": text}
+    gen = GenerationConfig(max_new_tokens=long_t, do_sample=True,
+                           temperature=0.8, top_p=0.95, top_k=20,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(0)
+
+    def mk_reqs():
+        return [Request(
+            uid=i,
+            batch={"input_ids": rng.integers(
+                       1, tcfg.vocab_size, (1, prompt)).astype(np.int32),
+                   "attention_mask": np.ones((1, prompt), np.int32)},
+            max_new_tokens=short_t if i % 2 else long_t)
+            for i in range(n_req)]
+
+    def run_once():
+        eng = ServingEngine(params, cfg, gen, n_slots=n_slots,
+                            max_len=max_len, prefill_buckets=buckets,
+                            decode_chunk=1 if args.smoke else short_t // 2)
+        t0 = time.perf_counter()
+        results = eng.run(mk_reqs())
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in results.values())
+        return total, dt
+
+    # MEASURED static-batching baseline: the reference's scheme
+    # (inference_lora.py:284-321) — fixed batches of n_slots prompts, every
+    # prompt pays max_new_tokens decode steps, useful tokens = caps
+    from molly_tpu.inference.engine import _generate_from_embeds
+
+    def run_static():
+        reqs = mk_reqs()
+        t0 = time.perf_counter()
+        total = 0
+        for i in range(0, n_req, n_slots):
+            chunk = reqs[i:i + n_slots]
+            ids = jnp.asarray(np.concatenate(
+                [r.batch["input_ids"] for r in chunk]))
+            mask = jnp.ones(ids.shape, jnp.int32)
+            embeds = qwen3.embed_tokens(params["text"], ids)
+            toks = _generate_from_embeds(params["text"], tcfg, embeds,
+                                         mask, gen, jax.random.key(i))
+            np.asarray(toks)
+            total += sum(r.max_new_tokens for r in chunk)
+        return total, time.perf_counter() - t0
+
+    run_once()   # warmup/compile
+    run_static()
+    total, dt = run_once()
+    s_total, s_dt = run_static()
+    static_rate = s_total / s_dt
+    print(json.dumps({
+        "metric": f"{args.preset if not args.smoke else 'smoke'} "
+                  f"continuous-batching serving "
+                  f"({'int8' if args.int8 else 'bf16'}, {n_slots} slots, "
+                  f"{n_req} reqs, gen {short_t}/{long_t} mixed, prompt "
+                  f"{prompt}; baseline = MEASURED static batching, same "
+                  f"workload, {static_rate:.0f} useful tok/s)",
+        "value": round(total / dt, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(total / dt / static_rate, 3),
+    }))
 
 
 def bench_train(args):

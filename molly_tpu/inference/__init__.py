@@ -1,2 +1,3 @@
 from .engine import GenerationConfig, generate
 from .sampling import sample_tokens, top_k_filter, top_p_filter
+from .server import Request, ServingEngine

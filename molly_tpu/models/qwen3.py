@@ -146,9 +146,16 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         ckv, li = cache_kv
         kv_new = jnp.concatenate(
             [kk.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)],
-            axis=-1)[None].astype(ckv.dtype)
-        ckv = jax.lax.dynamic_update_slice(
-            ckv, kv_new, (li, 0, 0, cache_index, 0))
+            axis=-1).astype(ckv.dtype)  # [B, Nkv, S, 2*Dh]
+        if jnp.ndim(cache_index) > 0:
+            # per-row cache index [B] (continuous-batching decode: each
+            # serving slot sits at its own length) — scatter one row/slot
+            assert S == 1, "per-row cache_index requires single-token steps"
+            ckv = ckv.at[li, jnp.arange(B), :, cache_index, :].set(
+                kv_new[:, :, 0])
+        else:
+            ckv = jax.lax.dynamic_update_slice(
+                ckv, kv_new[None], (li, 0, 0, cache_index, 0))
         kv_l = jax.lax.dynamic_index_in_dim(ckv, li, 0, keepdims=False)
         attn = dot_product_attention(
             q, kv_l[..., :Dh], kv_l[..., Dh:], mask=mask, causal=causal,
@@ -179,6 +186,9 @@ def forward_hidden(
     positions: Optional[jnp.ndarray] = None,   # [B, S] absolute positions
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cache_index: int | jnp.ndarray = 0,
+    causal: bool = True,  # False: rely on attention_mask only (e.g. the
+    #                       serving ring cache, where column order is not
+    #                       positional order)
     lora: Optional[Dict[str, Any]] = None,     # {"layers": {target: {a,b}}}
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
@@ -208,6 +218,8 @@ def forward_hidden(
                 jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0
             )[:, :S]
         else:
+            assert jnp.ndim(cache_index) == 0, (
+                "per-row cache_index requires explicit positions")
             positions = jnp.arange(S)[None, :] + cache_index
             positions = jnp.broadcast_to(positions, (B, S))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
@@ -225,7 +237,7 @@ def forward_hidden(
             h = carry
             layer_params, lora_l, rng = xs
             h, _ = _layer(cfg, h, layer_params, cos, sin, attention_mask,
-                          True, None, 0, lora_l, lora_scale,
+                          causal, None, 0, lora_l, lora_scale,
                           lora_dropout, rng)
             return h, (h if output_hidden_states else None)
 
@@ -247,7 +259,7 @@ def forward_hidden(
             h, ckv, li = carry
             layer_params, lora_l, rng = xs
             h, ckv = _layer(cfg, h, layer_params, cos, sin,
-                            attention_mask, True, (ckv, li),
+                            attention_mask, causal, (ckv, li),
                             cache_index, lora_l, lora_scale,
                             lora_dropout, rng)
             return (h, ckv, li + 1), None

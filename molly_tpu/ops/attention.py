@@ -102,10 +102,13 @@ def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0,
             bias = jnp.where(mask[:, :, None], 0.0, neg)
         logits = logits + bias.astype(jnp.float32)
     if causal:
-        q_pos = jnp.arange(sq) + q_offset
+        # q_offset may be per-row [B] (serving slots at different lengths)
+        # or scalar (shared prefill/decode step)
+        q_off = jnp.atleast_1d(jnp.asarray(q_offset))  # [B] or [1]
+        q_pos = jnp.arange(sq)[None, :] + q_off[:, None]  # [B|1, sq]
         kv_pos = jnp.arange(skv)
-        causal_mask = q_pos[:, None] >= kv_pos[None, :]
-        logits = jnp.where(causal_mask[None, None, None], logits, neg)
+        causal_mask = q_pos[..., None] >= kv_pos  # [B|1, sq, skv]
+        logits = jnp.where(causal_mask[:, None, None], logits, neg)
 
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(f"bngqk,{v_sub}->bqngd", probs.astype(v.dtype), v,
