@@ -189,8 +189,11 @@ def bench_serve(args):
     from molly_tpu.inference.engine import GenerationConfig
     from molly_tpu.inference.server import Request, ServingEngine
 
-    short_t, long_t = (4, 16) if args.smoke else (32, 256)
-    n_req = 8 if args.smoke else 32
+    # unpredictable generation lengths (the real serving regime): caps
+    # drawn uniformly in [short_t, long_t]; static batching cannot know
+    # them and pays long_t decode steps for every batch
+    short_t, long_t = (4, 16) if args.smoke else (16, 256)
+    n_req = 8 if args.smoke else 48
     n_slots = 4 if args.smoke else args.batch
     if args.smoke:
         tcfg = tiny_qwen3(num_hidden_layers=2, dtype="bfloat16")
@@ -213,19 +216,27 @@ def bench_serve(args):
                            pad_token_id=0)
     rng = np.random.default_rng(0)
 
+    cap_rng = np.random.default_rng(7)
+    caps = cap_rng.integers(short_t, long_t + 1, n_req)
+
     def mk_reqs():
-        return [Request(
+        reqs = [Request(
             uid=i,
             batch={"input_ids": rng.integers(
                        1, tcfg.vocab_size, (1, prompt)).astype(np.int32),
                    "attention_mask": np.ones((1, prompt), np.int32)},
-            max_new_tokens=short_t if i % 2 else long_t)
+            max_new_tokens=int(caps[i]))
             for i in range(n_req)]
+        # longest-processing-time-first admission: per-request caps are
+        # known here, so start the long generations early and backfill
+        # freed slots with the short ones (shrinks the tail)
+        reqs.sort(key=lambda r: -r.max_new_tokens)
+        return reqs
 
     def run_once():
         eng = ServingEngine(params, cfg, gen, n_slots=n_slots,
                             max_len=max_len, prefill_buckets=buckets,
-                            decode_chunk=1 if args.smoke else short_t // 2)
+                            decode_chunk=1 if args.smoke else 16)
         t0 = time.perf_counter()
         results = eng.run(mk_reqs())
         dt = time.perf_counter() - t0
@@ -262,9 +273,9 @@ def bench_serve(args):
         "metric": f"{args.preset if not args.smoke else 'smoke'} "
                   f"continuous-batching serving "
                   f"({'int8' if args.int8 else 'bf16'}, {n_slots} slots, "
-                  f"{n_req} reqs, gen {short_t}/{long_t} mixed, prompt "
-                  f"{prompt}; baseline = MEASURED static batching, same "
-                  f"workload, {static_rate:.0f} useful tok/s)",
+                  f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "
+                  f"prompt {prompt}; baseline = MEASURED static batching, "
+                  f"same workload, {static_rate:.0f} useful tok/s)",
         "value": round(total / dt, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(total / dt / static_rate, 3),

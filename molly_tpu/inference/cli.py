@@ -57,6 +57,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model matching the train CLI's --tiny")
+    p.add_argument("--serve", action="store_true",
+                   help="continuous batching (inference.server): slots free "
+                        "at EOS and backfill from the queue instead of "
+                        "static batches that wait for the longest row")
+    p.add_argument("--serve-chunk", type=int, default=16,
+                   help="decode steps per scheduler sync under --serve")
     return p
 
 
@@ -123,6 +129,8 @@ def main(argv=None) -> None:
         pad_token_id=text_tok.pad_token_id or 0)
 
     rng = jax.random.key(args.seed)
+    if args.serve:
+        return _run_serve(args, ds, params, cfg, gen, text_tok, rng)
     n_done = 0
     with open(args.output_file, "a") as fh:
         for batch in iterate_batches(ds, args.batch_size, drop_last=False,
@@ -146,6 +154,45 @@ def main(argv=None) -> None:
                 }) + "\n")
             n_done += tokens.shape[0]
             print(f"[inference] {n_done}/{len(ds)}", flush=True)
+
+
+def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
+    """Continuous-batching path: one Request per sample, slots backfilled
+    as generations finish (vs the reference's static batches that all wait
+    for the longest generation)."""
+    from ..data import collate_test, iterate_batches
+    from .server import Request, ServingEngine
+
+    eng = ServingEngine(params, cfg, gen, n_slots=args.batch_size,
+                        max_len=args.max_length + gen.max_new_tokens,
+                        prefill_buckets=(args.max_length,),
+                        decode_chunk=args.serve_chunk, rng=rng)
+    meta = {}
+    arr_keys = ("input_ids", "attention_mask", "dna_rna_tokens",
+                "dna_rna_pos", "protein_tokens", "protein_pos")
+    for uid, row in enumerate(
+            iterate_batches(ds, 1, drop_last=False,
+                            collate_fn=collate_test)):
+        eng.submit(Request(uid=uid, batch={
+            k: row[k] for k in arr_keys if k in row}))
+        meta[uid] = {k: row[k][0] for k in
+                     ("raw_input", "raw_output", "raw_label", "task",
+                      "kind")}
+    results = eng.run([])
+    with open(args.output_file, "a") as fh:
+        for uid in sorted(results):
+            out_ids = results[uid]
+            out_ids = out_ids[out_ids != gen.pad_token_id]
+            decoded = text_tok.decode(out_ids.tolist(),
+                                      skip_special_tokens=True)
+            m = meta[uid]
+            fh.write(json.dumps({
+                "decoded_output": decoded,
+                "input": m["raw_input"], "gt_output": m["raw_output"],
+                "gt_label": m["raw_label"], "task": m["task"],
+                "kind": m["kind"],
+            }) + "\n")
+    print(f"[inference --serve] {len(results)}/{len(ds)} done", flush=True)
 
 
 def _load_params(args, cfg):

@@ -84,7 +84,19 @@ def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
 # ---------------------------------------------------------------------------
 
 
-def _prefill_insert_impl(params, state, batch, slots, caps, rng, *,
+# The serving state is split in two: HOT buffers (the big ones the decode
+# loop updates in place — donated into every dispatch) and COLD scalars/
+# rows (never donated, so the scheduler can fetch a pre-dispatch snapshot
+# WHILE the next chunk runs on device — pipelined scheduling).
+_HOT_KEYS = ("cache", "valid", "presence")
+
+
+def _split_state(s):
+    return ({k: s[k] for k in _HOT_KEYS},
+            {k: v for k, v in s.items() if k not in _HOT_KEYS})
+
+
+def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng, *,
                          cfg: FusionConfig, gen: GenerationConfig):
     """Embed (with omics injection) + prefill + sample first tokens +
     insert for a GROUP of k same-bucket requests — ONE dispatch per
@@ -93,6 +105,7 @@ def _prefill_insert_impl(params, state, batch, slots, caps, rng, *,
     row; batching admissions amortizes both).
 
     batch arrays are [k, Sb]; slots/caps are [k]."""
+    state = {**hot, **cold}
     from ..models import fusion
     tcfg = cfg.text
     embed_keys = ("input_ids", "dna_rna_tokens", "dna_rna_pos",
@@ -133,7 +146,7 @@ def _prefill_insert_impl(params, state, batch, slots, caps, rng, *,
     done0 = jnp.logical_or(tok0 == gen.eos_token_id, caps <= 1)
     s["active"] = s["active"].at[slots].set(~done0)
     s["finished"] = s["finished"].at[slots].set(done0)
-    return s
+    return _split_state(s)
 
 
 def _decode_impl(params, state, rng, *, cfg: FusionConfig,
@@ -176,7 +189,7 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     return s
 
 
-def _decode_chunk_impl(params, state, rng, *, cfg, gen, prompt_cols,
+def _decode_chunk_impl(params, hot, cold, rng, *, cfg, gen, prompt_cols,
                        ring_cols, n_steps):
     """Up to n_steps decode steps in ONE dispatch (early exit when every
     slot finishes). Scheduler host syncs (flag reads, rng splits) cost
@@ -193,8 +206,9 @@ def _decode_chunk_impl(params, state, rng, *, cfg, gen, prompt_cols,
                           ring_cols=ring_cols)
         return st, i + 1
 
-    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-    return state
+    state, _ = jax.lax.while_loop(cond, body, ({**hot, **cold},
+                                               jnp.int32(0)))
+    return _split_state(state)
 
 
 # jitted callables cached at module level: engine instances with the same
@@ -267,10 +281,12 @@ class ServingEngine:
                 "finished": jnp.zeros((B,), bool),
             }
 
-        self.state = init_state()
+        self.hot, self.cold = _split_state(init_state())
         self._slot_uid: List[Any] = [None] * n_slots
         self._pending: List[Request] = []
         self._results: Dict[Any, np.ndarray] = {}
+        self._stale = None        # last host-known (active, finished,
+        self._stale_cold = None   # out_len) + the cold dict they came from
 
     # ---- scheduler ----------------------------------------------------
 
@@ -281,11 +297,14 @@ class ServingEngine:
         raise ValueError(f"prompt length {n} exceeds max bucket "
                          f"{self.buckets[-1]}")
 
-    def _fetch_status(self):
+    def _refresh_status(self, cold) -> None:
         """ONE host sync for everything the scheduler needs (each transfer
-        over a tunneled TPU costs ~10-25 ms — never fetch piecemeal)."""
-        return jax.device_get((self.state["active"], self.state["finished"],
-                               self.state["out_len"]))
+        over a tunneled TPU costs ~10-25 ms — never fetch piecemeal).
+        ``cold`` is never donated, so fetching a PRE-dispatch snapshot
+        overlaps with whatever chunk is running on device."""
+        self._stale = jax.device_get((cold["active"], cold["finished"],
+                                      cold["out_len"]))
+        self._stale_cold = cold
 
     def _start_group(self, reqs: List[Request], slots: List[int]) -> None:
         """Admit k same-bucket requests in one dispatch."""
@@ -312,40 +331,54 @@ class ServingEngine:
         caps = [max(1, min(r.max_new_tokens or self.gen.max_new_tokens,
                            self.gen.max_new_tokens, self.ring_cols))
                 for r in reqs]
-        self.state = self._prefill_insert(
-            self.params, self.state, jb,
+        self.hot, self.cold = self._prefill_insert(
+            self.params, self.hot, self.cold, jb,
             jnp.asarray(slots, jnp.int32), jnp.asarray(caps, jnp.int32), r1)
         for r, slot in zip(reqs, slots):
             self._slot_uid[slot] = r.uid
 
-    def _collect(self, fin, olen) -> List[int]:
-        """Harvest finished slots (one out_buf row fetch per completion);
-        returns the freed slot indices."""
-        freed = []
-        for i in range(self.n_slots):
-            if fin[i] and self._slot_uid[i] is not None:
-                n = int(olen[i])
-                self._results[self._slot_uid[i]] = np.asarray(
-                    self.state["out_buf"][i, :n])
-                self._slot_uid[i] = None
-                freed.append(i)
-        if freed:
-            self.state["finished"] = self.state["finished"].at[
-                jnp.asarray(freed)].set(False)
-        return freed
+    def _collect(self, fin, olen, cold_src) -> List[int]:
+        """Harvest finished slots from a (possibly stale) cold snapshot —
+        a finished slot's out_buf row is final, so stale is safe. Rows are
+        sliced on DEVICE and fetched lazily (materialized at run() end):
+        a blocking host fetch per completion round would cost a ~25 ms
+        round trip each."""
+        idxs = [i for i in range(self.n_slots)
+                if fin[i] and self._slot_uid[i] is not None]
+        if not idxs:
+            return []
+        rows = cold_src["out_buf"][np.asarray(idxs)]  # async device slice
+        for j, i in enumerate(idxs):
+            self._results[self._slot_uid[i]] = (rows, j, int(olen[i]))
+            self._slot_uid[i] = None
+        self.cold["finished"] = self.cold["finished"].at[
+            jnp.asarray(idxs)].set(False)
+        return idxs
+
+    def _materialize(self) -> Dict[Any, np.ndarray]:
+        out = {}
+        for uid, v in self._results.items():
+            if isinstance(v, tuple):
+                rows, j, n = v
+                v = np.asarray(rows)[j, :n]
+                self._results[uid] = v
+            out[uid] = v
+        return out
 
     def submit(self, req: Request) -> None:
         self._pending.append(req)
 
     def step(self) -> bool:
-        """One scheduling round: harvest completions, admit as many pending
-        requests as slots allow, then decode one chunk for the active
-        slots. Returns False when idle (nothing pending, nothing active)."""
-        act, fin, olen = self._fetch_status()
-        freed = self._collect(fin, olen)
+        """One scheduling round, pipelined: harvest completions and admit
+        using the last host-known status (one chunk stale), dispatch the
+        next decode chunk, then fetch the pre-dispatch status WHILE that
+        chunk runs. Returns False when idle (nothing pending or active)."""
+        if self._stale is None:
+            self._refresh_status(self.cold)
+        act, fin, olen = self._stale
+        self._collect(fin, olen, self._stale_cold)
         free = [i for i in range(self.n_slots)
-                if (i in freed or (not act[i] and not fin[i]))
-                and self._slot_uid[i] is None]
+                if self._slot_uid[i] is None]
         admitted = False
         while self._pending and free:
             # group same-bucket pending requests; group size rounded down
@@ -363,8 +396,20 @@ class ServingEngine:
             self._start_group(group, [free.pop(0) for _ in group])
             admitted = True
         if admitted or bool(np.any(act)):
+            prev_cold = self.cold
             self.rng, r = jax.random.split(self.rng)
-            self.state = self._decode(self.params, self.state, r)
+            self.hot, self.cold = self._decode(self.params, self.hot,
+                                               self.cold, r)
+            # overlapped fetch: prev_cold's buffers are alive (cold is
+            # never donated) and already computed when the chunk starts
+            self._refresh_status(prev_cold)
+            return True
+        # stale status says idle — confirm against the true current state
+        self._refresh_status(self.cold)
+        act2, fin2, _ = self._stale
+        if bool(np.any(act2)) or any(
+                fin2[i] and self._slot_uid[i] is not None
+                for i in range(self.n_slots)):
             return True
         return bool(self._pending)
 
@@ -373,6 +418,7 @@ class ServingEngine:
             self.submit(r)
         while self.step():
             pass
-        act, fin, olen = self._fetch_status()
-        self._collect(fin, olen)
-        return dict(self._results)
+        self._refresh_status(self.cold)
+        act, fin, olen = self._stale
+        self._collect(fin, olen, self.cold)
+        return self._materialize()

@@ -163,3 +163,34 @@ def test_decode_chunking_parity(setup):
                         prefill_buckets=(16,), decode_chunk=4).run(list(reqs))
     for i in range(3):
         np.testing.assert_array_equal(got[i], ref[i])
+
+
+def test_inference_cli_serve_matches_static(tmp_path):
+    """--serve produces the same greedy JSONL outputs as static batching
+    through the real CLI (tiny model, tiny parquet)."""
+    import json
+    from test_train_cli import _toy_parquet
+    from molly_tpu.inference.cli import main as infer_main
+
+    data = str(tmp_path / "d.parquet")
+    _toy_parquet(data, 6)
+    common = [
+        "--input-file", data, "--tiny", "--greedy",
+        "--max-length", "256", "--max-new-tokens", "6",
+        "--dna-rna-k-tokens", "4", "--protein-k-tokens", "4",
+        "--batch-size", "3",
+    ]
+    static_out = str(tmp_path / "static.jsonl")
+    infer_main(common + ["--output-file", static_out])
+    serve_out = str(tmp_path / "serve.jsonl")
+    infer_main(common + ["--output-file", serve_out, "--serve",
+                         "--serve-chunk", "2"])
+
+    static = [json.loads(l) for l in open(static_out)]
+    serve = [json.loads(l) for l in open(serve_out)]
+    assert len(static) == len(serve) == 6
+    s_by_input = {r["input"]: r for r in static}
+    for r in serve:
+        ref = s_by_input[r["input"]]
+        assert r["decoded_output"] == ref["decoded_output"]
+        assert r["task"] == ref["task"]
