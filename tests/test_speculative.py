@@ -1,0 +1,75 @@
+"""Speculative decoding: token-exact parity with target-only greedy
+generation, for both a perfect draft (same model) and a disagreeing draft
+(different random model), plus EOS semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from molly_tpu.inference.engine import GenerationConfig, _generate_from_embeds
+from molly_tpu.inference.speculative import generate_speculative
+from molly_tpu.models import qwen3, tiny_qwen3
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = tiny_qwen3(num_hidden_layers=2, vocab_size=128)
+    target = qwen3.init_params(cfg, jax.random.key(0))
+    draft_cfg = tiny_qwen3(num_hidden_layers=1, vocab_size=128,
+                           hidden_size=32, intermediate_size=64)
+    draft = qwen3.init_params(draft_cfg, jax.random.key(9))
+    return cfg, target, draft_cfg, draft
+
+
+def _target_greedy(params, cfg, ids, gen):
+    embeds = qwen3.embed_tokens(params, ids)
+    mask = jnp.ones(ids.shape, jnp.int32)
+    return np.asarray(_generate_from_embeds(
+        params, cfg, embeds, mask, gen, jax.random.key(0)))
+
+
+@pytest.mark.parametrize("k", [1, 3, 4])
+def test_perfect_draft_matches_greedy(models, k):
+    cfg, target, _, _ = models
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(2, 128, (1, 9)), jnp.int32)
+    ref = _target_greedy(target, cfg, ids, gen)
+    got = np.asarray(generate_speculative(target, cfg, target, cfg, ids,
+                                          gen, k=k))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_disagreeing_draft_still_exact(models):
+    cfg, target, draft_cfg, draft = models
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    ids = jnp.asarray(
+        np.random.default_rng(2).integers(2, 128, (1, 7)), jnp.int32)
+    ref = _target_greedy(target, cfg, ids, gen)
+    got = np.asarray(generate_speculative(target, cfg, draft, draft_cfg,
+                                          ids, gen, k=3))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_eos_stops_and_pads(models):
+    cfg, target, draft_cfg, draft = models
+    gen0 = GenerationConfig(max_new_tokens=12, do_sample=False,
+                            repetition_penalty=1.0, eos_token_id=-1,
+                            pad_token_id=0)
+    ids = jnp.asarray(
+        np.random.default_rng(3).integers(2, 128, (1, 8)), jnp.int32)
+    free = _target_greedy(target, cfg, ids, gen0)[0]
+    eos = int(free[3])
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=eos,
+                           pad_token_id=0)
+    ref = _target_greedy(target, cfg, ids, gen)
+    got = np.asarray(generate_speculative(target, cfg, draft, draft_cfg,
+                                          ids, gen, k=3))
+    np.testing.assert_array_equal(got, ref)
