@@ -163,10 +163,16 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
     from ..data import collate_test, iterate_batches
     from .server import Request, ServingEngine
 
+    # every molly prompt starts with the dataset's fixed system prompt —
+    # its KV is computed once and shared across all requests; buckets
+    # bound the per-request SUFFIX
+    prefix_ids = ds.encoder.system_prompt_ids
+    s_pre = len(prefix_ids)
     eng = ServingEngine(params, cfg, gen, n_slots=args.batch_size,
                         max_len=args.max_length + gen.max_new_tokens,
-                        prefill_buckets=(args.max_length,),
-                        decode_chunk=args.serve_chunk, rng=rng)
+                        prefill_buckets=(args.max_length - s_pre,),
+                        decode_chunk=args.serve_chunk,
+                        prefix_ids=prefix_ids, rng=rng)
     meta = {}
     arr_keys = ("input_ids", "attention_mask", "dna_rna_tokens",
                 "dna_rna_pos", "protein_tokens", "protein_pos")

@@ -96,15 +96,19 @@ def _split_state(s):
             {k: v for k, v in s.items() if k not in _HOT_KEYS})
 
 
-def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng, *,
-                         cfg: FusionConfig, gen: GenerationConfig):
+def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng,
+                         kv_pre, *, cfg: FusionConfig,
+                         gen: GenerationConfig, s_pre: int = 0):
     """Embed (with omics injection) + prefill + sample first tokens +
     insert for a GROUP of k same-bucket requests — ONE dispatch per
     admission group (each separate dispatch over a tunneled TPU costs a
     ~10-25 ms round trip, and a B=1 prefill reads all the weights for one
     row; batching admissions amortizes both).
 
-    batch arrays are [k, Sb]; slots/caps are [k]."""
+    batch arrays are [k, Sb]; slots/caps are [k]. With prefix caching
+    (s_pre > 0), ``kv_pre`` [L, 1, Nkv, s_pre, 2Dh] is the precomputed KV
+    of the shared prompt prefix (molly's fixed system prompt) and the
+    batch holds only the SUFFIX — prefill cost drops accordingly."""
     state = {**hot, **cold}
     from ..models import fusion
     tcfg = cfg.text
@@ -114,12 +118,21 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng, *,
         params, cfg, {k: batch[k] for k in embed_keys if k in batch})
     mask = batch["attention_mask"]
     k, Sb = mask.shape
-    cache = qwen3.init_cache(tcfg, k, Sb)
-    positions = jnp.maximum(
+    cache = qwen3.init_cache(tcfg, k, s_pre + Sb)
+    positions = s_pre + jnp.maximum(
         jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
+    if s_pre:
+        cache["kv"] = cache["kv"].at[:, :, :, :s_pre, :].set(
+            kv_pre.astype(cache["kv"].dtype))
+        full_mask = jnp.concatenate(
+            [jnp.ones((k, s_pre), jnp.int32), mask.astype(jnp.int32)],
+            axis=1)
+    else:
+        full_mask = mask
     hidden, cache = qwen3.forward_hidden(
-        params["text"], tcfg, inputs_embeds=embeds, attention_mask=mask,
-        positions=positions, cache=cache, cache_index=0)
+        params["text"], tcfg, inputs_embeds=embeds,
+        attention_mask=full_mask, positions=positions, cache=cache,
+        cache_index=s_pre)
     logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, -1])
     presence = jnp.zeros((k, tcfg.vocab_size), bool)
     tok0 = sample_tokens(
@@ -129,13 +142,13 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng, *,
     presence = presence.at[jnp.arange(k), tok0].set(True)
 
     s = dict(state)
-    # each request's prompt KV occupies columns [0, Sb) of its slot
-    s["cache"] = s["cache"].at[:, slots, :, :Sb, :].set(
+    # each request's (prefix ‖) prompt KV fills columns [0, s_pre + Sb)
+    s["cache"] = s["cache"].at[:, slots, :, :s_pre + Sb, :].set(
         cache["kv"].astype(s["cache"].dtype))
     rows = jnp.zeros((k, s["valid"].shape[1]), jnp.int32)
-    rows = rows.at[:, :Sb].set(mask.astype(jnp.int32))
+    rows = rows.at[:, :s_pre + Sb].set(full_mask)
     s["valid"] = s["valid"].at[slots].set(rows)
-    s["n_real"] = s["n_real"].at[slots].set(jnp.sum(mask, axis=1))
+    s["n_real"] = s["n_real"].at[slots].set(jnp.sum(full_mask, axis=1))
     s["last_tok"] = s["last_tok"].at[slots].set(tok0)
     s["presence"] = s["presence"].at[slots].set(presence)
     out_rows = jnp.full((k, s["out_buf"].shape[1]), gen.pad_token_id,
@@ -215,9 +228,25 @@ def _decode_chunk_impl(params, hot, cold, rng, *, cfg, gen, prompt_cols,
 # (cfg, gen, ...) share compiled executables (a fresh functools.partial per
 # instance would defeat jax's jit cache and recompile everything)
 @lru_cache(maxsize=None)
-def _prefill_insert_fn(cfg, gen):
-    return jax.jit(partial(_prefill_insert_impl, cfg=cfg, gen=gen),
+def _prefill_insert_fn(cfg, gen, s_pre=0):
+    return jax.jit(partial(_prefill_insert_impl, cfg=cfg, gen=gen,
+                           s_pre=s_pre),
                    donate_argnums=(1,))
+
+
+@lru_cache(maxsize=None)
+def _prefix_kv_fn(cfg):
+    def impl(params, prefix_ids):
+        tcfg = cfg.text
+        S = prefix_ids.shape[1]
+        cache = qwen3.init_cache(tcfg, 1, S)
+        emb = qwen3.embed_tokens(params["text"], prefix_ids)
+        _, cache = qwen3.forward_hidden(
+            params["text"], tcfg, inputs_embeds=emb,
+            attention_mask=jnp.ones((1, S), jnp.int32),
+            positions=jnp.arange(S)[None, :], cache=cache, cache_index=0)
+        return cache["kv"]
+    return jax.jit(impl)
 
 
 @lru_cache(maxsize=None)
@@ -244,20 +273,39 @@ class ServingEngine:
                  max_len: int = 1024,
                  prefill_buckets=(64, 128, 256, 512, 1024),
                  decode_chunk: int = 1,
+                 prefix_ids=None,
                  rng: Optional[jax.Array] = None):
+        """prefix_ids: token ids of a prompt prefix shared by EVERY request
+        (molly's fixed system prompt — the dataset pre-encodes it,
+        /root/reference/src/dataset/omics_dataset.py:87-92). Its KV is
+        computed once and copied into each slot at admission; requests then
+        prefill only their suffix. Buckets bound SUFFIX lengths."""
         assert params.get("lora") is None, "merge LoRA adapters first"
         self.params = params
         self.cfg = cfg
         self.gen = gen
         self.n_slots = n_slots
         self.max_len = max_len
+        tcfg = cfg.text
+        if prefix_ids is not None:
+            self.prefix_ids = np.asarray(prefix_ids,
+                                         np.int32).reshape(-1)
+            self.s_pre = int(self.prefix_ids.size)
+            self._kv_pre = _prefix_kv_fn(cfg)(
+                params, jnp.asarray(self.prefix_ids)[None])
+        else:
+            self.prefix_ids = None
+            self.s_pre = 0
+            self._kv_pre = jnp.zeros(
+                (tcfg.num_hidden_layers, 1, tcfg.num_key_value_heads, 0,
+                 2 * tcfg.head_dim), jnp.dtype(tcfg.dtype))
         self.buckets = tuple(sorted(b for b in prefill_buckets
-                                    if b < max_len))
+                                    if b + self.s_pre < max_len))
         assert self.buckets, (prefill_buckets, max_len)
-        self.prompt_cols = self.buckets[-1]
+        self.prompt_cols = self.s_pre + self.buckets[-1]
         self.ring_cols = max_len - self.prompt_cols
         self.rng = rng if rng is not None else jax.random.key(0)
-        self._prefill_insert = _prefill_insert_fn(cfg, gen)
+        self._prefill_insert = _prefill_insert_fn(cfg, gen, self.s_pre)
         self._decode = _decode_fn(cfg, gen, self.prompt_cols,
                                   self.ring_cols, decode_chunk)
         tcfg = cfg.text
@@ -297,6 +345,45 @@ class ServingEngine:
         raise ValueError(f"prompt length {n} exceeds max bucket "
                          f"{self.buckets[-1]}")
 
+    def _strip_prefix(self, batch):
+        """Remove left padding + the shared prefix from a single-sample
+        batch; shift omics segment positions to suffix coordinates."""
+        ids = np.asarray(batch["input_ids"])[0]
+        mask = np.asarray(batch.get("attention_mask",
+                                    np.ones_like(ids)))[0]
+        start = int(np.argmax(mask)) if mask.any() else len(ids)
+        content = ids[start:]
+        if not np.array_equal(content[:self.s_pre], self.prefix_ids):
+            raise ValueError(
+                "request prompt does not start with the configured "
+                "prefix_ids — disable prefix caching for this request mix")
+        shift = start + self.s_pre
+        out = dict(batch)
+        out["input_ids"] = content[None, self.s_pre:]
+        out["attention_mask"] = np.ones((1, content.size - self.s_pre),
+                                        np.int32)
+        for key in ("dna_rna_pos", "protein_pos"):
+            if key in batch:
+                pos = np.asarray(batch[key])
+                shifted = np.where(pos >= 0, pos - shift, pos)
+                if (shifted[pos >= 0] < 0).any():
+                    raise ValueError("omics segment inside the shared "
+                                     "prefix is not supported")
+                out[key] = shifted
+        return out
+
+    def _eff_batch(self, req: Request):
+        return (self._strip_prefix(req.batch) if self.s_pre
+                else req.batch)
+
+    def _eff_len(self, req: Request) -> int:
+        if self.s_pre:
+            mask = np.asarray(req.batch.get(
+                "attention_mask",
+                np.ones_like(np.asarray(req.batch["input_ids"]))))
+            return int(mask.sum()) - self.s_pre
+        return np.asarray(req.batch["input_ids"]).shape[1]
+
     def _refresh_status(self, cold) -> None:
         """ONE host sync for everything the scheduler needs (each transfer
         over a tunneled TPU costs ~10-25 ms — never fetch piecemeal).
@@ -308,10 +395,11 @@ class ServingEngine:
 
     def _start_group(self, reqs: List[Request], slots: List[int]) -> None:
         """Admit k same-bucket requests in one dispatch."""
+        batches = [self._eff_batch(r) for r in reqs]
         bucket = self._bucket_for(
-            np.asarray(reqs[0].batch["input_ids"]).shape[1])
-        padded = [_pad_to_bucket(r.batch, bucket, self.gen.pad_token_id)
-                  for r in reqs]
+            np.asarray(batches[0]["input_ids"]).shape[1])
+        padded = [_pad_to_bucket(b, bucket, self.gen.pad_token_id)
+                  for b in batches]
         keys = set().union(*(p.keys() for p in padded))
         jb = {}
         for key in keys:
@@ -333,7 +421,8 @@ class ServingEngine:
                 for r in reqs]
         self.hot, self.cold = self._prefill_insert(
             self.params, self.hot, self.cold, jb,
-            jnp.asarray(slots, jnp.int32), jnp.asarray(caps, jnp.int32), r1)
+            jnp.asarray(slots, jnp.int32), jnp.asarray(caps, jnp.int32),
+            r1, self._kv_pre)
         for r, slot in zip(reqs, slots):
             self._slot_uid[slot] = r.uid
 
@@ -383,12 +472,10 @@ class ServingEngine:
         while self._pending and free:
             # group same-bucket pending requests; group size rounded down
             # to a power of two to bound the number of compiled variants
-            bucket = self._bucket_for(
-                np.asarray(self._pending[0].batch["input_ids"]).shape[1])
+            bucket = self._bucket_for(self._eff_len(self._pending[0]))
             idxs = [i for i, r in enumerate(self._pending)
-                    if self._bucket_for(
-                        np.asarray(r.batch["input_ids"]).shape[1])
-                    == bucket][:len(free)]
+                    if self._bucket_for(self._eff_len(r)) == bucket
+                    ][:len(free)]
             k = 1 << (len(idxs).bit_length() - 1)
             group = [self._pending[i] for i in idxs[:k]]
             for i in reversed(idxs[:k]):

@@ -194,3 +194,48 @@ def test_inference_cli_serve_matches_static(tmp_path):
         ref = s_by_input[r["input"]]
         assert r["decoded_output"] == ref["decoded_output"]
         assert r["task"] == ref["task"]
+
+
+def test_prefix_caching_parity(setup):
+    """Engine with a shared-prefix KV cache produces the same greedy
+    outputs as the plain engine on prompts that share that prefix."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(11)
+    prefix = rng.integers(1, 64, 6).astype(np.int32)
+    reqs = []
+    for i in range(3):
+        suffix = rng.integers(1, 64, (1, 5 + i)).astype(np.int32)
+        ids = np.concatenate([prefix[None], suffix], axis=1)
+        batch = {"input_ids": ids,
+                 "attention_mask": np.ones_like(ids),
+                 "dna_rna_tokens": rng.integers(2, 16, (1, 1, 4)).astype(
+                     np.int32),
+                 # segment in the suffix (position is prompt-relative)
+                 "dna_rna_pos": np.asarray([[6 + i]], np.int32)}
+        reqs.append(Request(uid=i, batch=batch))
+
+    plain = ServingEngine(params, cfg, gen, n_slots=2, max_len=32,
+                          prefill_buckets=(16,)).run(list(reqs))
+    cached = ServingEngine(params, cfg, gen, n_slots=2, max_len=32,
+                           prefill_buckets=(16,),
+                           prefix_ids=prefix).run(list(reqs))
+    for i in range(3):
+        np.testing.assert_array_equal(cached[i], plain[i])
+
+
+def test_prefix_mismatch_raises(setup):
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                           eos_token_id=-1, pad_token_id=0)
+    prefix = np.arange(1, 7, dtype=np.int32)
+    eng = ServingEngine(params, cfg, gen, n_slots=1, max_len=32,
+                        prefill_buckets=(8,), prefix_ids=prefix)
+    bad = Request(uid=0, batch={
+        "input_ids": np.full((1, 10), 9, np.int32),
+        "attention_mask": np.ones((1, 10), np.int32)})
+    eng.submit(bad)
+    with pytest.raises(ValueError):
+        eng.run([])
