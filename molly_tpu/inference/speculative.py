@@ -25,7 +25,6 @@ Greedy only (matches ``--greedy`` serving); sampled speculative decoding
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -108,6 +108,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "and runs ring attention in the decoder (long-"
                         "context training beyond the reference's single-"
                         "device cap, SURVEY.md §5.7)")
+    p.add_argument("--mesh-pipe", type=int, default=1,
+                   help="pipeline-parallel stage count: decoder layers "
+                        "sharded over a (pipe, data) mesh, GPipe clock "
+                        "loop (parallel.pipeline); excludes fsdp/tensor/"
+                        "seq axes and LoRA")
+    p.add_argument("--pp-microbatches", type=int, default=2,
+                   help="microbatches per step under --mesh-pipe")
     return p
 
 
@@ -224,20 +231,32 @@ def run_training(args) -> dict:
     lora_cfg = (LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
                            dropout=args.lora_dropout)
                 if args.use_lora else None)
+    use_pp = args.mesh_pipe > 1
     tc = TrainConfig(
         learning_rate=args.lr, warmup_ratio=args.warmup,
         total_steps=total_steps, schedule=args.lr_decay_style,
         weight_decay=args.weight_decay, grad_clip=args.clip_grad_max_norm,
         accum_steps=args.gradient_accumulation_steps,
         train_bio=args.train_bio, train_mlp=args.train_mlp,
-        train_llm=args.train_llm, lora=lora_cfg, z_loss=args.z_loss)
+        train_llm=args.train_llm, lora=lora_cfg, z_loss=args.z_loss,
+        pp_micro=args.pp_microbatches if use_pp else 0)
 
     if lora_cfg:
+        assert not use_pp, "--use-lora is unsupported under --mesh-pipe"
         params = attach_lora(params, cfg, lora_cfg, jax.random.key(1))
 
     # ---- mesh + sharding (replaces NCCL/ZeRO init, train.py:606-620) ----
-    mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                     tensor=args.mesh_tensor, seq=args.mesh_seq)
+    if use_pp:
+        from ..parallel.pipeline import make_pp_mesh
+        assert args.mesh_tensor == 1 and args.mesh_seq == 1, (
+            "--mesh-pipe uses a (pipe, data) mesh; tensor/seq axes "
+            "compose with the fsdp mesh instead")
+        n_dev = len(jax.devices())
+        mesh = make_pp_mesh(pipe=args.mesh_pipe,
+                            data=n_dev // args.mesh_pipe)
+    else:
+        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                         tensor=args.mesh_tensor, seq=args.mesh_seq)
     print_rank_0(f"mesh: {dict(mesh.shape)}")
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -259,8 +278,30 @@ def run_training(args) -> dict:
     except ValueError:
         pass  # non-main thread (tests)
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if use_pp:
+        from ..parallel.pipeline import pp_param_specs
+
+        def put_params(p):
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                p, pp_param_specs(p))
+
+        def put_batch(b):
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P("data")), np.asarray(x)), b)
+    else:
+        def put_params(p):
+            return shard_params(p, mesh)
+
+        def put_batch(b):
+            return make_global_batch(b, mesh,
+                                     seq_shard=args.mesh_seq > 1)
+
     with jax.sharding.set_mesh(mesh):
-        params = shard_params(params, mesh)
+        params = put_params(params)
         state = init_train_state(params, tc)
         del params
         if args.resume_from:
@@ -270,7 +311,8 @@ def run_training(args) -> dict:
         step_fn = jax.jit(make_train_step(cfg, tc))
 
         micro = args.batch_size_per_gpu * args.gradient_accumulation_steps
-        n_shard = mesh.shape["data"] * mesh.shape["fsdp"]
+        n_shard = (mesh.shape.get("data", 1)
+                   * mesh.shape.get("fsdp", 1))
         assert micro % n_shard == 0, (
             f"global microbatch {micro} must divide over data*fsdp={n_shard}")
         assert micro % pc == 0, (
@@ -278,13 +320,18 @@ def run_training(args) -> dict:
             f"process_count={pc}")
         local_micro = micro // pc  # rows THIS host feeds per global batch
 
-        eval_loss_fn = jax.jit(
-            lambda p, b: fusion.loss_fn(p, cfg, b)[0])
+        if use_pp:
+            from ..parallel.pipeline import pp_loss_fn as _pp_loss
+            eval_loss_fn = jax.jit(
+                lambda p, b: _pp_loss(p, cfg, b, n_micro=tc.pp_micro)[0])
+        else:
+            eval_loss_fn = jax.jit(
+                lambda p, b: fusion.loss_fn(p, cfg, b)[0])
 
         def run_eval() -> float:
             losses = []
             for eb in iterate_batches(eval_ds, local_micro, drop_last=True):
-                eb = make_global_batch(eb, mesh, seq_shard=args.mesh_seq > 1)
+                eb = put_batch(eb)
                 losses.append(float(eval_loss_fn(state.params, eb)))
             return float(np.mean(losses)) if losses else float("nan")
 
@@ -302,8 +349,7 @@ def run_training(args) -> dict:
                 break
             for batch in iterate_batches(train_ds, local_micro, shuffle=True,
                                          seed=args.seed, epoch=epoch):
-                batch = make_global_batch(batch, mesh,
-                                          seq_shard=args.mesh_seq > 1)
+                batch = put_batch(batch)
                 rng, srng = jax.random.split(rng)
                 timer.start()
                 with trace(args.profile_log_dir if step == 2 else None):

@@ -54,6 +54,10 @@ class TrainConfig:
     z_loss: float = 0.0
     # chunked linear+CE (ops.lce) instead of [B,S,V] logits
     fused_lce: bool = True
+    # pipeline parallelism: microbatch count for the GPipe clock loop over
+    # a "pipe" mesh axis (parallel.pipeline); 0 = off. LoRA not supported
+    # in the pipelined decoder path.
+    pp_micro: int = 0
 
 
 def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
@@ -150,19 +154,29 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
 
     lora_cfg = train_cfg.lora
 
-    def loss_fn(params, batch, rng):
-        from ..models import qwen3
-        embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
-        hidden, _ = qwen3.forward_hidden(
-            params["text"], model_cfg.text, inputs_embeds=embeds,
-            attention_mask=batch.get("attention_mask"),
-            lora=params.get("lora"),
-            lora_scale=lora_cfg.scale if lora_cfg else 1.0,
-            lora_dropout=lora_cfg.dropout if lora_cfg else 0.0,
-            dropout_rng=rng if (lora_cfg and lora_cfg.dropout > 0) else None)
-        return fusion.loss_from_hidden(
-            params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
-            fused_lce=train_cfg.fused_lce)
+    if train_cfg.pp_micro:
+        assert lora_cfg is None, "LoRA + pipeline parallelism unsupported"
+
+        def loss_fn(params, batch, rng):
+            from ..parallel.pipeline import pp_loss_fn
+            return pp_loss_fn(params, model_cfg, batch,
+                              n_micro=train_cfg.pp_micro,
+                              z_loss=train_cfg.z_loss)
+    else:
+        def loss_fn(params, batch, rng):
+            from ..models import qwen3
+            embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
+            hidden, _ = qwen3.forward_hidden(
+                params["text"], model_cfg.text, inputs_embeds=embeds,
+                attention_mask=batch.get("attention_mask"),
+                lora=params.get("lora"),
+                lora_scale=lora_cfg.scale if lora_cfg else 1.0,
+                lora_dropout=lora_cfg.dropout if lora_cfg else 0.0,
+                dropout_rng=rng if (lora_cfg and lora_cfg.dropout > 0)
+                else None)
+            return fusion.loss_from_hidden(
+                params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
+                fused_lce=train_cfg.fused_lce)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:

@@ -94,3 +94,58 @@ def test_pp_requires_layer_divisibility(setup):
         with pytest.raises(Exception):
             jax.jit(lambda p, b: pp_loss_fn(
                 p, cfg, b, n_micro=2)[0])(params, batch).block_until_ready()
+
+
+def test_pp_train_step_matches_plain(setup):
+    """make_train_step with pp_micro on a (pipe, data) mesh: first-step
+    loss equals the plain (unsharded) train step's."""
+    from molly_tpu.training import TrainConfig, init_train_state, \
+        make_train_step
+
+    cfg, params, batch = setup
+    tc = dict(learning_rate=1e-3, total_steps=4,
+              train_bio=True, train_mlp=True, train_llm=True)
+    plain_tc = TrainConfig(**tc)
+    pp_tc = TrainConfig(**tc, pp_micro=2)
+    batch = {**batch, "task_label": np.zeros((4,), np.int32)}
+
+    state = init_train_state(params, plain_tc)
+    _, m_ref = jax.jit(make_train_step(cfg, plain_tc))(
+        state, batch, jax.random.key(1))
+
+    mesh = make_pp_mesh(pipe=4, data=2)
+    specs = pp_param_specs(params)
+    with jax.sharding.set_mesh(mesh):
+        sp = jax.tree.map(
+            lambda x, s: jax.device_put(
+                x, jax.sharding.NamedSharding(mesh, s)), params, specs)
+        state = init_train_state(sp, pp_tc)
+        state, m_pp = jax.jit(make_train_step(cfg, pp_tc))(
+            state, batch, jax.random.key(1))
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(m_pp["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-3)
+
+
+def test_train_cli_pipeline(tmp_path):
+    """Train CLI end-to-end with --mesh-pipe 2 (GPipe decoder)."""
+    from test_train_cli import _toy_parquet
+    from molly_tpu.training.cli import build_argparser, run_training
+
+    train_p = str(tmp_path / "train.parquet")
+    _toy_parquet(train_p, 8)
+    argv = [
+        "--train-dataset-path", train_p,
+        "--output-dir", str(tmp_path / "run"),
+        "--tiny", "--dtype", "float32",
+        "--max-len", "192",
+        "--dna-rna-k-tokens", "4", "--protein-k-tokens", "4",
+        "--batch-size-per-gpu", "4", "--epochs", "1", "--train-iters", "2",
+        "--log-interval", "1", "--lr", "1e-3",
+        "--mesh-pipe", "2", "--pp-microbatches", "2",
+    ]
+    args = build_argparser().parse_args(argv)
+    result = run_training(args)
+    assert result["steps"] == 2
+    assert 0 < result["final_loss"] < 20
