@@ -36,6 +36,9 @@ class Qwen3Config:
     # beyond the reference's single-device cap (SURVEY.md §5.7). Training
     # (no-cache) path only; requires running under a mesh with a seq axis.
     context_parallel: bool = False
+    # zigzag layout: balance causal work across the ring (each device
+    # holds an early AND a late chunk of the sequence)
+    context_parallel_zigzag: bool = False
 
     @property
     def q_dim(self) -> int:

@@ -134,8 +134,9 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
             # ring attention over the mesh "seq" axis: only the seq dim
             # goes manual (shard_map), batch/fsdp/tensor stay with GSPMD
             from ..parallel.ring_attention import ring_attention_sharded
-            attn = ring_attention_sharded(q, kk, v, mask, causal=causal,
-                                          scale=Dh ** -0.5)
+            attn = ring_attention_sharded(
+                q, kk, v, mask, causal=causal, scale=Dh ** -0.5,
+                zigzag=cfg.context_parallel_zigzag)
         else:
             attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
                                          scale=Dh ** -0.5)

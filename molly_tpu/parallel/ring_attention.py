@@ -17,11 +17,15 @@ TPU-native long-context extension that SURVEY.md §7 reserved as a seam:
     materialization is wrapped in ``jax.checkpoint`` to keep the backward
     memory at one chunk's worth.
 
-Causal note: with a causal mask, later ring positions hold fully-masked
-chunks for early queries (standard ring attention's load imbalance). The
-zigzag/striped variant that balances this is documented future work; the
-masked chunks here cost compute but stay correct (their partials carry
-m = -inf and merge as zeros).
+Causal note: with a causal mask, the PLAIN contiguous layout gives later
+devices strictly more unmasked work (standard ring imbalance). The ZIGZAG
+layout (``zigzag=True``) balances it: each device holds chunk ``i`` AND
+chunk ``2P-1-i`` of the sequence, so every device sees the same mix of
+early and late positions. Causality is tracked through explicit per-token
+position vectors (which rotate around the ring with their KV), so the
+math is identical — only the assignment of tokens to devices changes.
+``zigzag_permute``/``zigzag_unpermute`` convert between the natural and
+zigzag sequence orders.
 """
 
 from __future__ import annotations
@@ -37,12 +41,13 @@ SEQ_AXIS = "seq"
 _NEG_INF = -1e30
 
 
-def _chunk_attention(q, k, v, kv_mask, q_off, kv_off, causal, scale):
+def _chunk_attention(q, k, v, kv_mask, q_pos, kv_pos, causal, scale):
     """Unnormalized attention of local q against one KV chunk.
 
-    q [B, Sq, Nq, D]; k/v [B, Sk, Nkv, D]; kv_mask [B, Sk] (1 = keep).
-    Returns (o [B, Nkv, G, Sq, D] f32 unnormalized, m [B, Nkv, G, Sq],
-    l [B, Nkv, G, Sq]) — the online-softmax partials for this chunk.
+    q [B, Sq, Nq, D]; k/v [B, Sk, Nkv, D]; kv_mask [B, Sk] (1 = keep);
+    q_pos [Sq] / kv_pos [Sk] global token positions (non-contiguous under
+    the zigzag layout). Returns (o [B, Nkv, G, Sq, D] f32 unnormalized,
+    m [B, Nkv, G, Sq], l [B, Nkv, G, Sq]) — online-softmax partials.
     """
     B, Sq, Nq, D = q.shape
     Nkv = k.shape[2]
@@ -53,8 +58,6 @@ def _chunk_attention(q, k, v, kv_mask, q_off, kv_off, causal, scale):
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, None, :] != 0, s, _NEG_INF)
     if causal:
-        q_pos = q_off + jnp.arange(Sq)
-        kv_pos = kv_off + jnp.arange(k.shape[1])
         s = jnp.where(q_pos[:, None] >= kv_pos[None, :], s, _NEG_INF)
     m = jnp.max(s, axis=-1)                       # [B, Nkv, G, Sq]
     p = jnp.exp(s - m[..., None])
@@ -75,12 +78,15 @@ def ring_attention(
     axis_name: str = SEQ_AXIS,
     causal: bool = True,
     scale: Optional[float] = None,
+    zigzag: bool = False,
 ) -> jnp.ndarray:
     """Collective ring attention; call INSIDE shard_map over ``axis_name``.
 
     Every device computes attention of its local queries over the full
     (distributed) key/value sequence in ``axis_size`` steps, receiving the
-    next KV shard over the ring each step.
+    next KV shard over the ring each step. With ``zigzag=True`` the local
+    shard is assumed to hold global chunks ``idx`` and ``2P-1-idx`` (use
+    zigzag_permute on the sequence first) — balancing causal work.
     """
     B, S_loc, Nq, D = q.shape
     Nkv = k.shape[2]
@@ -89,7 +95,13 @@ def ring_attention(
         scale = D ** -0.5
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    q_off = idx * S_loc
+    if zigzag:
+        C = S_loc // 2
+        local_pos = jnp.concatenate(
+            [idx * C + jnp.arange(C),
+             (2 * n_dev - 1 - idx) * C + jnp.arange(C)])
+    else:
+        local_pos = idx * S_loc + jnp.arange(S_loc)
     if mask is None:
         mask = jnp.ones((B, S_loc), jnp.int32)
     # receive from the next device: after t steps we hold chunk (idx + t)
@@ -99,9 +111,9 @@ def ring_attention(
         partial(_chunk_attention, causal=causal, scale=scale))
 
     def step(carry, t):
-        o, m, l, k_cur, v_cur, mask_cur = carry
-        kv_off = ((idx + t) % n_dev) * S_loc
-        o_c, m_c, l_c = chunk(q, k_cur, v_cur, mask_cur, q_off, kv_off)
+        o, m, l, k_cur, v_cur, mask_cur, kvpos_cur = carry
+        o_c, m_c, l_c = chunk(q, k_cur, v_cur, mask_cur, local_pos,
+                              kvpos_cur)
         m_new = jnp.maximum(m, m_c)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_c - m_new)
@@ -110,7 +122,8 @@ def ring_attention(
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         mask_nxt = jax.lax.ppermute(mask_cur, axis_name, perm)
-        return (o, m_new, l, k_nxt, v_nxt, mask_nxt), None
+        kvpos_nxt = jax.lax.ppermute(kvpos_cur, axis_name, perm)
+        return (o, m_new, l, k_nxt, v_nxt, mask_nxt, kvpos_nxt), None
 
     # initial accumulators are device-invariant; mark them "varying" over
     # the ring axis so the scan carry type stays consistent
@@ -120,11 +133,34 @@ def ring_attention(
     o0 = vary(jnp.zeros((B, Nkv, G, S_loc, D), jnp.float32))
     m0 = vary(jnp.full((B, Nkv, G, S_loc), _NEG_INF, jnp.float32))
     l0 = vary(jnp.zeros((B, Nkv, G, S_loc), jnp.float32))
-    (o, _, l, _, _, _), _ = jax.lax.scan(
-        step, (o0, m0, l0, k, v, mask), jnp.arange(n_dev))
+    (o, _, l, _, _, _, _), _ = jax.lax.scan(
+        step, (o0, m0, l0, k, v, mask, local_pos), jnp.arange(n_dev))
     o = o / jnp.maximum(l, 1e-30)[..., None]
     # [B, Nkv, G, Sq, D] -> [B, Sq, Nq, D]
     return o.transpose(0, 3, 1, 2, 4).reshape(B, S_loc, Nq, D).astype(q.dtype)
+
+
+def zigzag_order(S: int, n_dev: int) -> jnp.ndarray:
+    """Permutation π with zigzag[i] = natural[π[i]]: device d's shard holds
+    global chunks d and 2*n_dev-1-d (chunk size S / (2*n_dev))."""
+    assert S % (2 * n_dev) == 0, (S, n_dev)
+    C = S // (2 * n_dev)
+    order = []
+    for d in range(n_dev):
+        order.extend(range(d * C, (d + 1) * C))
+        order.extend(range((2 * n_dev - 1 - d) * C,
+                           (2 * n_dev - d) * C))
+    return jnp.asarray(order)
+
+
+def zigzag_permute(x: jnp.ndarray, n_dev: int, axis: int = 1):
+    return jnp.take(x, zigzag_order(x.shape[axis], n_dev), axis=axis)
+
+
+def zigzag_unpermute(x: jnp.ndarray, n_dev: int, axis: int = 1):
+    order = zigzag_order(x.shape[axis], n_dev)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.size))
+    return jnp.take(x, inv, axis=axis)
 
 
 def ring_attention_sharded(
@@ -136,22 +172,36 @@ def ring_attention_sharded(
     axis_name: str = SEQ_AXIS,
     causal: bool = True,
     scale: Optional[float] = None,
+    zigzag: bool = False,
 ) -> jnp.ndarray:
     """shard_map wrapper: global arrays in, seq axis manual, others auto.
 
     Usable directly inside a jitted train step running under
     ``jax.sharding.set_mesh`` — only ``axis_name`` goes manual; batch/fsdp/
     tensor sharding of the surrounding program stays with GSPMD.
+
+    zigzag=True permutes the sequence into the balanced layout before the
+    collective and back after (a per-call gather; production long-context
+    runs should instead keep the whole activation stream in zigzag order
+    end-to-end and permute once at the loss).
     """
+    if mask is None:
+        mask = jnp.ones(q.shape[:2], jnp.int32)
+    mesh = jax.sharding.get_abstract_mesh()
+    n_dev = mesh.shape.get(axis_name, 1) if mesh is not None else 1
+    if zigzag and n_dev > 1:
+        q, k, v = (zigzag_permute(x, n_dev) for x in (q, k, v))
+        mask = zigzag_permute(mask, n_dev)
     qs = P(None, axis_name, None, None)
     ms = P(None, axis_name)
     fn = jax.shard_map(
         partial(ring_attention, axis_name=axis_name, causal=causal,
-                scale=scale),
+                scale=scale, zigzag=zigzag and n_dev > 1),
         in_specs=(qs, qs, qs, ms),
         out_specs=qs,
         axis_names=frozenset({axis_name}),
     )
-    if mask is None:
-        mask = jnp.ones(q.shape[:2], jnp.int32)
-    return fn(q, k, v, mask)
+    out = fn(q, k, v, mask)
+    if zigzag and n_dev > 1:
+        out = zigzag_unpermute(out, n_dev)
+    return out

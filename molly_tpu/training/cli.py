@@ -108,6 +108,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "and runs ring attention in the decoder (long-"
                         "context training beyond the reference's single-"
                         "device cap, SURVEY.md §5.7)")
+    p.add_argument("--cp-zigzag", type=str2bool, default=False,
+                   help="balance causal work across the ring under "
+                        "--mesh-seq (zigzag chunk layout)")
     p.add_argument("--mesh-pipe", type=int, default=1,
                    help="pipeline-parallel stage count: decoder layers "
                         "sharded over a (pipe, data) mesh, GPipe clock "
@@ -170,10 +173,13 @@ def run_training(args) -> dict:
         prot_cfg = dataclasses.replace(ESM_PRESETS[args.protein_preset],
                                        dtype=args.dtype)
     if args.mesh_seq > 1:
-        assert args.max_len % args.mesh_seq == 0, (
+        div = args.mesh_seq * (2 if args.cp_zigzag else 1)
+        assert args.max_len % div == 0, (
             f"--max-len {args.max_len} must divide over "
-            f"--mesh-seq {args.mesh_seq}")
-        text_cfg = dataclasses.replace(text_cfg, context_parallel=True)
+            f"{div} (--mesh-seq{' x2 zigzag' if args.cp_zigzag else ''})")
+        text_cfg = dataclasses.replace(
+            text_cfg, context_parallel=True,
+            context_parallel_zigzag=args.cp_zigzag)
     cfg = FusionConfig(text=text_cfg, dna_rna=dna_cfg, protein=prot_cfg,
                        dna_rna_k_tokens=args.dna_rna_k_tokens,
                        protein_k_tokens=args.protein_k_tokens)

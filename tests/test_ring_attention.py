@@ -145,3 +145,89 @@ def test_train_cli_context_parallel(tmp_path):
     result = run_training(args)
     assert result["steps"] == 2
     assert 0 < result["final_loss"] < 20
+
+
+def test_zigzag_order_helpers():
+    from molly_tpu.parallel.ring_attention import (
+        zigzag_order, zigzag_permute, zigzag_unpermute)
+    order = np.asarray(zigzag_order(8, 2))  # chunks of 2: [0,1 | 6,7 | 2,3 | 4,5]
+    np.testing.assert_array_equal(order, [0, 1, 6, 7, 2, 3, 4, 5])
+    x = np.arange(16).reshape(2, 8)
+    y = np.asarray(zigzag_permute(jnp.asarray(x), 2))
+    np.testing.assert_array_equal(y[0], [0, 1, 6, 7, 2, 3, 4, 5])
+    np.testing.assert_array_equal(
+        np.asarray(zigzag_unpermute(jnp.asarray(y), 2)), x)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_zigzag_ring_matches_full_attention(causal):
+    q, k, v, mask = _qkv()
+    expect = _xla_attention(q, k, v, mask=mask, causal=causal, scale=None,
+                            q_offset=0)
+    mesh = make_mesh(data=1, fsdp=2, tensor=1, seq=4)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda q, k, v, m: ring_attention_sharded(
+            q, k, v, m, causal=causal, zigzag=True))(q, k, v, mask)
+    sel = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(got)[sel], np.asarray(expect)[sel],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_zigzag_ring_grads_match():
+    q, k, v, mask = _qkv(seed=5)
+    sel = mask.astype(jnp.float32)[..., None, None]
+
+    def loss_ref(q, k, v):
+        o = _xla_attention(q, k, v, mask=mask, causal=True, scale=None,
+                           q_offset=0)
+        return jnp.sum(jnp.sin(o) * sel)
+
+    def loss_ring(q, k, v):
+        o = ring_attention_sharded(q, k, v, mask, causal=True, zigzag=True)
+        return jnp.sum(jnp.sin(o) * sel)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    mesh = make_mesh(data=1, fsdp=2, tensor=1, seq=4)
+    with jax.sharding.set_mesh(mesh):
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_seq_sharded_zigzag_train_loss_matches():
+    """Fusion loss with zigzag context parallelism == unsharded loss."""
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8,
+                        context_parallel=True,
+                        context_parallel_zigzag=True),
+        dna_rna=tiny_esm(vocab_size=16),
+        protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    import dataclasses
+    plain = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, context_parallel=False,
+                                      context_parallel_zigzag=False))
+    params = fusion.init_params(plain, jax.random.key(0))
+    B, S = 4, 32
+    rng = np.random.default_rng(4)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, 16:] = rng.integers(1, 64, (B, S - 16))
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 64, (B, S))),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.asarray(rng.integers(2, 16, (B, 1, 4))),
+        "dna_rna_pos": jnp.asarray([[1], [2], [-1], [0]]),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+    }
+    expect, _ = fusion.loss_fn(params, plain, batch)
+    mesh = make_mesh(data=1, fsdp=2, tensor=1, seq=4)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sb = shard_batch(batch, mesh, seq_shard=True)
+        got = jax.jit(lambda p, b: fusion.loss_fn(p, cfg, b)[0])(sp, sb)
+    np.testing.assert_allclose(float(got), float(expect), rtol=2e-5)
