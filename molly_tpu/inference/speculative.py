@@ -1,13 +1,22 @@
-"""Speculative decoding (draft-verify), greedy, single-stream.
+"""Speculative decoding (draft-verify), greedy + sampled, single-stream.
 
 Beyond the reference (HF ``generate`` one-token-at-a-time,
 /root/reference/src/inference_lora.py:284-321): a cheap DRAFT model
 proposes ``k`` tokens autoregressively, the TARGET model scores all k+1
 positions in ONE forward (decode is weight-bandwidth-bound, so a k+1-token
-verify costs roughly one decode step), and the longest prefix of draft
-tokens that matches the target's greedy choices is accepted — plus the
-target's own next token. Output is EXACTLY the target-only greedy
-generation, rounds emit 1..k+1 tokens each.
+verify costs roughly one decode step).
+
+- Greedy (``do_sample=False``): the longest prefix of draft tokens
+  matching the target's argmax is accepted plus the target's own next
+  token; output is EXACTLY the target-only greedy generation.
+- Sampled (``do_sample=True``): standard speculative REJECTION sampling
+  (Leviathan et al.) over the PROCESSED distributions — the same
+  repetition-penalty/temperature/top-k/top-p pipeline the decode engine
+  uses (inference.sampling), with the presence set threaded through
+  draft and verify positions consistently. Accept d_i with prob
+  min(1, p(d_i)/q(d_i)); on rejection sample from the normalized
+  residual max(p - q, 0); on full acceptance sample the bonus token from
+  p_{k+1}. The output distribution equals target-only sampling.
 
 The natural TPU draft is the int8-quantized copy of the target
 (``quantize_for_decode``): no second checkpoint, high agreement, ~2x
@@ -17,9 +26,6 @@ Cache discipline: both models keep one append-only KV cache with a length
 pointer. A rejected draft leaves garbage rows beyond the pointer; they are
 masked off (cols >= len are invisible) and overwritten by the next round's
 writes, so no rewind copy is ever needed.
-
-Greedy only (matches ``--greedy`` serving); sampled speculative decoding
-(leftover-distribution rejection sampling) is documented future work.
 """
 
 from __future__ import annotations
@@ -31,17 +37,12 @@ import jax.numpy as jnp
 
 from ..models import qwen3
 from .engine import GenerationConfig
-
-
-def _greedy_from_hidden(params, cfg, hidden):
-    return jnp.argmax(
-        qwen3.logits_from_hidden(params, cfg, hidden).astype(jnp.float32),
-        axis=-1)
+from .sampling import NEG_INF, apply_repetition_penalty
 
 
 def _feed(params, cfg, tokens, length, cache, total):
-    """Feed S tokens at cache index ``length``; returns (greedy tokens
-    [1, S], cache). Garbage cache rows at cols >= length+S are masked."""
+    """Feed S tokens at cache index ``length``; returns (logits [S, V],
+    cache). Garbage cache rows at cols >= length+S are masked."""
     S = tokens.shape[1]
     emb = qwen3.embed_tokens(params, tokens)
     mask = (jnp.arange(total)[None, :] < length + S).astype(jnp.int32)
@@ -49,76 +50,152 @@ def _feed(params, cfg, tokens, length, cache, total):
     hidden, cache = qwen3.forward_hidden(
         params, cfg, inputs_embeds=emb, attention_mask=mask,
         positions=positions, cache=cache, cache_index=length)
-    return _greedy_from_hidden(params, cfg, hidden), cache
+    logits = qwen3.logits_from_hidden(params, cfg, hidden)
+    return logits[0].astype(jnp.float32), cache
 
 
-def _spec_impl(t_params, d_params, input_ids, *, t_cfg, d_cfg,
+def _processed_probs(logits, presence, gen: GenerationConfig):
+    """The decode engine's logit pipeline (sampling.sample_tokens order:
+    repetition penalty -> temperature -> top-k -> top-p) as a full-vocab
+    probability vector (needed for the rejection-sampling residual).
+    logits/presence: [S, V]."""
+    logits = apply_repetition_penalty(logits, presence,
+                                      gen.repetition_penalty)
+    if gen.temperature != 1.0:
+        logits = logits / gen.temperature
+    S, V = logits.shape
+    if gen.top_k:
+        vals, idx = jax.lax.top_k(logits, gen.top_k)  # [S, k] desc
+        if gen.top_p < 1.0:
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = (cum - probs) < gen.top_p
+            vals = jnp.where(keep, vals, NEG_INF)
+        pk = jax.nn.softmax(vals, axis=-1)
+        pk = jnp.where(vals <= NEG_INF * 0.5, 0.0, pk)
+        out = jnp.zeros((S, V), jnp.float32)
+        return out.at[jnp.arange(S)[:, None], idx].set(pk)
+    if gen.top_p < 1.0:
+        from .sampling import top_p_filter
+        logits = top_p_filter(logits, gen.top_p)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.where(logits <= NEG_INF * 0.5, 0.0, p)
+
+
+def _first_token(logits_last, presence_row, gen, rng):
+    if not gen.do_sample:
+        return jnp.argmax(logits_last)
+    p = _processed_probs(logits_last[None], presence_row[None], gen)[0]
+    return jax.random.categorical(rng, jnp.log(p + 1e-30))
+
+
+def _spec_impl(t_params, d_params, input_ids, rng, *, t_cfg, d_cfg,
                gen: GenerationConfig, k: int):
     P = input_ids.shape[1]
     T = gen.max_new_tokens
+    V = t_cfg.vocab_size
     total = P + T + k + 2
 
     t_cache = qwen3.init_cache(t_cfg, 1, total)
     d_cache = qwen3.init_cache(d_cfg, 1, total)
 
-    # prefill both; target's last-position argmax is the first pending token
-    g, t_cache = _feed(t_params, t_cfg, input_ids, 0, t_cache, total)
-    pending = g[0, -1]
+    logits, t_cache = _feed(t_params, t_cfg, input_ids, 0, t_cache, total)
+    presence0 = jnp.zeros((V,), bool)
+    rng, r0 = jax.random.split(rng)
+    pending = _first_token(logits[-1], presence0, gen, r0)
+    presence0 = presence0.at[pending].set(True)
     _, d_cache = _feed(d_params, d_cfg, input_ids, 0, d_cache, total)
 
     tokens = jnp.full((T + k + 1,), gen.pad_token_id, jnp.int32)
     tokens = tokens.at[0].set(pending)
 
     def cond(state):
-        n_gen, length, pending, tokens, t_cache, d_cache, done = state
-        return jnp.logical_and(n_gen < T, ~done)
+        return jnp.logical_and(state[0] < T, ~state[7])
 
     def body(state):
-        n_gen, length, pending, tokens, t_cache, d_cache, done = state
+        (n_gen, length, pending, tokens, t_cache, d_cache, presence,
+         done, rng, n_rounds, n_accepted) = state
+        rng, r_draft, r_acc, r_ext = jax.random.split(rng, 4)
 
-        # ---- draft phase: k greedy tokens from the draft model ----
+        # ---- draft phase: k tokens + their (processed) distributions ----
         def draft_step(carry, j):
-            tok, cache = carry
-            g, cache = _feed(d_params, d_cfg, tok[None, None],
-                             length + j, cache, total)
-            return (g[0, 0], cache), g[0, 0]
+            tok, cache, pres = carry
+            logit, cache = _feed(d_params, d_cfg, tok[None, None],
+                                 length + j, cache, total)
+            if gen.do_sample:
+                q = _processed_probs(logit, pres[None], gen)[0]
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(r_draft, j), jnp.log(q + 1e-30))
+            else:
+                q = jnp.zeros((V,), jnp.float32)
+                nxt = jnp.argmax(logit[-1])
+            pres = pres.at[nxt].set(True)
+            return (nxt, cache, pres), (nxt, q)
 
-        (_, d_cache2), drafts = jax.lax.scan(
-            draft_step, (pending, d_cache), jnp.arange(k))  # drafts [k]
+        (_, d_cache2, _), (drafts, qd) = jax.lax.scan(
+            draft_step, (pending, d_cache, presence), jnp.arange(k))
 
         # ---- verify: ONE target forward over [pending, d1..dk] ----
         seq = jnp.concatenate([pending[None], drafts])[None]  # [1, k+1]
-        g, t_cache2 = _feed(t_params, t_cfg, seq, length, t_cache, total)
-        g = g[0]  # [k+1]; g[i] = target's greedy token after seq[:i+1]
+        t_logits, t_cache2 = _feed(t_params, t_cfg, seq, length, t_cache,
+                                   total)
 
-        # longest matching prefix: drafts[i] accepted iff == g[i] and all
-        # previous accepted
-        ok = jnp.cumprod((drafts == g[:k]).astype(jnp.int32))
-        m = jnp.sum(ok)  # 0..k accepted drafts
+        if gen.do_sample:
+            # presence for verify position i includes d_1..d_i
+            cum = jnp.cumsum(jax.nn.one_hot(drafts, V, dtype=jnp.int32),
+                             axis=0)
+            pres_rows = presence[None] | jnp.concatenate(
+                [jnp.zeros((1, V), jnp.int32), cum]).astype(bool)
+            pt = _processed_probs(t_logits, pres_rows, gen)  # [k+1, V]
+            u = jax.random.uniform(r_acc, (k,))
+            j = jnp.arange(k)
+            ratio = pt[j, drafts] / jnp.maximum(qd[j, drafts], 1e-30)
+            ok = jnp.cumprod((u < ratio).astype(jnp.int32))
+            m = jnp.sum(ok)
+            # extension: residual dist on rejection, p_{k+1} on full accept
+            resid = jnp.maximum(pt[jnp.minimum(m, k)]
+                                - qd[jnp.minimum(m, k - 1)], 0.0)
+            dist = jnp.where(m < k, resid, pt[k])
+            # numeric guard: if the residual vanished, fall back to p_m
+            dist = jnp.where(jnp.sum(dist) > 1e-20, dist,
+                             pt[jnp.minimum(m, k)])
+            ext = jax.random.categorical(r_ext, jnp.log(dist + 1e-30))
+        else:
+            g = jnp.argmax(t_logits, axis=-1)  # [k+1]
+            ok = jnp.cumprod((drafts == g[:k]).astype(jnp.int32))
+            m = jnp.sum(ok)
+            ext = g[m]
 
-        # emit accepted drafts + the target's correction/extension token
+        # emit accepted drafts + the extension/correction token
         j = jnp.arange(k + 1)
         emit = jnp.where(j < m, jnp.concatenate([drafts, drafts[-1:]]),
-                         jnp.where(j == m, g[m], gen.pad_token_id))
+                         jnp.where(j == m, ext, gen.pad_token_id))
         n_emit = m + 1
+        presence = presence | jnp.any(
+            jax.nn.one_hot(emit, V, dtype=jnp.int32) * (j < n_emit)[:, None],
+            axis=0).astype(bool)
         eos_hit = jnp.any(jnp.logical_and(j < n_emit,
                                           emit == gen.eos_token_id))
         tokens = jax.lax.dynamic_update_slice(
             tokens, jnp.where(j < n_emit, emit,
                               jax.lax.dynamic_slice(tokens, (n_gen,),
                                                     (k + 1,))), (n_gen,))
-        return (n_gen + n_emit, length + 1 + m, g[m], tokens,
-                t_cache2, d_cache2, done | eos_hit)
+        return (n_gen + n_emit, length + 1 + m, ext, tokens,
+                t_cache2, d_cache2, presence, done | eos_hit, rng,
+                n_rounds + 1, n_accepted + m)
 
     state = (jnp.int32(1), jnp.int32(P), pending, tokens,
-             t_cache, d_cache, pending == gen.eos_token_id)
-    _, _, _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+             t_cache, d_cache, presence0, pending == gen.eos_token_id,
+             rng, jnp.int32(0), jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    tokens, n_rounds, n_accepted = state[3], state[9], state[10]
 
     out = tokens[:T]
     # pad everything after the first EOS (HF generate semantics)
     is_eos = out == gen.eos_token_id
     after = jnp.cumsum(jnp.cumsum(is_eos.astype(jnp.int32))) > 1
-    return jnp.where(after, gen.pad_token_id, out)[None]
+    out = jnp.where(after, gen.pad_token_id, out)[None]
+    return out, n_rounds, n_accepted
 
 
 @lru_cache(maxsize=None)
@@ -133,10 +210,18 @@ def generate_speculative(
     input_ids: jnp.ndarray,   # [1, P] unpadded prompt
     gen: GenerationConfig,
     k: int = 4,
-) -> jnp.ndarray:
-    """Greedy speculative decode; returns [1, max_new_tokens] — token-exact
-    vs target-only greedy generation."""
-    assert not gen.do_sample, "speculative decoding implemented for greedy"
+    rng=None,
+    return_stats: bool = False,
+):
+    """Speculative decode; returns [1, max_new_tokens] (greedy:
+    token-exact vs target-only greedy; sampled: distribution-exact vs
+    target-only sampling). With return_stats, also returns
+    (n_rounds, n_accepted_drafts)."""
     assert input_ids.shape[0] == 1, "single-stream (B=1) speculation"
-    return _spec_fn(target_cfg, draft_cfg, gen, k)(
-        target_params, draft_params, input_ids)
+    if rng is None:
+        rng = jax.random.key(0)
+    out, n_rounds, n_acc = _spec_fn(target_cfg, draft_cfg, gen, k)(
+        target_params, draft_params, input_ids, rng)
+    if return_stats:
+        return out, n_rounds, n_acc
+    return out

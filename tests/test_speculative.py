@@ -73,3 +73,57 @@ def test_eos_stops_and_pads(models):
     got = np.asarray(generate_speculative(target, cfg, draft, draft_cfg,
                                           ids, gen, k=3))
     np.testing.assert_array_equal(got, ref)
+
+
+def _sample_gen(T=6):
+    return GenerationConfig(max_new_tokens=T, do_sample=True,
+                            temperature=0.8, top_p=0.95, top_k=10,
+                            repetition_penalty=1.1, eos_token_id=-1,
+                            pad_token_id=0)
+
+
+def test_sampled_perfect_draft_accepts_everything(models):
+    """With draft == target the acceptance ratio is exactly 1: every draft
+    token is accepted in every round."""
+    cfg, target, _, _ = models
+    gen = _sample_gen()
+    ids = jnp.asarray(
+        np.random.default_rng(5).integers(2, 128, (1, 8)), jnp.int32)
+    _, n_rounds, n_acc = generate_speculative(
+        target, cfg, target, cfg, ids, gen, k=3,
+        rng=jax.random.key(7), return_stats=True)
+    assert int(n_acc) == 3 * int(n_rounds)
+
+
+@pytest.mark.parametrize("use_other_draft", [False, True])
+def test_sampled_distribution_matches_engine(models, use_other_draft):
+    """The marginal distribution of the first two generated tokens matches
+    target-only sampling (speculative sampling's exactness guarantee),
+    both with a perfect draft (always accept) and a disagreeing draft
+    (rejection + residual path)."""
+    cfg, target, draft_cfg, draft = models
+    gen = _sample_gen(T=2)
+    ids = jnp.asarray(
+        np.random.default_rng(6).integers(2, 128, (1, 8)), jnp.int32)
+    embeds = qwen3.embed_tokens(target, ids)
+    mask = jnp.ones(ids.shape, jnp.int32)
+
+    n = 600
+    ref = np.stack([np.asarray(_generate_from_embeds(
+        target, cfg, embeds, mask, gen, jax.random.key(1000 + i)))[0]
+        for i in range(n)])
+    d_params, d_cfg = (draft, draft_cfg) if use_other_draft else (
+        target, cfg)
+    got = np.stack([np.asarray(generate_speculative(
+        target, cfg, d_params, d_cfg, ids, gen, k=2,
+        rng=jax.random.key(2000 + i)))[0] for i in range(n)])
+
+    V = 128
+    for pos in range(2):
+        f_ref = np.bincount(ref[:, pos], minlength=V) / n
+        f_got = np.bincount(got[:, pos], minlength=V) / n
+        tv = 0.5 * np.abs(f_ref - f_got).sum()
+        # empirical-TV noise floor at n=600 is ~0.07 (pos 0) and ~0.11
+        # (pos 1: wider support); verified to converge (0.021 / 0.052 at
+        # n=3000), so 0.16 separates noise from a real distribution bug
+        assert tv < 0.16, (pos, tv)
