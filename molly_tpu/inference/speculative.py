@@ -40,9 +40,11 @@ from .engine import GenerationConfig
 from .sampling import NEG_INF, apply_repetition_penalty
 
 
-def _feed(params, cfg, tokens, length, cache, total):
-    """Feed S tokens at cache index ``length``; returns (logits [S, V],
-    cache). Garbage cache rows at cols >= length+S are masked."""
+def _feed(params, cfg, tokens, length, cache, total, last_only=False):
+    """Feed S tokens at cache index ``length``; returns (logits [S, V] —
+    or [1, V] with last_only, which avoids a [P, V] logit tensor for long
+    prompts — and the cache). Garbage cache rows at cols >= length+S are
+    masked."""
     S = tokens.shape[1]
     emb = qwen3.embed_tokens(params, tokens)
     mask = (jnp.arange(total)[None, :] < length + S).astype(jnp.int32)
@@ -50,6 +52,8 @@ def _feed(params, cfg, tokens, length, cache, total):
     hidden, cache = qwen3.forward_hidden(
         params, cfg, inputs_embeds=emb, attention_mask=mask,
         positions=positions, cache=cache, cache_index=length)
+    if last_only:
+        hidden = hidden[:, -1:]
     logits = qwen3.logits_from_hidden(params, cfg, hidden)
     return logits[0].astype(jnp.float32), cache
 
@@ -99,12 +103,14 @@ def _spec_impl(t_params, d_params, input_ids, rng, *, t_cfg, d_cfg,
     t_cache = qwen3.init_cache(t_cfg, 1, total)
     d_cache = qwen3.init_cache(d_cfg, 1, total)
 
-    logits, t_cache = _feed(t_params, t_cfg, input_ids, 0, t_cache, total)
+    logits, t_cache = _feed(t_params, t_cfg, input_ids, 0, t_cache, total,
+                            last_only=True)
     presence0 = jnp.zeros((V,), bool)
     rng, r0 = jax.random.split(rng)
     pending = _first_token(logits[-1], presence0, gen, r0)
     presence0 = presence0.at[pending].set(True)
-    _, d_cache = _feed(d_params, d_cfg, input_ids, 0, d_cache, total)
+    _, d_cache = _feed(d_params, d_cfg, input_ids, 0, d_cache, total,
+                       last_only=True)
 
     tokens = jnp.full((T + k + 1,), gen.pad_token_id, jnp.int32)
     tokens = tokens.at[0].set(pending)

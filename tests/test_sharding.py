@@ -94,3 +94,34 @@ def test_host_shard_range():
     assert host_shard_range(10, 0, 4) == (0, 2)
     assert host_shard_range(10, 3, 4) == (6, 10)
     assert host_shard_range(10, 0, 1) == (0, 10)
+
+
+def test_decode_engine_tp_sharded():
+    """Multi-chip serving path: greedy decode with the text model sharded
+    over (fsdp=2, tensor=4) matches the unsharded output exactly — the KV
+    cache, sampling, and while-loop all run under GSPMD."""
+    from molly_tpu.inference.engine import GenerationConfig, \
+        _generate_from_embeds
+    from molly_tpu.models import qwen3, tiny_qwen3
+
+    cfg = tiny_qwen3(num_hidden_layers=2, vocab_size=256, hidden_size=64,
+                     intermediate_size=128, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=16)
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 256, (2, 10)), jnp.int32)
+    embeds = qwen3.embed_tokens(params, ids)
+    mask = jnp.ones((2, 10), jnp.int32)
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    ref = np.asarray(_generate_from_embeds(params, cfg, embeds, mask, gen,
+                                           jax.random.key(1)))
+
+    from molly_tpu.parallel import make_mesh, shard_params
+    mesh = make_mesh(data=1, fsdp=2, tensor=4)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh, bare_text=True)
+        got = np.asarray(_generate_from_embeds(sp, cfg, embeds, mask, gen,
+                                               jax.random.key(1)))
+    np.testing.assert_array_equal(got, ref)
