@@ -55,6 +55,11 @@ def main():
                          "other modes")
     ap.add_argument("--preset", default="qwen3-1.7b",
                     help="decoder preset (e.g. qwen3-8b with --int8)")
+    ap.add_argument("--prefix-len", type=int, default=0,
+                    help="serve mode: length of a prompt prefix shared by "
+                         "every request (prefilled once via the engine's "
+                         "prefix KV cache; also measures the non-cached "
+                         "rate for comparison)")
     args = ap.parse_args()
 
     # Flagship default: int8 1.7B decode at the reference's batch 32.
@@ -289,25 +294,34 @@ def bench_serve(args):
 
     cap_rng = np.random.default_rng(7)
     caps = cap_rng.integers(short_t, long_t + 1, n_req)
+    s_pre = args.prefix_len
+    prefix = (rng.integers(1, tcfg.vocab_size, s_pre).astype(np.int32)
+              if s_pre else None)
 
     def mk_reqs():
-        reqs = [Request(
-            uid=i,
-            batch={"input_ids": rng.integers(
-                       1, tcfg.vocab_size, (1, prompt)).astype(np.int32),
-                   "attention_mask": np.ones((1, prompt), np.int32)},
-            max_new_tokens=int(caps[i]))
-            for i in range(n_req)]
+        reqs = []
+        for i in range(n_req):
+            ids = rng.integers(1, tcfg.vocab_size,
+                               (1, prompt - s_pre)).astype(np.int32)
+            if s_pre:
+                ids = np.concatenate([prefix[None], ids], axis=1)
+            reqs.append(Request(
+                uid=i,
+                batch={"input_ids": ids,
+                       "attention_mask": np.ones((1, prompt), np.int32)},
+                max_new_tokens=int(caps[i])))
         # longest-processing-time-first admission: per-request caps are
         # known here, so start the long generations early and backfill
         # freed slots with the short ones (shrinks the tail)
         reqs.sort(key=lambda r: -r.max_new_tokens)
         return reqs
 
-    def run_once():
-        eng = ServingEngine(params, cfg, gen, n_slots=n_slots,
-                            max_len=max_len, prefill_buckets=buckets,
-                            decode_chunk=1 if args.smoke else 16)
+    def run_once(use_prefix=False):
+        eng = ServingEngine(
+            params, cfg, gen, n_slots=n_slots, max_len=max_len,
+            prefill_buckets=((prompt - s_pre,) if use_prefix else buckets),
+            decode_chunk=1 if args.smoke else 16,
+            prefix_ids=prefix if use_prefix else None)
         t0 = time.perf_counter()
         results = eng.run(mk_reqs())
         dt = time.perf_counter() - t0
@@ -340,13 +354,21 @@ def bench_serve(args):
     total, dt = run_once()
     s_total, s_dt = run_static()
     static_rate = s_total / s_dt
+    prefix_note = ""
+    if s_pre:
+        run_once(use_prefix=True)  # warmup the prefix-path executables
+        plain_rate = total / dt
+        total, dt = run_once(use_prefix=True)
+        prefix_note = (f", {s_pre}-token shared prefix KV-cached "
+                       f"(non-cached engine: {plain_rate:.0f} tok/s)")
     print(json.dumps({
         "metric": f"{args.preset if not args.smoke else 'smoke'} "
                   f"continuous-batching serving "
                   f"({'int8' if args.int8 else 'bf16'}, {n_slots} slots, "
                   f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "
-                  f"prompt {prompt}; baseline = MEASURED static batching, "
-                  f"same workload, {static_rate:.0f} useful tok/s)",
+                  f"prompt {prompt}{prefix_note}; baseline = MEASURED "
+                  f"static batching, same workload, "
+                  f"{static_rate:.0f} useful tok/s)",
         "value": round(total / dt, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(total / dt / static_rate, 3),
