@@ -274,12 +274,19 @@ class ServingEngine:
                  prefill_buckets=(64, 128, 256, 512, 1024),
                  decode_chunk: int = 1,
                  prefix_ids=None,
+                 stream_cb=None,
                  rng: Optional[jax.Array] = None):
         """prefix_ids: token ids of a prompt prefix shared by EVERY request
         (molly's fixed system prompt — the dataset pre-encodes it,
         /root/reference/src/dataset/omics_dataset.py:87-92). Its KV is
         computed once and copied into each slot at admission; requests then
-        prefill only their suffix. Buckets bound SUFFIX lengths."""
+        prefill only their suffix. Buckets bound SUFFIX lengths.
+
+        stream_cb(uid, tokens_so_far): incremental delivery — called once
+        per scheduler round for every request whose generation advanced,
+        with the full prefix of tokens generated so far (np.int32). Tokens
+        lag by up to one decode chunk (the scheduler runs on a one-chunk-
+        stale snapshot); delivery costs one extra host fetch per round."""
         assert params.get("lora") is None, "merge LoRA adapters first"
         self.params = params
         self.cfg = cfg
@@ -335,6 +342,8 @@ class ServingEngine:
         self._results: Dict[Any, np.ndarray] = {}
         self._stale = None        # last host-known (active, finished,
         self._stale_cold = None   # out_len) + the cold dict they came from
+        self._stream_cb = stream_cb
+        self._streamed = [0] * n_slots  # tokens delivered per slot
 
     # ---- scheduler ----------------------------------------------------
 
@@ -425,6 +434,23 @@ class ServingEngine:
             r1, self._kv_pre)
         for r, slot in zip(reqs, slots):
             self._slot_uid[slot] = r.uid
+            self._streamed[slot] = 0
+
+    def _stream(self, olen, cold_src) -> None:
+        """Incremental delivery: hand each advanced request its generated
+        prefix (one batched row fetch for all advanced slots)."""
+        if self._stream_cb is None:
+            return
+        idxs = [i for i in range(self.n_slots)
+                if self._slot_uid[i] is not None
+                and int(olen[i]) > self._streamed[i]]
+        if not idxs:
+            return
+        rows = np.asarray(cold_src["out_buf"][np.asarray(idxs)])
+        for j, i in enumerate(idxs):
+            n = int(olen[i])
+            self._stream_cb(self._slot_uid[i], rows[j, :n])
+            self._streamed[i] = n
 
     def _collect(self, fin, olen, cold_src) -> List[int]:
         """Harvest finished slots from a (possibly stale) cold snapshot —
@@ -437,6 +463,13 @@ class ServingEngine:
         if not idxs:
             return []
         rows = cold_src["out_buf"][np.asarray(idxs)]  # async device slice
+        if self._stream_cb is not None:
+            rows = np.asarray(rows)  # deliver final prefixes eagerly
+            for j, i in enumerate(idxs):
+                n = int(olen[i])
+                if n > self._streamed[i]:
+                    self._stream_cb(self._slot_uid[i], rows[j, :n])
+                    self._streamed[i] = n
         for j, i in enumerate(idxs):
             self._results[self._slot_uid[i]] = (rows, j, int(olen[i]))
             self._slot_uid[i] = None
@@ -465,6 +498,7 @@ class ServingEngine:
         if self._stale is None:
             self._refresh_status(self.cold)
         act, fin, olen = self._stale
+        self._stream(olen, self._stale_cold)
         self._collect(fin, olen, self._stale_cold)
         free = [i for i in range(self.n_slots)
                 if self._slot_uid[i] is None]

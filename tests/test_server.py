@@ -239,3 +239,29 @@ def test_prefix_mismatch_raises(setup):
     eng.submit(bad)
     with pytest.raises(ValueError):
         eng.run([])
+
+
+def test_streaming_delivers_monotone_prefixes(setup):
+    """stream_cb receives growing prefixes that culminate in exactly the
+    final result for every request."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=7, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    streamed = {}
+
+    def cb(uid, toks):
+        prev = streamed.setdefault(uid, [])
+        if prev:
+            np.testing.assert_array_equal(prev[-1],
+                                          toks[:len(prev[-1])])
+        prev.append(np.array(toks))
+
+    reqs = [_text_request(i, 8 + i, seed=70 + i) for i in range(3)]
+    eng = ServingEngine(params, cfg, gen, n_slots=2, max_len=32,
+                        prefill_buckets=(16,), decode_chunk=2,
+                        stream_cb=cb)
+    results = eng.run(list(reqs))
+    assert set(streamed) == {0, 1, 2}
+    for uid, chunks in streamed.items():
+        np.testing.assert_array_equal(chunks[-1], results[uid])
