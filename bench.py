@@ -66,7 +66,10 @@ def main():
     if args.int8 is None:
         args.int8 = args.mode in ("decode", "serve") and not args.smoke
     if args.batch is None:
-        args.batch = 32 if args.int8 and args.mode == "decode" else 8
+        # decode: the reference's operating batch; serve: the measured
+        # serving sweet spot (benchmarks/README.md batch sweep)
+        args.batch = 32 if args.int8 and args.mode in ("decode", "serve") \
+            else 8
 
     if args.mode == "serve":
         return bench_serve(args)
