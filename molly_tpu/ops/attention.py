@@ -8,7 +8,6 @@ functional entry point, implementation chosen by flag/platform.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -128,7 +128,6 @@ def main(argv=None) -> None:
 
 def run_training(args) -> dict:
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from ..data import (DataConfig, OmicsDataset,
