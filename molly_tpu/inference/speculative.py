@@ -40,13 +40,18 @@ from .engine import GenerationConfig
 from .sampling import NEG_INF, apply_repetition_penalty
 
 
-def _feed(params, cfg, tokens, length, cache, total, last_only=False):
+def _feed(params, cfg, tokens, length, cache, total, last_only=False,
+          emb=None):
     """Feed S tokens at cache index ``length``; returns (logits [S, V] —
     or [1, V] with last_only, which avoids a [P, V] logit tensor for long
     prompts — and the cache). Garbage cache rows at cols >= length+S are
-    masked."""
-    S = tokens.shape[1]
-    emb = qwen3.embed_tokens(params, tokens)
+    masked. ``emb`` overrides token embedding (fusion prompts with
+    injected omics segments prefill from embeddings)."""
+    if emb is not None:
+        S = emb.shape[1]
+    else:
+        S = tokens.shape[1]
+        emb = qwen3.embed_tokens(params, tokens)
     mask = (jnp.arange(total)[None, :] < length + S).astype(jnp.int32)
     positions = length + jnp.arange(S)[None, :]
     hidden, cache = qwen3.forward_hidden(
@@ -93,9 +98,10 @@ def _first_token(logits_last, presence_row, gen, rng):
     return jax.random.categorical(rng, jnp.log(p + 1e-30))
 
 
-def _spec_impl(t_params, d_params, input_ids, rng, *, t_cfg, d_cfg,
-               gen: GenerationConfig, k: int):
-    P = input_ids.shape[1]
+def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
+               t_cfg, d_cfg, gen: GenerationConfig, k: int):
+    P = (prompt_embeds.shape[1] if prompt_embeds is not None
+         else input_ids.shape[1])
     T = gen.max_new_tokens
     V = t_cfg.vocab_size
     total = P + T + k + 2
@@ -104,13 +110,15 @@ def _spec_impl(t_params, d_params, input_ids, rng, *, t_cfg, d_cfg,
     d_cache = qwen3.init_cache(d_cfg, 1, total)
 
     logits, t_cache = _feed(t_params, t_cfg, input_ids, 0, t_cache, total,
-                            last_only=True)
+                            last_only=True, emb=prompt_embeds)
     presence0 = jnp.zeros((V,), bool)
     rng, r0 = jax.random.split(rng)
     pending = _first_token(logits[-1], presence0, gen, r0)
     presence0 = presence0.at[pending].set(True)
     _, d_cache = _feed(d_params, d_cfg, input_ids, 0, d_cache, total,
-                       last_only=True)
+                       last_only=True,
+                       emb=(prompt_embeds.astype(jnp.dtype(d_cfg.dtype))
+                            if prompt_embeds is not None else None))
 
     tokens = jnp.full((T + k + 1,), gen.pad_token_id, jnp.int32)
     tokens = tokens.at[0].set(pending)
@@ -213,21 +221,26 @@ def _spec_fn(t_cfg, d_cfg, gen, k):
 def generate_speculative(
     target_params, target_cfg,
     draft_params, draft_cfg,
-    input_ids: jnp.ndarray,   # [1, P] unpadded prompt
-    gen: GenerationConfig,
+    input_ids=None,           # [1, P] unpadded prompt
+    gen: GenerationConfig = None,
     k: int = 4,
     rng=None,
     return_stats: bool = False,
+    inputs_embeds=None,       # [1, P, H] fusion prompt (injected omics);
+    #                           the draft must share the target's embedding
+    #                           space (int8 self-draft does)
 ):
     """Speculative decode; returns [1, max_new_tokens] (greedy:
     token-exact vs target-only greedy; sampled: distribution-exact vs
     target-only sampling). With return_stats, also returns
     (n_rounds, n_accepted_drafts)."""
-    assert input_ids.shape[0] == 1, "single-stream (B=1) speculation"
+    ref = inputs_embeds if inputs_embeds is not None else input_ids
+    assert ref is not None and ref.shape[0] == 1, \
+        "single-stream (B=1) speculation"
     if rng is None:
         rng = jax.random.key(0)
     out, n_rounds, n_acc = _spec_fn(target_cfg, draft_cfg, gen, k)(
-        target_params, draft_params, input_ids, rng)
+        target_params, draft_params, input_ids, inputs_embeds, rng)
     if return_stats:
         return out, n_rounds, n_acc
     return out

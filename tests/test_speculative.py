@@ -127,3 +127,37 @@ def test_sampled_distribution_matches_engine(models, use_other_draft):
         # (pos 1: wider support); verified to converge (0.021 / 0.052 at
         # n=3000), so 0.16 separates noise from a real distribution bug
         assert tv < 0.16, (pos, tv)
+
+
+def test_fusion_prompt_speculative(models):
+    """Speculative decode from injected fusion embeddings (omics prompt)
+    matches the engine's greedy generation on the same embeddings."""
+    from molly_tpu.models import fusion, tiny_esm
+    from molly_tpu.models.fusion import FusionConfig
+
+    cfg, target, _, _ = models
+    fcfg = FusionConfig(text=cfg, dna_rna=tiny_esm(vocab_size=16),
+                        protein=tiny_esm(vocab_size=20),
+                        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(fcfg, jax.random.key(2))
+    params["text"] = target
+    rng = np.random.default_rng(8)
+    S = 12
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(2, 128, (1, S)), jnp.int32),
+        "dna_rna_tokens": jnp.asarray(rng.integers(2, 16, (1, 1, 4)),
+                                      jnp.int32),
+        "dna_rna_pos": jnp.asarray([[3]], jnp.int32),
+        "protein_tokens": jnp.full((1, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.asarray([[-1]], jnp.int32),
+    }
+    embeds = fusion.build_inputs_embeds(params, fcfg, batch)
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    ref = np.asarray(_generate_from_embeds(
+        target, cfg, embeds, jnp.ones((1, S), jnp.int32), gen,
+        jax.random.key(0)))
+    got = np.asarray(generate_speculative(
+        target, cfg, target, cfg, gen=gen, k=3, inputs_embeds=embeds))
+    np.testing.assert_array_equal(got, ref)
