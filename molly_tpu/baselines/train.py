@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 
 def build_argparser() -> argparse.ArgumentParser:

@@ -9,7 +9,7 @@ replaces torch DataLoader (the dataset work is pure numpy on host).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, List, Sequence
+from typing import Any, Dict, Iterator, Sequence
 
 import numpy as np
 

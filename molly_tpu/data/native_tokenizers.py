@@ -7,7 +7,7 @@ reference's is").
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

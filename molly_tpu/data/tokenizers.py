@@ -20,7 +20,6 @@ vocabulary files:
 from __future__ import annotations
 
 import itertools
-import json
 import os
 from typing import List, Optional, Sequence
 

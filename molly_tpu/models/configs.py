@@ -8,9 +8,7 @@ Qwen3-1.7B/4B/8B, ESM-2 (8M/650M), nucleotide-transformer (ESM-family).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from typing import Optional
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ O(B*S*V) residual memory). Peak extra memory is [C, V] instead of
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

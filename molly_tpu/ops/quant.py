@@ -15,7 +15,7 @@ the per-column scale factors out of the contraction.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
