@@ -11,7 +11,6 @@ import jax.numpy as jnp
 from molly_tpu.baselines import (
     BaselineConfig,
     ClassificationDataset,
-    collate,
     forward_logits,
     init_params,
     loss_fn,

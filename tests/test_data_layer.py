@@ -1,6 +1,5 @@
 """Unit tests for tokenizers, splicing, labeling, and collation."""
 
-import numpy as np
 import pandas as pd
 import pytest
 

@@ -7,7 +7,6 @@ import pytest
 
 from molly_tpu.evalsuite import (
     evaluate_file,
-    evaluate_task,
     get_base_task_name,
     group_entries,
     metrics as M,

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from molly_tpu.models import esm, qwen3, tiny_esm, tiny_qwen3
-from molly_tpu.models.hf_export import qwen3_to_hf_state, save_hf_checkpoint
+from molly_tpu.models.hf_export import save_hf_checkpoint
 from molly_tpu.models.hf_import import load_hf_state, qwen3_from_hf
 
 

@@ -2,7 +2,6 @@
 EOS early-stop, and sampling filter correctness."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

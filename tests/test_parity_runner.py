@@ -5,7 +5,6 @@ command that gates the published molly-1.7B/4B/8B checkpoints when mounted
 
 import json
 
-import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")

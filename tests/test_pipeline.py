@@ -2,8 +2,6 @@
 parity of the GPipe clock loop vs the plain stacked-scan decoder
 (capability beyond the reference — SURVEY.md §2.4 lists PP as absent)."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 

@@ -2,7 +2,6 @@
 Pallas kernel itself is exercised on the real chip by bench.py --int8)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

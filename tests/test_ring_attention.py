@@ -9,7 +9,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from molly_tpu.models import fusion, qwen3, tiny_esm, tiny_qwen3
+from molly_tpu.models import fusion, tiny_esm, tiny_qwen3
 from molly_tpu.models.fusion import FusionConfig
 from molly_tpu.ops.attention import _xla_attention
 from molly_tpu.parallel import (

@@ -7,7 +7,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from molly_tpu.models import fusion, tiny_esm, tiny_qwen3
 from molly_tpu.models.fusion import FusionConfig

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from molly_tpu.models import fusion, qwen3, tiny_esm, tiny_qwen3
 from molly_tpu.models.fusion import FusionConfig
-from molly_tpu.models.lora import LoraConfig, init_lora, merge_lora
+from molly_tpu.models.lora import LoraConfig, merge_lora
 from molly_tpu.training import (
     TrainConfig,
     attach_lora,
