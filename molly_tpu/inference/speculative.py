@@ -41,12 +41,13 @@ from .sampling import NEG_INF, apply_repetition_penalty
 
 
 def _feed(params, cfg, tokens, length, cache, total, last_only=False,
-          emb=None):
+          emb=None, skip_logits=False):
     """Feed S tokens at cache index ``length``; returns (logits [S, V] —
     or [1, V] with last_only, which avoids a [P, V] logit tensor for long
     prompts — and the cache). Garbage cache rows at cols >= length+S are
     masked. ``emb`` overrides token embedding (fusion prompts with
-    injected omics segments prefill from embeddings)."""
+    injected omics segments prefill from embeddings). ``skip_logits``
+    returns (None, cache) — a KV-only feed that skips the lm-head read."""
     if emb is not None:
         S = emb.shape[1]
     else:
@@ -57,6 +58,8 @@ def _feed(params, cfg, tokens, length, cache, total, last_only=False,
     hidden, cache = qwen3.forward_hidden(
         params, cfg, inputs_embeds=emb, attention_mask=mask,
         positions=positions, cache=cache, cache_index=length)
+    if skip_logits:
+        return None, cache
     if last_only:
         hidden = hidden[:, -1:]
     logits = qwen3.logits_from_hidden(params, cfg, hidden)
@@ -93,7 +96,11 @@ def _processed_probs(logits, presence, gen: GenerationConfig):
 
 def _first_token(logits_last, presence_row, gen, rng):
     if not gen.do_sample:
-        return jnp.argmax(logits_last)
+        # greedy matches the engine: repetition penalty BEFORE argmax
+        # (sampling.sample_tokens applies it in both modes)
+        pl = apply_repetition_penalty(logits_last[None], presence_row[None],
+                                      gen.repetition_penalty)
+        return jnp.argmax(pl[0])
     p = _processed_probs(logits_last[None], presence_row[None], gen)[0]
     return jax.random.categorical(rng, jnp.log(p + 1e-30))
 
@@ -142,24 +149,32 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
                     jax.random.fold_in(r_draft, j), jnp.log(q + 1e-30))
             else:
                 q = jnp.zeros((V,), jnp.float32)
-                nxt = jnp.argmax(logit[-1])
+                pl = apply_repetition_penalty(logit, pres[None],
+                                              gen.repetition_penalty)
+                nxt = jnp.argmax(pl[-1])
             pres = pres.at[nxt].set(True)
             return (nxt, cache, pres), (nxt, q)
 
         (_, d_cache2, _), (drafts, qd) = jax.lax.scan(
             draft_step, (pending, d_cache, presence), jnp.arange(k))
+        # KV-only feed of d_k so a fully-accepted round (m == k) leaves no
+        # hole in the draft cache: the scan fed [pending, d1..d_{k-1}], so
+        # position length+k (d_k's row) would otherwise stay garbage yet
+        # fall inside every later round's attention window.
+        _, d_cache2 = _feed(d_params, d_cfg, drafts[-1][None, None],
+                            length + k, d_cache2, total, skip_logits=True)
 
         # ---- verify: ONE target forward over [pending, d1..dk] ----
         seq = jnp.concatenate([pending[None], drafts])[None]  # [1, k+1]
         t_logits, t_cache2 = _feed(t_params, t_cfg, seq, length, t_cache,
                                    total)
 
+        # presence for verify position i includes d_1..d_i
+        cum = jnp.cumsum(jax.nn.one_hot(drafts, V, dtype=jnp.int32),
+                         axis=0)
+        pres_rows = presence[None] | jnp.concatenate(
+            [jnp.zeros((1, V), jnp.int32), cum]).astype(bool)
         if gen.do_sample:
-            # presence for verify position i includes d_1..d_i
-            cum = jnp.cumsum(jax.nn.one_hot(drafts, V, dtype=jnp.int32),
-                             axis=0)
-            pres_rows = presence[None] | jnp.concatenate(
-                [jnp.zeros((1, V), jnp.int32), cum]).astype(bool)
             pt = _processed_probs(t_logits, pres_rows, gen)  # [k+1, V]
             u = jax.random.uniform(r_acc, (k,))
             j = jnp.arange(k)
@@ -175,7 +190,9 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
                              pt[jnp.minimum(m, k)])
             ext = jax.random.categorical(r_ext, jnp.log(dist + 1e-30))
         else:
-            g = jnp.argmax(t_logits, axis=-1)  # [k+1]
+            pl = apply_repetition_penalty(t_logits, pres_rows,
+                                          gen.repetition_penalty)
+            g = jnp.argmax(pl, axis=-1)  # [k+1]
             ok = jnp.cumprod((drafts == g[:k]).astype(jnp.int32))
             m = jnp.sum(ok)
             ext = g[m]

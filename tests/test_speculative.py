@@ -161,3 +161,43 @@ def test_fusion_prompt_speculative(models):
     got = np.asarray(generate_speculative(
         target, cfg, target, cfg, gen=gen, k=3, inputs_embeds=embeds))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("use_other_draft", [False, True])
+def test_greedy_with_repetition_penalty_matches_engine(models,
+                                                       use_other_draft):
+    """Greedy speculation under the engine's DEFAULT repetition penalty
+    (1.1) is token-exact vs engine greedy: the penalty must be applied to
+    draft, first-token, and verify argmaxes with per-position presence
+    (advisor round-2 finding)."""
+    cfg, target, draft_cfg, draft = models
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    ids = jnp.asarray(
+        np.random.default_rng(11).integers(2, 128, (1, 9)), jnp.int32)
+    ref = _target_greedy(target, cfg, ids, gen)
+    d_params, d_cfg = (draft, draft_cfg) if use_other_draft else (
+        target, cfg)
+    got = np.asarray(generate_speculative(target, cfg, d_params, d_cfg,
+                                          ids, gen, k=3))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_full_accept_leaves_no_draft_cache_hole(models):
+    """With draft == target every round fully accepts (m == k); the draft
+    cache must still hold REAL KV at every attended position, so the
+    draft's proposals keep matching the target's argmaxes in later rounds
+    (advisor round-2 finding: a garbage row per full-accept round)."""
+    cfg, target, _, _ = models
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    ids = jnp.asarray(
+        np.random.default_rng(12).integers(2, 128, (1, 6)), jnp.int32)
+    out, n_rounds, n_acc = generate_speculative(
+        target, cfg, target, cfg, ids, gen, k=4, return_stats=True)
+    # a perfect draft with an intact cache accepts ALL k drafts each round
+    assert int(n_acc) == 4 * int(n_rounds), (int(n_acc), int(n_rounds))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  _target_greedy(target, cfg, ids, gen))
