@@ -23,18 +23,49 @@ def _ocp():
     return ocp
 
 
-def save_train_state(path: str, state, *, force: bool = True) -> None:
-    ocp = _ocp()
-    path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"params": state.params,
-                          "opt_state": state.opt_state,
-                          "step": state.step}, force=force)
+# One long-lived async checkpointer for the process. Orbax's
+# StandardCheckpointer IS an AsyncCheckpointer — save() returns once the
+# device arrays are snapshotted and serializes to disk on a background
+# thread — but only if it outlives the call: the previous implementation
+# wrapped each save in `with StandardCheckpointer()`, whose __exit__ waits
+# for completion, silently making every save synchronous (at 8B scale each
+# save stalled the step loop for seconds; SURVEY.md §5.4 prescribes async).
+_ASYNC_CKPTR = None
+
+
+def _checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = _ocp().StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def save_train_state(path: str, state, *, force: bool = True,
+                     wait: bool = False) -> None:
+    """Asynchronous save: returns as soon as the arrays are snapshotted;
+    disk serialization overlaps subsequent train steps. Orbax internally
+    waits for any prior in-flight save before starting a new one (at most
+    one save buffers in memory). ``wait=True`` blocks until durable — use
+    it for preemption checkpoints, where the process is about to die."""
+    ckptr = _checkpointer()
+    ckptr.save(os.path.abspath(path),
+               {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}, force=force)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Barrier: block until every issued save is durable on disk. Call
+    before process exit and before deleting rotated checkpoints."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def restore_train_state(path: str, state):
     """Restore into the structure (and shardings) of ``state``."""
     ocp = _ocp()
+    wait_for_saves()  # the path may still be writing
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         target = {"params": state.params, "opt_state": state.opt_state,

@@ -66,6 +66,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--read-nums", type=int, default=None)
     p.add_argument("--eval-read-nums", type=int, default=None)
     p.add_argument("--mode", default="sft", choices=["sft", "pretrain"])
+    # async input pipeline (replaces torch DataLoader workers, SURVEY §3.1)
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="background-thread batch prefetch depth "
+                        "(0 disables; 2 double-buffers)")
+    p.add_argument("--cache-dataset", type=str2bool, default=True,
+                   help="tokenize each sample once and replay from memory "
+                        "across epochs")
     # optimization
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--train-iters", type=int, default=None,
@@ -222,6 +229,11 @@ def run_training(args) -> dict:
                                prot_tok, econf,
                                read_nums=args.eval_read_nums,
                                shard_index=pi, shard_count=pc)
+    if args.cache_dataset:
+        from ..data.pipeline import CachingDataset
+        train_ds = CachingDataset(train_ds)
+        if eval_ds is not None:
+            eval_ds = CachingDataset(eval_ds)
 
     # ---- schedule length ----
     # len(train_ds) is already this host's shard; each host feeds
@@ -349,12 +361,22 @@ def run_training(args) -> dict:
         rng = jax.random.key(args.seed + 7)
         stop = False
 
+        from ..data.pipeline import input_pipeline
+
         for epoch in range(args.epochs):
             if stop:
                 break
-            for batch in iterate_batches(train_ds, local_micro, shuffle=True,
-                                         seed=args.seed, epoch=epoch):
-                batch = put_batch(batch)
+            # tokenize/collate the NEXT batch on a background thread while
+            # the device runs the CURRENT step, and issue batch i+1's
+            # device transfer before blocking on step i
+            batches = input_pipeline(
+                train_ds, local_micro, shuffle=True, seed=args.seed,
+                epoch=epoch, put=put_batch,
+                depth=args.prefetch_depth) if args.prefetch_depth else (
+                put_batch(b) for b in iterate_batches(
+                    train_ds, local_micro, shuffle=True, seed=args.seed,
+                    epoch=epoch))
+            for batch in batches:
                 rng, srng = jax.random.split(rng)
                 timer.start()
                 with trace(args.profile_log_dir if step == 2 else None):
@@ -394,10 +416,13 @@ def run_training(args) -> dict:
                     while len(saved) > args.save_total_limit:
                         old = saved.pop(0)
                         import shutil
+                        # never delete under an in-flight async save
+                        ckpt_lib.wait_for_saves()
                         shutil.rmtree(old, ignore_errors=True)
                 if preempted["flag"]:
                     path = os.path.join(args.output_dir, "ckpt_preempt")
-                    ckpt_lib.save_train_state(path, state)
+                    # the process is about to die: block until durable
+                    ckpt_lib.save_train_state(path, state, wait=True)
                     print_rank_0(f"SIGTERM: saved {path}; exiting")
                     stop = True
                     break
@@ -405,6 +430,7 @@ def run_training(args) -> dict:
                     stop = True
                     break
 
+        ckpt_lib.wait_for_saves()  # async saves must land before exit
         wall = time.perf_counter() - t_start
         if metrics is None:
             raise SystemExit(

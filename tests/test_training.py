@@ -190,3 +190,39 @@ def test_orbax_checkpoint_roundtrip(tmp_path, setup):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_overlaps_steps(tmp_path, setup):
+    """save_train_state is asynchronous (SURVEY §5.4): it must issue the
+    save and return so train steps interleave with in-flight disk
+    serialization; wait_for_saves() is the durability barrier. Both
+    interleaved checkpoints must restore to their respective steps."""
+    import orbax.checkpoint as ocp
+
+    from molly_tpu.training import checkpoint as ckpt_lib
+
+    cfg, params, batch = setup
+    tc = TrainConfig(learning_rate=1e-3, total_steps=10)
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc))
+    state, _ = step(state, batch, jax.random.key(0))
+
+    # structural pin: the process-wide checkpointer is orbax's ASYNC one
+    # (the old per-save `with StandardCheckpointer()` context waited on
+    # __exit__, silently serializing every save)
+    assert isinstance(ckpt_lib._checkpointer(), ocp.AsyncCheckpointer)
+
+    ckpt_lib.save_train_state(str(tmp_path / "a"), state)
+    state2, _ = step(state, batch, jax.random.key(1))   # runs during save
+    ckpt_lib.save_train_state(str(tmp_path / "b"), state2)
+    state3, _ = step(state2, batch, jax.random.key(2))
+    assert int(state3.step) == 3
+    ckpt_lib.wait_for_saves()
+
+    blank = init_train_state(params, tc)
+    ra = ckpt_lib.restore_train_state(str(tmp_path / "a"), blank)
+    rb = ckpt_lib.restore_train_state(str(tmp_path / "b"), blank)
+    assert int(ra.step) == 1 and int(rb.step) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                    jax.tree_util.tree_leaves(rb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
