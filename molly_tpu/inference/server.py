@@ -88,11 +88,12 @@ def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
 # loop updates in place — donated into every dispatch) and COLD scalars/
 # rows (never donated, so the scheduler can fetch a pre-dispatch snapshot
 # WHILE the next chunk runs on device — pipelined scheduling).
-_HOT_KEYS = ("cache", "valid", "presence")
+# "kv_scale" exists only with kv_quant="int8" (per-column KV scales).
+_HOT_KEYS = ("cache", "kv_scale", "valid", "presence")
 
 
 def _split_state(s):
-    return ({k: s[k] for k in _HOT_KEYS},
+    return ({k: s[k] for k in _HOT_KEYS if k in s},
             {k: v for k, v in s.items() if k not in _HOT_KEYS})
 
 
@@ -142,9 +143,16 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng,
     presence = presence.at[jnp.arange(k), tok0].set(True)
 
     s = dict(state)
-    # each request's (prefix ‖) prompt KV fills columns [0, s_pre + Sb)
-    s["cache"] = s["cache"].at[:, slots, :, :s_pre + Sb, :].set(
-        cache["kv"].astype(s["cache"].dtype))
+    # each request's (prefix ‖) prompt KV fills columns [0, s_pre + Sb);
+    # prefill itself runs bf16 (keeps flash attention), quantizing only at
+    # insertion when the slot pool stores int8 KV
+    if "kv_scale" in s:
+        q8, sc = qwen3.quantize_kv(cache["kv"])
+        s["cache"] = s["cache"].at[:, slots, :, :s_pre + Sb, :].set(q8)
+        s["kv_scale"] = s["kv_scale"].at[:, slots, :, :s_pre + Sb, :].set(sc)
+    else:
+        s["cache"] = s["cache"].at[:, slots, :, :s_pre + Sb, :].set(
+            cache["kv"].astype(s["cache"].dtype))
     rows = jnp.zeros((k, s["valid"].shape[1]), jnp.int32)
     rows = rows.at[:, :s_pre + Sb].set(full_mask)
     s["valid"] = s["valid"].at[slots].set(rows)
@@ -174,11 +182,16 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     # active slots, and any stale bit there is cleared for the rest
     col = prompt_cols + jax.lax.rem(s["head"], ring_cols)
     valid2 = s["valid"].at[:, col].set(s["active"].astype(jnp.int32))
+    cache_in = {"kv": s["cache"]}
+    if "kv_scale" in s:
+        cache_in["kv_scale"] = s["kv_scale"]
     hidden, cache = qwen3.forward_hidden(
         params["text"], tcfg, inputs_embeds=emb, attention_mask=valid2,
-        positions=s["n_real"][:, None], cache={"kv": s["cache"]},
+        positions=s["n_real"][:, None], cache=cache_in,
         cache_index=col, causal=False)
     s["cache"] = cache["kv"]
+    if "kv_scale" in s:
+        s["kv_scale"] = cache["kv_scale"]
     s["valid"] = valid2
     s["head"] = s["head"] + 1
     logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, 0])
@@ -202,15 +215,26 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     return s
 
 
-def _decode_chunk_impl(params, hot, cold, rng, *, cfg, gen, prompt_cols,
-                       ring_cols, n_steps):
+def _decode_chunk_impl(params, hot, cold, rng, stop_free, *, cfg, gen,
+                       prompt_cols, ring_cols, n_steps):
     """Up to n_steps decode steps in ONE dispatch (early exit when every
     slot finishes). Scheduler host syncs (flag reads, rng splits) cost
-    ~10-25 ms each over a tunneled TPU — chunking amortizes them; the
-    trade is that freed slots wait out the chunk before readmission."""
+    ~10-25 ms each over a tunneled TPU — chunking amortizes them.
+
+    ``stop_free`` (dynamic scalar) arms DEVICE-SIDE early exit: the chunk
+    also ends once >= stop_free slots sit finished-but-unharvested, so
+    freed slots stop burning idle ticks the moment a backfill-worthy group
+    has accumulated — the scheduler admits next round instead of the slots
+    waiting out the chunk. 0 disables (drain mode: no queue to admit).
+    This subsumes host-side chunk sizing: a slot hitting its cap or EOS
+    sets ``finished``, so chunks adapt to the min remaining cap in the
+    pool without the host predicting it."""
     def cond(carry):
         st, i = carry
-        return jnp.logical_and(i < n_steps, jnp.any(st["active"]))
+        go = jnp.logical_and(i < n_steps, jnp.any(st["active"]))
+        backfill_ready = jnp.logical_and(
+            stop_free > 0, jnp.sum(st["finished"]) >= stop_free)
+        return jnp.logical_and(go, ~backfill_ready)
 
     def body(carry):
         st, i = carry
@@ -273,6 +297,8 @@ class ServingEngine:
                  max_len: int = 1024,
                  prefill_buckets=(64, 128, 256, 512, 1024),
                  decode_chunk: int = 1,
+                 admit_batch: int = 8,
+                 kv_quant: Optional[str] = None,
                  prefix_ids=None,
                  stream_cb=None,
                  rng: Optional[jax.Array] = None):
@@ -293,6 +319,9 @@ class ServingEngine:
         self.gen = gen
         self.n_slots = n_slots
         self.max_len = max_len
+        # early-exit threshold: a decode chunk ends once this many slots
+        # sit finished while requests are queued (backfill group size)
+        self.admit_batch = max(1, min(admit_batch, n_slots))
         tcfg = cfg.text
         if prefix_ids is not None:
             self.prefix_ids = np.asarray(prefix_ids,
@@ -322,8 +351,10 @@ class ServingEngine:
         @jax.jit
         def init_state():
             B, T = n_slots, gen.max_new_tokens
+            c = qwen3.init_cache(tcfg, B, max_len, quant=kv_quant)
             return {
-                "cache": qwen3.init_cache(tcfg, B, max_len)["kv"],
+                "cache": c["kv"],
+                **({"kv_scale": c["kv_scale"]} if "kv_scale" in c else {}),
                 "valid": jnp.zeros((B, max_len), jnp.int32),
                 "head": jnp.int32(0),                  # global ring tick
                 "n_real": jnp.zeros((B,), jnp.int32),  # non-pad tokens
@@ -336,6 +367,7 @@ class ServingEngine:
                 "finished": jnp.zeros((B,), bool),
             }
 
+        self._init_state = init_state
         self.hot, self.cold = _split_state(init_state())
         self._slot_uid: List[Any] = [None] * n_slots
         self._pending: List[Request] = []
@@ -344,6 +376,42 @@ class ServingEngine:
         self._stale_cold = None   # out_len) + the cold dict they came from
         self._stream_cb = stream_cb
         self._streamed = [0] * n_slots  # tokens delivered per slot
+        # scheduler-overhead accounting (reported by bench --mode serve)
+        self.stats = {"rounds": 0, "decode_dispatches": 0,
+                      "prefill_dispatches": 0, "prefill_rows": 0,
+                      "fetch_wait_s": 0.0}
+
+    def precompile(self, group_sizes=None, with_decode: bool = True):
+        """Ahead-of-time compile every (bucket, group-size) prefill-insert
+        variant this engine can dispatch (admission groups are rounded to
+        powers of two) plus the decode-chunk executable, so an online or
+        timed run never stalls ~20-40 s on a first-occurrence compile.
+        Runs dummy text-only work on device, then resets the state —
+        call BEFORE submitting real requests. Workloads with omics
+        segments compile their own variants on first admission."""
+        sizes = group_sizes or [1 << i
+                                for i in range(self.n_slots.bit_length())
+                                if (1 << i) <= self.n_slots]
+        for b in self.buckets:
+            for k in sizes:
+                batch = {"input_ids": jnp.ones((k, b), jnp.int32),
+                         "attention_mask": jnp.ones((k, b), jnp.int32)}
+                slots = jnp.arange(k, dtype=jnp.int32) % self.n_slots
+                caps = jnp.full((k,), 2, jnp.int32)
+                self.rng, r = jax.random.split(self.rng)
+                self.hot, self.cold = self._prefill_insert(
+                    self.params, self.hot, self.cold, batch, slots, caps,
+                    r, self._kv_pre)
+        if with_decode:
+            for stop in (0, 1):  # same executable; proves arg is dynamic
+                self.rng, r = jax.random.split(self.rng)
+                self.hot, self.cold = self._decode(
+                    self.params, self.hot, self.cold, r, jnp.int32(stop))
+        self.hot, self.cold = _split_state(self._init_state())
+        self._slot_uid = [None] * self.n_slots
+        self._streamed = [0] * self.n_slots
+        self._stale = None
+        self._stale_cold = None
 
     # ---- scheduler ----------------------------------------------------
 
@@ -398,8 +466,11 @@ class ServingEngine:
         over a tunneled TPU costs ~10-25 ms — never fetch piecemeal).
         ``cold`` is never donated, so fetching a PRE-dispatch snapshot
         overlaps with whatever chunk is running on device."""
+        import time as _time
+        t0 = _time.perf_counter()
         self._stale = jax.device_get((cold["active"], cold["finished"],
                                       cold["out_len"]))
+        self.stats["fetch_wait_s"] += _time.perf_counter() - t0
         self._stale_cold = cold
 
     def _start_group(self, reqs: List[Request], slots: List[int]) -> None:
@@ -432,6 +503,8 @@ class ServingEngine:
             self.params, self.hot, self.cold, jb,
             jnp.asarray(slots, jnp.int32), jnp.asarray(caps, jnp.int32),
             r1, self._kv_pre)
+        self.stats["prefill_dispatches"] += 1
+        self.stats["prefill_rows"] += len(reqs)
         for r, slot in zip(reqs, slots):
             self._slot_uid[slot] = r.uid
             self._streamed[slot] = 0
@@ -495,6 +568,7 @@ class ServingEngine:
         using the last host-known status (one chunk stale), dispatch the
         next decode chunk, then fetch the pre-dispatch status WHILE that
         chunk runs. Returns False when idle (nothing pending or active)."""
+        self.stats["rounds"] += 1
         if self._stale is None:
             self._refresh_status(self.cold)
         act, fin, olen = self._stale
@@ -519,8 +593,14 @@ class ServingEngine:
         if admitted or bool(np.any(act)):
             prev_cold = self.cold
             self.rng, r = jax.random.split(self.rng)
-            self.hot, self.cold = self._decode(self.params, self.hot,
-                                               self.cold, r)
+            # arm device-side early exit while a backfill group's worth of
+            # work is queued; drain at full chunk length otherwise
+            stop_free = (min(len(self._pending), self.admit_batch)
+                         if self._pending else 0)
+            self.hot, self.cold = self._decode(
+                self.params, self.hot, self.cold, r,
+                jnp.int32(stop_free))
+            self.stats["decode_dispatches"] += 1
             # overlapped fetch: prev_cold's buffers are alive (cold is
             # never donated) and already computed when the chunk starts
             self._refresh_status(prev_cold)

@@ -79,15 +79,40 @@ def init_params(cfg: Qwen3Config, key: jax.Array) -> Params:
 
 
 def init_cache(cfg: Qwen3Config, batch: int, max_len: int,
-               dtype=None) -> Dict[str, jnp.ndarray]:
+               dtype=None, quant: Optional[str] = None
+               ) -> Dict[str, jnp.ndarray]:
     """KV cache, ONE head-major array [L, B, Nkv, Smax, 2*Dh] (k ‖ v on the
     minor dim): head-major means both attention dots read the window
     natively (no per-step transpose); one array means one dynamic write +
-    one indexed read per layer instead of four ops."""
+    one indexed read per layer instead of four ops.
+
+    quant="int8": store K/V as int8 with one symmetric scale per
+    (layer, row, head, column, k|v half) in ``kv_scale`` — halves the
+    per-step HBM read that dominates large-batch decode, and the scales
+    factor OUT of both attention dots (per-column k-scale multiplies the
+    logit column; per-column v-scale folds into the softmax weights), so
+    the dots themselves run on the int8-converted operands with XLA's
+    convert-into-dot fusion (same pattern as int8 weights, ops/quant.py).
+    Qwen3's per-head-dim q/k RMSNorm tames the channel outliers that
+    usually argue for per-channel K quantization."""
     dt = dtype or _dtype(cfg)
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads,
              max_len, 2 * cfg.head_dim)
+    if quant == "int8":
+        return {"kv": jnp.zeros(shape, jnp.int8),
+                "kv_scale": jnp.zeros(shape[:-1] + (2,), jnp.float32)}
+    assert quant is None, quant
     return {"kv": jnp.zeros(shape, dt)}
+
+
+def quantize_kv(kv_new: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(row, head, column, k|v-half) int8 quantization of
+    fresh KV rows [..., S, 2*Dh] -> (int8 same shape, scales [..., S, 2])."""
+    lead, two_dh = kv_new.shape[:-1], kv_new.shape[-1]
+    halves = kv_new.astype(jnp.float32).reshape(lead + (2, two_dh // 2))
+    scale = jnp.maximum(jnp.max(jnp.abs(halves), axis=-1), 1e-6) / 127.0
+    q8 = jnp.clip(jnp.round(halves / scale[..., None]), -127, 127)
+    return q8.astype(jnp.int8).reshape(lead + (two_dh,)), scale
 
 
 def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
@@ -144,24 +169,37 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
     else:
         # full [L, B, Nkv, Smax, 2*Dh] cache + layer index: write ONLY the
         # new token rows (k ‖ v, one update), then read this layer's window
-        ckv, li = cache_kv
+        ckv, csc, li = cache_kv
         kv_new = jnp.concatenate(
             [kk.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)],
-            axis=-1).astype(ckv.dtype)  # [B, Nkv, S, 2*Dh]
+            axis=-1)  # [B, Nkv, S, 2*Dh]
+        if csc is not None:  # int8 cache: quantize the fresh rows
+            kv_new, sc_new = quantize_kv(kv_new)
+        else:
+            kv_new = kv_new.astype(ckv.dtype)
         if jnp.ndim(cache_index) > 0:
             # per-row cache index [B] (continuous-batching decode: each
             # serving slot sits at its own length) — scatter one row/slot
             assert S == 1, "per-row cache_index requires single-token steps"
             ckv = ckv.at[li, jnp.arange(B), :, cache_index, :].set(
                 kv_new[:, :, 0])
+            if csc is not None:
+                csc = csc.at[li, jnp.arange(B), :, cache_index, :].set(
+                    sc_new[:, :, 0])
         else:
             ckv = jax.lax.dynamic_update_slice(
                 ckv, kv_new[None], (li, 0, 0, cache_index, 0))
+            if csc is not None:
+                csc = jax.lax.dynamic_update_slice(
+                    csc, sc_new[None], (li, 0, 0, cache_index, 0))
         kv_l = jax.lax.dynamic_index_in_dim(ckv, li, 0, keepdims=False)
+        sc_l = (jax.lax.dynamic_index_in_dim(csc, li, 0, keepdims=False)
+                if csc is not None else None)
         attn = dot_product_attention(
             q, kv_l[..., :Dh], kv_l[..., Dh:], mask=mask, causal=causal,
-            scale=Dh ** -0.5, q_offset=cache_index, kv_layout="bnsd")
-        new_cache = ckv
+            scale=Dh ** -0.5, q_offset=cache_index, kv_layout="bnsd",
+            kv_scales=sc_l)
+        new_cache = (ckv, csc)
     attn_flat = attn.reshape(B, S, Nq * Dh)
     attn = proj(attn_flat, "o_proj")
     hidden = hidden + attn
@@ -257,20 +295,23 @@ def forward_hidden(
         # unrolled decode loop was measured SLOWER: 1131 vs 1287 tok/s —
         # XLA pipelines the scan better.)
         def body(carry, xs):
-            h, ckv, li = carry
+            h, ckv, csc, li = carry
             layer_params, lora_l, rng = xs
-            h, ckv = _layer(cfg, h, layer_params, cos, sin,
-                            attention_mask, causal, (ckv, li),
-                            cache_index, lora_l, lora_scale,
-                            lora_dropout, rng)
-            return (h, ckv, li + 1), None
+            h, (ckv, csc) = _layer(cfg, h, layer_params, cos, sin,
+                                   attention_mask, causal, (ckv, csc, li),
+                                   cache_index, lora_l, lora_scale,
+                                   lora_dropout, rng)
+            return (h, ckv, csc, li + 1), None
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        (hidden, nkv, _), _ = jax.lax.scan(
-            body, (hidden, cache["kv"], jnp.int32(0)),
+        (hidden, nkv, nsc, _), _ = jax.lax.scan(
+            body, (hidden, cache["kv"], cache.get("kv_scale"),
+                   jnp.int32(0)),
             (lp, lora_layers, layer_rngs))
         new_cache = {"kv": nkv}
+        if nsc is not None:
+            new_cache["kv_scale"] = nsc
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache

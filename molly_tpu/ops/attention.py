@@ -52,6 +52,10 @@ def dot_product_attention(
     q_offset: int | jnp.ndarray = 0,  # absolute position of q[0] (decode step)
     impl: Optional[str] = None,
     kv_layout: str = "bsnd",  # or "bnsd" (head-major KV cache, decode path)
+    kv_scales: Optional[jnp.ndarray] = None,  # int8 KV cache: [B,Nkv,Skv,2]
+    #   per-column symmetric scales (k half, v half); k-scale multiplies
+    #   the logit column, v-scale folds into the softmax weights — the
+    #   int8 operands feed the dots directly (convert-into-dot fusion)
 ) -> jnp.ndarray:
     """Scaled dot-product attention with GQA, padding mask, causal mask.
 
@@ -60,20 +64,22 @@ def dot_product_attention(
     """
     impl = _resolve_impl(impl or _IMPL)
     # flash path: decode steps (Sq==1) stay on XLA (bandwidth-bound, no
-    # benefit); traced q_offset can't feed the static kernel params
+    # benefit); traced q_offset can't feed the static kernel params;
+    # int8-cache reads (kv_scales) are XLA-only
     if (impl == "flash" and q.shape[1] > 1 and isinstance(q_offset, int)
-            and (mask is None or mask.ndim == 2)):
+            and kv_scales is None and (mask is None or mask.ndim == 2)):
         from .flash_attention import flash_attention
         if kv_layout == "bnsd":  # one-time per prefill, not per decode step
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
         return flash_attention(q, k, v, mask, causal, scale, q_offset)
     return _xla_attention(q, k, v, mask=mask, causal=causal, scale=scale,
-                          q_offset=q_offset, kv_layout=kv_layout)
+                          q_offset=q_offset, kv_layout=kv_layout,
+                          kv_scales=kv_scales)
 
 
 def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0,
-                   kv_layout="bsnd"):
+                   kv_layout="bsnd", kv_scales=None):
     b, sq, nq, dh = q.shape
     if kv_layout == "bsnd":
         skv, nkv = k.shape[1], k.shape[2]
@@ -88,10 +94,20 @@ def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0,
     # decode, where the KV cache read dominates)
     qg = q.reshape(b, sq, nkv, n_rep, dh)
 
+    if kv_scales is not None:  # int8 KV cache (bnsd decode path only)
+        assert kv_layout == "bnsd", kv_layout
+        k = k.astype(q.dtype)  # convert fuses into the dot (int8-weights
+        v_eff = v.astype(q.dtype)  # pattern, benchmarks/README.md)
+    else:
+        v_eff = v
+
     # [B, Nkv, G, Sq, Skv]
     logits = jnp.einsum(f"bqngd,{k_sub}->bngqk", qg, k,
                         preferred_element_type=jnp.float32)
     logits = logits * scale
+    if kv_scales is not None:
+        # per-column k scale multiplies its logit column
+        logits = logits * kv_scales[..., 0][:, :, None, None, :]
 
     neg = jnp.finfo(jnp.float32).min
     if mask is not None:
@@ -110,6 +126,9 @@ def _xla_attention(q, k, v, *, mask, causal, scale, q_offset=0,
         logits = jnp.where(causal_mask[:, None, None], logits, neg)
 
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(f"bngqk,{v_sub}->bqngd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if kv_scales is not None:
+        # per-column v scale folds into the softmax weights
+        probs = probs * kv_scales[..., 1][:, :, None, None, :]
+    out = jnp.einsum(f"bngqk,{v_sub}->bqngd", probs.astype(v_eff.dtype),
+                     v_eff, preferred_element_type=jnp.float32)
     return out.reshape(b, sq, nq, dh).astype(q.dtype)

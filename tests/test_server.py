@@ -265,3 +265,66 @@ def test_streaming_delivers_monotone_prefixes(setup):
     assert set(streamed) == {0, 1, 2}
     for uid, chunks in streamed.items():
         np.testing.assert_array_equal(chunks[-1], results[uid])
+
+
+def test_int8_kv_cache_decode_matches_bf16(setup):
+    """int8 KV cache (per-column scales factored into the attention dots):
+    the serving engine's greedy outputs on a tiny f32 model must MATCH the
+    bf16-cache engine — quantization noise (~1e-2 on logits) only flips
+    argmaxes at near-ties, which a fixed-seed tiny model avoids; exactness
+    is asserted on agreement of >= 90% of tokens and identical shapes."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [_text_request(i, s, seed=100 + i) for i, s in
+            enumerate([6, 11, 16, 9])]
+    ref_eng = ServingEngine(params, cfg, gen, n_slots=4, max_len=64,
+                            prefill_buckets=(16,))
+    ref = ref_eng.run([Request(r.uid, dict(r.batch)) for r in reqs])
+    q_eng = ServingEngine(params, cfg, gen, n_slots=4, max_len=64,
+                          prefill_buckets=(16,), kv_quant="int8")
+    got = q_eng.run([Request(r.uid, dict(r.batch)) for r in reqs])
+    assert set(got) == set(ref)
+    agree = total = 0
+    for uid in ref:
+        assert got[uid].shape == ref[uid].shape
+        agree += int(np.sum(got[uid] == ref[uid]))
+        total += ref[uid].size
+    assert agree / total >= 0.9, (agree, total)
+
+
+def test_int8_kv_forward_logits_close():
+    """Direct numeric check: one prefill+decode through an int8 cache vs a
+    f32 cache — logits must be close (the per-column scale factoring is
+    exact math; only the int8 rounding differs)."""
+    from molly_tpu.models import qwen3
+
+    cfg = tiny_qwen3(vocab_size=64, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=8)
+    params = qwen3.init_params(cfg, jax.random.key(3))
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 64, (2, 10)),
+                      jnp.int32)
+    emb = qwen3.embed_tokens(params, ids)
+    mask = jnp.ones((2, 12), jnp.int32)
+
+    outs = {}
+    for quant in (None, "int8"):
+        cache = qwen3.init_cache(cfg, 2, 12, quant=quant)
+        h, cache = qwen3.forward_hidden(
+            params, cfg, inputs_embeds=emb,
+            attention_mask=mask.at[:, 10:].set(0),
+            positions=jnp.arange(10)[None].repeat(2, 0),
+            cache=cache, cache_index=0)
+        tok = jnp.argmax(qwen3.logits_from_hidden(params, cfg, h[:, -1:]),
+                         -1)
+        h2, cache = qwen3.forward_hidden(
+            params, cfg, input_ids=tok, attention_mask=mask.at[:, 11:].set(0),
+            positions=jnp.full((2, 1), 10), cache=cache, cache_index=10)
+        outs[quant] = np.asarray(
+            qwen3.logits_from_hidden(params, cfg, h2[:, 0]))
+    ref, got = outs[None], outs["int8"]
+    denom = np.maximum(np.abs(ref).max(), 1e-3)
+    assert np.max(np.abs(ref - got)) / denom < 0.05, (
+        np.max(np.abs(ref - got)), denom)
