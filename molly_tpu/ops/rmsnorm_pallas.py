@@ -42,7 +42,20 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dwp_ref, *, eps):
     wg = w * g
     dot = jnp.sum(wg * xhat, axis=-1, keepdims=True) / H
     dx_ref[...] = ((wg - xhat * dot) * inv).astype(dx_ref.dtype)
-    dwp_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)
+    # weight-grad partials: one (8, H) accumulator block shared by every
+    # sequential grid step (a (1, H) row per block would violate the
+    # 8-sublane block constraint once the grid has >1 step); rows fold
+    # mod 8 here, the host sums the final 8
+    part = jnp.sum((g * xhat).reshape(-1, 8, H), axis=0)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwp_ref[...] = part
+
+    @pl.when(i > 0)
+    def _acc():
+        dwp_ref[...] += part
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -105,12 +118,12 @@ def _bwd(eps, res, g):
         out_specs=(
             pl.BlockSpec((BR, H), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (i, 0),
+            pl.BlockSpec((8, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(x2.shape, x.dtype),
-            jax.ShapeDtypeStruct((nblk, H), jnp.float32),
+            jax.ShapeDtypeStruct((8, H), jnp.float32),
         ),
     )(x2, weight.reshape(1, H), g2)
     if pad:
