@@ -88,6 +88,12 @@ def main():
                          "scales (halves the per-step KV read; sampling "
                          "pipeline unchanged, logits carry ~1e-2 "
                          "quantization noise)")
+    ap.add_argument("--offline", action="store_true",
+                    help="serve mode: run the device-side admission ring "
+                         "(inference.offline) — the WHOLE workload in one "
+                         "dispatch (admission+prefill+decode+harvest on "
+                         "device); the offline-throughput answer to "
+                         "host-dispatch overhead")
     ap.add_argument("--prefix-len", type=int, default=0,
                     help="serve mode: length of a prompt prefix shared by "
                          "every request (prefilled once via the engine's "
@@ -380,6 +386,7 @@ def bench_serve(args):
                   f"idle_slot_ticks={ticks * n_slots - total} "
                   f"wall={dt:.2f}s rounds={st['rounds']} "
                   f"decode_dispatches={st['decode_dispatches']} "
+                  f"fused_dispatches={st['fused_dispatches']} "
                   f"prefill_dispatches={st['prefill_dispatches']} "
                   f"prefill_rows={st['prefill_rows']} "
                   f"fetch_wait={st['fetch_wait_s']:.2f}s", file=sys.stderr)
@@ -406,21 +413,48 @@ def bench_serve(args):
             total += sum(r.max_new_tokens for r in chunk)
         return total, time.perf_counter() - t0
 
-    run_once()   # warmup/compile
+    def run_ring(report=False):
+        """Device-side admission ring: one dispatch for the workload."""
+        from molly_tpu.inference.offline import run_offline
+        reqs = mk_reqs()
+        ids = np.concatenate([r.batch["input_ids"] for r in reqs])
+        mask = np.ones(ids.shape, np.int32)
+        ocaps = np.asarray([r.max_new_tokens for r in reqs], np.int32)
+        t0 = time.perf_counter()
+        out = run_offline(params, cfg, gen, ids, mask, ocaps,
+                          n_slots=n_slots, max_len=max_len,
+                          admit_group=args.admit_batch,
+                          kv_quant="int8" if args.kv_int8 else None)
+        dt = time.perf_counter() - t0
+        total = int(out["lengths"].sum())
+        if report:
+            import sys
+            occ = total / max(1, out["decode_ticks"] * n_slots)
+            print(f"[offline] useful={total} "
+                  f"decode_ticks={out['decode_ticks']} "
+                  f"admit_ticks={out['ticks'] - out['decode_ticks']} "
+                  f"slot_occupancy={occ:.3f} wall={dt:.2f}s "
+                  f"dispatches=1", file=sys.stderr)
+        return total, dt
+
+    run_engine = run_ring if args.offline else run_once
+    run_engine()   # warmup/compile
     run_static()
-    total, dt = run_once(report=True)
+    total, dt = run_engine(report=True)
     s_total, s_dt = run_static()
     static_rate = s_total / s_dt
     prefix_note = ""
-    if s_pre:
+    if s_pre and not args.offline:
         run_once(use_prefix=True)  # warmup the prefix-path executables
         plain_rate = total / dt
         total, dt = run_once(use_prefix=True, report=True)
         prefix_note = (f", {s_pre}-token shared prefix KV-cached "
                        f"(non-cached engine: {plain_rate:.0f} tok/s)")
+    engine_name = ("device-side admission ring (1-dispatch offline)"
+                   if args.offline else "continuous-batching serving")
     print(json.dumps({
         "metric": f"{args.preset if not args.smoke else 'smoke'} "
-                  f"continuous-batching serving "
+                  f"{engine_name} "
                   f"({'int8' if args.int8 else 'bf16'}"
                   f"{', int8 KV' if args.kv_int8 else ''}, {n_slots} slots, "
                   f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "

@@ -61,8 +61,17 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="continuous batching (inference.server): slots free "
                         "at EOS and backfill from the queue instead of "
                         "static batches that wait for the longest row")
-    p.add_argument("--serve-chunk", type=int, default=16,
-                   help="decode steps per scheduler sync under --serve")
+    p.add_argument("--serve-chunk", type=int, default=64,
+                   help="max decode steps per scheduler sync under --serve "
+                        "(device-side early exit ends a chunk sooner once "
+                        "a backfill group's worth of slots finish)")
+    p.add_argument("--serve-admit", type=int, default=8,
+                   help="backfill group size under --serve (chunks exit "
+                        "early once this many slots sit finished while "
+                        "requests are queued)")
+    p.add_argument("--serve-kv-int8", action="store_true",
+                   help="int8 KV slot pool under --serve (halves KV "
+                        "memory/bandwidth; ~1e-2 logit noise)")
     return p
 
 
@@ -172,6 +181,8 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
                         max_len=args.max_length + gen.max_new_tokens,
                         prefill_buckets=(args.max_length - s_pre,),
                         decode_chunk=args.serve_chunk,
+                        admit_batch=args.serve_admit,
+                        kv_quant="int8" if args.serve_kv_int8 else None,
                         prefix_ids=prefix_ids, rng=rng)
     meta = {}
     arr_keys = ("input_ids", "attention_mask", "dna_rna_tokens",

@@ -1,0 +1,291 @@
+"""Offline (whole-workload) continuous batching: the device-side
+admission ring.
+
+The online ``ServingEngine`` (server.py) schedules from the host: each
+round dispatches a decode chunk, fetches status, and admits new requests.
+Measured on a tunneled v5e, every dispatch costs ~40-70 ms of
+non-pipelining host/tunnel overhead (benchmarks/README.md "dispatch
+overhead") — at 64 slots that is worth hundreds of slot-ticks, and the
+scheduler overhead caps the engine at ~60% of its own decode roofline.
+
+For OFFLINE workloads (the reference's only serving mode: a fixed file of
+prompts batch-decoded to JSONL, /root/reference/src/inference_lora.py:
+284-321) the whole request queue is known up front, so the TPU-native
+answer is to move the scheduler ONTO the device: upload every prompt once,
+run ONE jitted while_loop whose body either
+
+  - ADMITS: harvests + recycles ``admit_group`` finished/virgin slots,
+    prefills the next ``admit_group`` queued prompts (one static-shape
+    [k, Sb] prefill), samples their first tokens, and inserts their KV
+    into the recycled slots; or
+  - DECODES: advances every active slot one token (the same ring-buffer
+    cache layout and sampling semantics as the online engine),
+
+and fetch the per-request output buffer once at the end. Host round trips
+per workload: O(1) instead of O(rounds). Slot state, sampling (temperature/
+top-k/top-p/repetition-penalty presence sets), EOS/cap termination, and
+the prompt-columns + generation-ring cache layout are identical to
+server.py; outputs for greedy decoding are token-identical.
+
+Scope (v1): text-only prompts, one prompt bucket (callers left-pad to it),
+no shared-prefix caching, no streaming. Online/latency serving and omics
+prompts stay on ``ServingEngine``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import qwen3
+from ..models.fusion import FusionConfig
+from .engine import GenerationConfig
+from .sampling import sample_tokens
+
+
+def _admit(params, st, rng, *, tcfg, gen, n_slots, admit_group, bucket,
+           ring_cols):
+    """Recycle ``admit_group`` slots and prefill the next queued prompts
+    into them. Queue exhaustion is padded out by the caller (dummy rows,
+    cap 1), so the group shape is static."""
+    k = admit_group
+    B = n_slots
+    # pick k recyclable slots (finished or never used). The caller's cond
+    # guarantees at least k exist whenever this branch runs.
+    recyclable = jnp.logical_not(st["active"])
+    # order: finished-with-results first is unnecessary — any free slot
+    # works; take the k lowest indices among recyclable
+    slot_rank = jnp.where(recyclable, jnp.arange(B), B + jnp.arange(B))
+    slots = jnp.sort(slot_rank)[:k].astype(jnp.int32) % B
+
+    # harvest: anything sitting in a recycled slot streams its out_buf row
+    # into the per-request results store (virgin slots carry req_id -1 ->
+    # row parked on a scratch row)
+    req_ids = st["req_of_slot"][slots]
+    dst = jnp.where(req_ids >= 0, req_ids, st["results"].shape[0] - 1)
+    st["results"] = st["results"].at[dst].set(st["out_buf"][slots])
+    st["res_len"] = st["res_len"].at[dst].set(st["out_len"][slots])
+
+    # next k queue rows (static slice at a dynamic head)
+    qh = st["queue_head"]
+    ids = jax.lax.dynamic_slice(st["queue_ids"], (qh, 0), (k, bucket))
+    mask = jax.lax.dynamic_slice(st["queue_mask"], (qh, 0), (k, bucket))
+    caps = jax.lax.dynamic_slice(st["queue_caps"], (qh,), (k,))
+    caps = jnp.minimum(jnp.maximum(caps, 1), ring_cols)
+    new_req = qh + jnp.arange(k)
+
+    # prefill the group (bf16 temp cache, flash attention when available)
+    emb = qwen3.embed_tokens(params["text"], ids)
+    cache = qwen3.init_cache(tcfg, k, bucket)
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    hidden, cache = qwen3.forward_hidden(
+        params["text"], tcfg, inputs_embeds=emb, attention_mask=mask,
+        positions=positions, cache=cache, cache_index=0)
+    logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, -1])
+    presence = jnp.zeros((k, tcfg.vocab_size), bool)
+    tok0 = sample_tokens(
+        logits, rng, do_sample=gen.do_sample, temperature=gen.temperature,
+        top_k=gen.top_k, top_p=gen.top_p,
+        repetition_penalty=gen.repetition_penalty, presence=presence)
+    presence = presence.at[jnp.arange(k), tok0].set(True)
+
+    # insert into the recycled slots (same layout as server._prefill_insert)
+    if "kv_scale" in st:
+        q8, sc = qwen3.quantize_kv(cache["kv"])
+        st["cache"] = st["cache"].at[:, slots, :, :bucket, :].set(q8)
+        st["kv_scale"] = st["kv_scale"].at[:, slots, :, :bucket, :].set(sc)
+    else:
+        st["cache"] = st["cache"].at[:, slots, :, :bucket, :].set(
+            cache["kv"].astype(st["cache"].dtype))
+    rows = jnp.zeros((k, st["valid"].shape[1]), jnp.int32)
+    rows = rows.at[:, :bucket].set(mask)
+    st["valid"] = st["valid"].at[slots].set(rows)
+    st["n_real"] = st["n_real"].at[slots].set(jnp.sum(mask, axis=1))
+    st["last_tok"] = st["last_tok"].at[slots].set(tok0)
+    st["presence"] = st["presence"].at[slots].set(presence)
+    out_rows = jnp.full((k, st["out_buf"].shape[1]), gen.pad_token_id,
+                        jnp.int32).at[:, 0].set(tok0)
+    st["out_buf"] = st["out_buf"].at[slots].set(out_rows)
+    st["out_len"] = st["out_len"].at[slots].set(1)
+    st["cap"] = st["cap"].at[slots].set(caps)
+    done0 = jnp.logical_or(tok0 == gen.eos_token_id, caps <= 1)
+    st["active"] = st["active"].at[slots].set(~done0)
+    st["req_of_slot"] = st["req_of_slot"].at[slots].set(new_req)
+    st["queue_head"] = qh + k
+    return st
+
+
+def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
+    """One decode step for every active slot — mirrors server._decode_impl
+    (ring-buffer column shared by all slots per global tick)."""
+    B = st["n_real"].shape[0]
+    rows = jnp.arange(B)
+    emb = qwen3.embed_tokens(params["text"], st["last_tok"][:, None])
+    col = prompt_cols + jax.lax.rem(st["head"], ring_cols)
+    valid2 = st["valid"].at[:, col].set(st["active"].astype(jnp.int32))
+    cache_in = {"kv": st["cache"]}
+    if "kv_scale" in st:
+        cache_in["kv_scale"] = st["kv_scale"]
+    hidden, cache = qwen3.forward_hidden(
+        params["text"], tcfg, inputs_embeds=emb, attention_mask=valid2,
+        positions=st["n_real"][:, None], cache=cache_in,
+        cache_index=col, causal=False)
+    st["cache"] = cache["kv"]
+    if "kv_scale" in st:
+        st["kv_scale"] = cache["kv_scale"]
+    st["valid"] = valid2
+    st["head"] = st["head"] + 1
+    logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, 0])
+    nxt = sample_tokens(
+        logits, rng, do_sample=gen.do_sample, temperature=gen.temperature,
+        top_k=gen.top_k, top_p=gen.top_p,
+        repetition_penalty=gen.repetition_penalty, presence=st["presence"])
+    nxt = jnp.where(st["active"], nxt, gen.pad_token_id)
+    safe = jnp.minimum(st["out_len"], st["out_buf"].shape[1] - 1)
+    st["out_buf"] = st["out_buf"].at[rows, safe].set(
+        jnp.where(st["active"], nxt, st["out_buf"][rows, safe]))
+    st["presence"] = st["presence"].at[rows, nxt].set(
+        st["presence"][rows, nxt] | st["active"])
+    st["out_len"] = st["out_len"] + st["active"]
+    st["n_real"] = st["n_real"] + st["active"]
+    st["last_tok"] = jnp.where(st["active"], nxt, st["last_tok"])
+    newly_done = st["active"] & (
+        (nxt == gen.eos_token_id) | (st["out_len"] >= st["cap"]))
+    st["active"] = st["active"] & ~newly_done
+    return st
+
+
+def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
+              cfg: FusionConfig, gen: GenerationConfig, n_slots: int,
+              max_len: int, admit_group: int, kv_quant: Optional[str]):
+    tcfg = cfg.text
+    N, bucket = queue_ids.shape
+    prompt_cols = bucket
+    ring_cols = max_len - prompt_cols
+    T = gen.max_new_tokens
+
+    c = qwen3.init_cache(tcfg, n_slots, max_len, quant=kv_quant)
+    st = {
+        "cache": c["kv"],
+        **({"kv_scale": c["kv_scale"]} if "kv_scale" in c else {}),
+        "valid": jnp.zeros((n_slots, max_len), jnp.int32),
+        "head": jnp.int32(0),
+        "n_real": jnp.zeros((n_slots,), jnp.int32),
+        "last_tok": jnp.zeros((n_slots,), jnp.int32),
+        "presence": jnp.zeros((n_slots, tcfg.vocab_size), bool),
+        "out_buf": jnp.full((n_slots, T), gen.pad_token_id, jnp.int32),
+        "out_len": jnp.zeros((n_slots,), jnp.int32),
+        "cap": jnp.full((n_slots,), T, jnp.int32),
+        "active": jnp.zeros((n_slots,), bool),
+        "req_of_slot": jnp.full((n_slots,), -1, jnp.int32),
+        # +1 scratch row absorbs virgin-slot harvests (req_id -1)
+        "results": jnp.full((N + 1, T), gen.pad_token_id, jnp.int32),
+        "res_len": jnp.zeros((N + 1,), jnp.int32),
+        "queue_ids": queue_ids,
+        "queue_mask": queue_mask.astype(jnp.int32),
+        "queue_caps": queue_caps,
+        "queue_head": jnp.int32(0),
+        "tick": jnp.int32(0),
+    }
+
+    # Loop nesting matters enormously here: putting admit/decode in a
+    # lax.cond selected EVERY tick forces XLA to copy the multi-GB cache
+    # across the cond boundary each iteration (measured 36.7 ms/tick vs
+    # the online engine's ~7 ms chunk tick at identical shapes). Instead
+    # the INNER while_loop is pure decode — structurally identical to the
+    # online engine's chunk, which XLA aliases fully in place — and the
+    # OUTER loop runs one admission (cond'd on queue state) per admission
+    # cycle, so the copy cost amortizes over a whole cycle of ticks.
+    def want_admit(st):
+        free = jnp.sum(jnp.logical_not(st["active"]))
+        return jnp.logical_and(st["queue_head"] < N, free >= admit_group)
+
+    def decode_cond(st):
+        return jnp.logical_and(jnp.any(st["active"]),
+                               jnp.logical_not(want_admit(st)))
+
+    def decode_body(st):
+        r = jax.random.fold_in(rng, st["tick"])
+        st = _decode_tick(params, st, r, tcfg=tcfg, gen=gen,
+                          prompt_cols=prompt_cols, ring_cols=ring_cols)
+        st["tick"] = st["tick"] + 1
+        return st
+
+    def outer_cond(st):
+        return jnp.logical_or(jnp.any(st["active"]), st["queue_head"] < N)
+
+    def outer_body(st):
+        st = jax.lax.cond(
+            want_admit(st),
+            lambda s: _admit(params, s,
+                             jax.random.fold_in(rng, -1 - s["tick"]),
+                             tcfg=tcfg, gen=gen, n_slots=n_slots,
+                             admit_group=admit_group, bucket=bucket,
+                             ring_cols=ring_cols),
+            lambda s: s, st)
+        st["tick"] = st["tick"] + 1
+        return jax.lax.while_loop(decode_cond, decode_body, st)
+
+    st = jax.lax.while_loop(outer_cond, outer_body, st)
+
+    # final harvest: every slot still binding a request streams out
+    req_ids = st["req_of_slot"]
+    dst = jnp.where(req_ids >= 0, req_ids, N)
+    st["results"] = st["results"].at[dst].set(st["out_buf"])
+    st["res_len"] = st["res_len"].at[dst].set(st["out_len"])
+    return (st["results"][:N], st["res_len"][:N], st["tick"],
+            st["head"])
+
+
+@lru_cache(maxsize=None)
+def _run_fn(cfg, gen, n_slots, max_len, admit_group, kv_quant):
+    return jax.jit(partial(
+        _run_impl, cfg=cfg, gen=gen, n_slots=n_slots, max_len=max_len,
+        admit_group=admit_group, kv_quant=kv_quant))
+
+
+def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
+                queue_ids: np.ndarray, queue_mask: np.ndarray,
+                queue_caps: Optional[np.ndarray] = None, *,
+                n_slots: int = 64, max_len: int = 1024,
+                admit_group: int = 8,
+                kv_quant: Optional[str] = None,
+                rng: Optional[jax.Array] = None,
+                ) -> Dict[str, np.ndarray]:
+    """Run a whole offline workload in one device dispatch.
+
+    queue_ids/queue_mask: [N, bucket] left-padded prompts (one bucket).
+    queue_caps: [N] per-request max_new_tokens (default: gen cap).
+    Returns {"tokens": [N, T] int32, "lengths": [N], "ticks": int,
+    "decode_ticks": int}; row i holds request i's generated tokens
+    (EOS included), first ``lengths[i]`` valid.
+    """
+    N = queue_ids.shape[0]
+    assert N >= 1
+    caps = (np.full((N,), gen.max_new_tokens, np.int32)
+            if queue_caps is None else np.asarray(queue_caps, np.int32))
+    # pad the queue to a multiple of the admission group with cap-1 dummy
+    # rows so the admit branch's shape is static
+    k = max(1, min(admit_group, n_slots))
+    pad = (-N) % k
+    if pad:
+        queue_ids = np.concatenate(
+            [np.asarray(queue_ids),
+             np.full((pad, queue_ids.shape[1]),
+                     gen.pad_token_id, np.int32)])
+        queue_mask = np.concatenate(
+            [np.asarray(queue_mask),
+             np.ones((pad, queue_mask.shape[1]), np.int32)])
+        caps = np.concatenate([caps, np.ones((pad,), np.int32)])
+    fn = _run_fn(cfg, gen, n_slots, max_len, k, kv_quant)
+    rng = rng if rng is not None else jax.random.key(0)
+    res, lens, ticks, head = fn(
+        params, jnp.asarray(queue_ids, jnp.int32),
+        jnp.asarray(queue_mask, jnp.int32), jnp.asarray(caps), rng)
+    res, lens = np.asarray(res[:N]), np.asarray(lens[:N])
+    return {"tokens": res, "lengths": lens,
+            "ticks": int(ticks), "decode_ticks": int(head)}

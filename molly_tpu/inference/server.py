@@ -215,6 +215,23 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     return s
 
 
+def _prefill_decode_impl(params, hot, cold, batch, slots, caps, rng,
+                         kv_pre, stop_free, *, cfg, gen, s_pre,
+                         prompt_cols, ring_cols, n_steps):
+    """Admission group prefill + decode chunk in ONE dispatch. The
+    scheduler's steady state is admit-then-decode every round; dispatching
+    them separately pays two ~38 ms tunnel round trips (measured in
+    benchmarks/README.md 'dispatch overhead') where one suffices — at 64
+    slots one dispatch is worth ~440 slot-ticks of decode throughput."""
+    r1, r2 = jax.random.split(rng)
+    hot, cold = _prefill_insert_impl(params, hot, cold, batch, slots,
+                                     caps, r1, kv_pre, cfg=cfg, gen=gen,
+                                     s_pre=s_pre)
+    return _decode_chunk_impl(params, hot, cold, r2, stop_free, cfg=cfg,
+                              gen=gen, prompt_cols=prompt_cols,
+                              ring_cols=ring_cols, n_steps=n_steps)
+
+
 def _decode_chunk_impl(params, hot, cold, rng, stop_free, *, cfg, gen,
                        prompt_cols, ring_cols, n_steps):
     """Up to n_steps decode steps in ONE dispatch (early exit when every
@@ -271,6 +288,15 @@ def _prefix_kv_fn(cfg):
             positions=jnp.arange(S)[None, :], cache=cache, cache_index=0)
         return cache["kv"]
     return jax.jit(impl)
+
+
+@lru_cache(maxsize=None)
+def _prefill_decode_fn(cfg, gen, s_pre, prompt_cols, ring_cols, n_steps):
+    return jax.jit(
+        partial(_prefill_decode_impl, cfg=cfg, gen=gen, s_pre=s_pre,
+                prompt_cols=prompt_cols, ring_cols=ring_cols,
+                n_steps=n_steps),
+        donate_argnums=(1,))
 
 
 @lru_cache(maxsize=None)
@@ -344,6 +370,9 @@ class ServingEngine:
         self._prefill_insert = _prefill_insert_fn(cfg, gen, self.s_pre)
         self._decode = _decode_fn(cfg, gen, self.prompt_cols,
                                   self.ring_cols, decode_chunk)
+        self._prefill_decode = _prefill_decode_fn(
+            cfg, gen, self.s_pre, self.prompt_cols, self.ring_cols,
+            decode_chunk)
         tcfg = cfg.text
 
         # materialize the state with one jitted executable (single dispatch
@@ -374,21 +403,26 @@ class ServingEngine:
         self._results: Dict[Any, np.ndarray] = {}
         self._stale = None        # last host-known (active, finished,
         self._stale_cold = None   # out_len) + the cold dict they came from
+        self._stale_skip = frozenset()  # slots newer than the snapshot
+        self._round_admitted: List[int] = []
         self._stream_cb = stream_cb
         self._streamed = [0] * n_slots  # tokens delivered per slot
         # scheduler-overhead accounting (reported by bench --mode serve)
         self.stats = {"rounds": 0, "decode_dispatches": 0,
+                      "fused_dispatches": 0,
                       "prefill_dispatches": 0, "prefill_rows": 0,
                       "fetch_wait_s": 0.0}
 
     def precompile(self, group_sizes=None, with_decode: bool = True):
-        """Ahead-of-time compile every (bucket, group-size) prefill-insert
-        variant this engine can dispatch (admission groups are rounded to
-        powers of two) plus the decode-chunk executable, so an online or
-        timed run never stalls ~20-40 s on a first-occurrence compile.
-        Runs dummy text-only work on device, then resets the state —
-        call BEFORE submitting real requests. Workloads with omics
-        segments compile their own variants on first admission."""
+        """Ahead-of-time compile every (bucket, group-size) FUSED
+        prefill+decode variant this engine's steady state dispatches
+        (admission groups are rounded to powers of two) plus the
+        decode-only executable, so an online or timed run never stalls
+        ~20-40 s on a first-occurrence compile. Runs dummy text-only work
+        on device, then resets the state — call BEFORE submitting real
+        requests. Prefill-ONLY variants (multi-group rounds: mixed
+        buckets, or a cold start wider than one group) and omics-segment
+        layouts compile lazily on first occurrence."""
         sizes = group_sizes or [1 << i
                                 for i in range(self.n_slots.bit_length())
                                 if (1 << i) <= self.n_slots]
@@ -399,9 +433,9 @@ class ServingEngine:
                 slots = jnp.arange(k, dtype=jnp.int32) % self.n_slots
                 caps = jnp.full((k,), 2, jnp.int32)
                 self.rng, r = jax.random.split(self.rng)
-                self.hot, self.cold = self._prefill_insert(
+                self.hot, self.cold = self._prefill_decode(
                     self.params, self.hot, self.cold, batch, slots, caps,
-                    r, self._kv_pre)
+                    r, self._kv_pre, jnp.int32(1))
         if with_decode:
             for stop in (0, 1):  # same executable; proves arg is dynamic
                 self.rng, r = jax.random.split(self.rng)
@@ -412,6 +446,8 @@ class ServingEngine:
         self._streamed = [0] * self.n_slots
         self._stale = None
         self._stale_cold = None
+        self._stale_skip = frozenset()
+        self._round_admitted = []
 
     # ---- scheduler ----------------------------------------------------
 
@@ -465,16 +501,22 @@ class ServingEngine:
         """ONE host sync for everything the scheduler needs (each transfer
         over a tunneled TPU costs ~10-25 ms — never fetch piecemeal).
         ``cold`` is never donated, so fetching a PRE-dispatch snapshot
-        overlaps with whatever chunk is running on device."""
+        overlaps with whatever chunk is running on device.
+
+        Slots admitted THIS round (after ``cold`` was produced) are
+        recorded as skip-slots for the snapshot: their stale rows still
+        describe the slot's previous occupant, so streaming or harvesting
+        them would hand the new request the old request's tokens."""
         import time as _time
         t0 = _time.perf_counter()
         self._stale = jax.device_get((cold["active"], cold["finished"],
                                       cold["out_len"]))
         self.stats["fetch_wait_s"] += _time.perf_counter() - t0
         self._stale_cold = cold
+        self._stale_skip = frozenset(self._round_admitted)
 
-    def _start_group(self, reqs: List[Request], slots: List[int]) -> None:
-        """Admit k same-bucket requests in one dispatch."""
+    def _assemble(self, reqs: List[Request], slots: List[int]):
+        """Pad + stack k same-bucket requests into device-ready arrays."""
         batches = [self._eff_batch(r) for r in reqs]
         bucket = self._bucket_for(
             np.asarray(batches[0]["input_ids"]).shape[1])
@@ -493,21 +535,46 @@ class ServingEngine:
                                if key in q)
                     rows.append(np.full_like(ref, fill))
             jb[key] = jnp.asarray(np.concatenate(rows, axis=0))
-        self.rng, r1 = jax.random.split(self.rng)
         # a request's generated span is contiguous in ring ticks, so
         # cap <= ring_cols guarantees it never wraps onto its own history
         caps = [max(1, min(r.max_new_tokens or self.gen.max_new_tokens,
                            self.gen.max_new_tokens, self.ring_cols))
                 for r in reqs]
-        self.hot, self.cold = self._prefill_insert(
-            self.params, self.hot, self.cold, jb,
-            jnp.asarray(slots, jnp.int32), jnp.asarray(caps, jnp.int32),
-            r1, self._kv_pre)
-        self.stats["prefill_dispatches"] += 1
-        self.stats["prefill_rows"] += len(reqs)
+        return (jb, jnp.asarray(slots, jnp.int32),
+                jnp.asarray(caps, jnp.int32))
+
+    def _bind_slots(self, reqs: List[Request], slots: List[int]) -> None:
         for r, slot in zip(reqs, slots):
             self._slot_uid[slot] = r.uid
             self._streamed[slot] = 0
+        self._round_admitted.extend(slots)
+
+    def _start_group(self, reqs: List[Request], slots: List[int]) -> None:
+        """Admit k same-bucket requests in one prefill-only dispatch
+        (used for all but the last group of a multi-group round; the last
+        group rides the decode dispatch via _start_group_fused)."""
+        jb, slots_arr, caps = self._assemble(reqs, slots)
+        self.rng, r1 = jax.random.split(self.rng)
+        self.hot, self.cold = self._prefill_insert(
+            self.params, self.hot, self.cold, jb, slots_arr, caps,
+            r1, self._kv_pre)
+        self.stats["prefill_dispatches"] += 1
+        self.stats["prefill_rows"] += len(reqs)
+        self._bind_slots(reqs, slots)
+
+    def _start_group_fused(self, reqs: List[Request], slots: List[int],
+                           stop_free: int) -> None:
+        """Admit a group AND run the round's decode chunk in ONE dispatch
+        — the steady-state round is admit-then-decode, and each dispatch
+        over the tunnel costs ~38 ms that does not pipeline."""
+        jb, slots_arr, caps = self._assemble(reqs, slots)
+        self.rng, r1 = jax.random.split(self.rng)
+        self.hot, self.cold = self._prefill_decode(
+            self.params, self.hot, self.cold, jb, slots_arr, caps,
+            r1, self._kv_pre, jnp.int32(stop_free))
+        self.stats["fused_dispatches"] += 1
+        self.stats["prefill_rows"] += len(reqs)
+        self._bind_slots(reqs, slots)
 
     def _stream(self, olen, cold_src) -> None:
         """Incremental delivery: hand each advanced request its generated
@@ -516,6 +583,7 @@ class ServingEngine:
             return
         idxs = [i for i in range(self.n_slots)
                 if self._slot_uid[i] is not None
+                and i not in self._stale_skip
                 and int(olen[i]) > self._streamed[i]]
         if not idxs:
             return
@@ -532,7 +600,8 @@ class ServingEngine:
         a blocking host fetch per completion round would cost a ~25 ms
         round trip each."""
         idxs = [i for i in range(self.n_slots)
-                if fin[i] and self._slot_uid[i] is not None]
+                if fin[i] and self._slot_uid[i] is not None
+                and i not in self._stale_skip]
         if not idxs:
             return []
         rows = cold_src["out_buf"][np.asarray(idxs)]  # async device slice
@@ -569,6 +638,7 @@ class ServingEngine:
         next decode chunk, then fetch the pre-dispatch status WHILE that
         chunk runs. Returns False when idle (nothing pending or active)."""
         self.stats["rounds"] += 1
+        self._round_admitted = []
         if self._stale is None:
             self._refresh_status(self.cold)
         act, fin, olen = self._stale
@@ -576,7 +646,7 @@ class ServingEngine:
         self._collect(fin, olen, self._stale_cold)
         free = [i for i in range(self.n_slots)
                 if self._slot_uid[i] is None]
-        admitted = False
+        groups = []
         while self._pending and free:
             # group same-bucket pending requests; group size rounded down
             # to a power of two to bound the number of compiled variants
@@ -585,24 +655,37 @@ class ServingEngine:
                     if self._bucket_for(self._eff_len(r)) == bucket
                     ][:len(free)]
             k = 1 << (len(idxs).bit_length() - 1)
+            # a dispatch costs ~40-70 ms (~hundreds of slot-ticks): a
+            # trailing group smaller than the backfill quantum isn't worth
+            # one — leave those slots free for next round's single group
+            if groups and k < self.admit_batch:
+                break
             group = [self._pending[i] for i in idxs[:k]]
             for i in reversed(idxs[:k]):
                 del self._pending[i]
-            self._start_group(group, [free.pop(0) for _ in group])
-            admitted = True
-        if admitted or bool(np.any(act)):
+            groups.append((group, [free.pop(0) for _ in group]))
+        if groups or bool(np.any(act)):
             prev_cold = self.cold
-            self.rng, r = jax.random.split(self.rng)
             # arm device-side early exit while a backfill group's worth of
             # work is queued; drain at full chunk length otherwise
             stop_free = (min(len(self._pending), self.admit_batch)
                          if self._pending else 0)
-            self.hot, self.cold = self._decode(
-                self.params, self.hot, self.cold, r,
-                jnp.int32(stop_free))
-            self.stats["decode_dispatches"] += 1
+            for g, s in groups[:-1]:
+                self._start_group(g, s)
+            if groups:
+                # the round's decode chunk rides the admission dispatch
+                self._start_group_fused(*groups[-1], stop_free)
+            else:
+                self.rng, r = jax.random.split(self.rng)
+                self.hot, self.cold = self._decode(
+                    self.params, self.hot, self.cold, r,
+                    jnp.int32(stop_free))
+                self.stats["decode_dispatches"] += 1
             # overlapped fetch: prev_cold's buffers are alive (cold is
-            # never donated) and already computed when the chunk starts
+            # never donated) and already computed when the chunk starts.
+            # NOTE the snapshot predates this round's admissions, so newly
+            # admitted slots read inactive next round — the idle-confirm
+            # fallback below re-fetches true state before declaring done.
             self._refresh_status(prev_cold)
             return True
         # stale status says idle — confirm against the true current state

@@ -8,12 +8,16 @@ functional entry point, implementation chosen by flag/platform.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-_IMPL = "auto"  # auto: Pallas flash on TPU, XLA reference elsewhere
+# auto: Pallas flash on TPU, XLA reference elsewhere (env override for
+# experiments: MOLLY_ATTN=xla|flash|auto)
+_IMPL = os.environ.get("MOLLY_ATTN", "auto")
+assert _IMPL in ("auto", "xla", "flash"), _IMPL
 
 
 def set_attention_impl(name: str) -> None:

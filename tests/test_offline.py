@@ -1,0 +1,130 @@
+"""Device-side admission ring (inference.offline): greedy token parity
+with the online ServingEngine and the batch engine, slot recycling with
+more requests than slots, per-request caps, EOS termination, queue
+padding, and the int8-KV variant."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from molly_tpu.inference.engine import GenerationConfig
+from molly_tpu.inference.offline import run_offline
+from molly_tpu.inference.server import Request, ServingEngine
+from molly_tpu.models import fusion, tiny_esm, tiny_qwen3
+from molly_tpu.models.fusion import FusionConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8),
+        dna_rna=tiny_esm(vocab_size=16),
+        protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    return cfg, params
+
+
+def _queue(n, bucket, seed=0, vocab=64):
+    """n left-padded prompts of mixed real length in one bucket."""
+    rng = np.random.default_rng(seed)
+    ids = np.zeros((n, bucket), np.int32)
+    mask = np.zeros((n, bucket), np.int32)
+    for i in range(n):
+        s = int(rng.integers(4, bucket + 1))
+        ids[i, bucket - s:] = rng.integers(1, vocab, (s,))
+        mask[i, bucket - s:] = 1
+    return ids, mask
+
+
+def _server_reference(params, cfg, gen, ids, mask, caps, n_slots, max_len,
+                      bucket):
+    reqs = []
+    for i in range(ids.shape[0]):
+        reqs.append(Request(
+            uid=i, batch={"input_ids": ids[i:i + 1],
+                          "attention_mask": mask[i:i + 1]},
+            max_new_tokens=int(caps[i]) if caps is not None else None))
+    eng = ServingEngine(params, cfg, gen, n_slots=n_slots, max_len=max_len,
+                        prefill_buckets=(bucket,))
+    return eng.run(reqs)
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_offline_matches_online_greedy(setup, kv_quant):
+    """Greedy outputs of the one-dispatch ring must match the online
+    engine token-for-token (f32 tiny model: no argmax near-ties). The
+    int8-KV variant is allowed >= 90% token agreement (quantization
+    noise), same bar as the online engine's int8 test."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 10, 4
+    ids, mask = _queue(n, bucket, seed=3)
+    ref = _server_reference(params, cfg, gen, ids, mask, None, n_slots,
+                            64, bucket)
+    out = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                      max_len=64, admit_group=2, kv_quant=kv_quant)
+    assert out["tokens"].shape == (n, 8)
+    agree = total = 0
+    for i in range(n):
+        got = out["tokens"][i, :out["lengths"][i]]
+        assert got.shape == ref[i].shape, (i, got, ref[i])
+        agree += int(np.sum(got == ref[i]))
+        total += ref[i].size
+    if kv_quant is None:
+        assert agree == total, (agree, total)
+    else:
+        assert agree / total >= 0.9, (agree, total)
+
+
+def test_offline_caps_and_eos(setup):
+    """Per-request caps terminate rows at the right length; an EOS id the
+    tiny model actually emits ends that row early and is included."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n = 8, 5
+    ids, mask = _queue(n, bucket, seed=7)
+    caps = np.asarray([1, 3, 10, 5, 2], np.int32)
+    out = run_offline(params, cfg, gen, ids, mask, caps, n_slots=2,
+                      max_len=32, admit_group=1)
+    np.testing.assert_array_equal(out["lengths"], caps)
+    # tokens beyond each row's length are pad
+    for i in range(n):
+        assert (out["tokens"][i, caps[i]:] == 0).all()
+
+    # EOS: pick each row's 2nd generated token as its eos and re-run —
+    # rows must stop at 2 tokens with the eos included
+    eos = int(out["tokens"][2, 1])
+    gen2 = GenerationConfig(max_new_tokens=10, do_sample=False,
+                            repetition_penalty=1.0, eos_token_id=eos,
+                            pad_token_id=0)
+    out2 = run_offline(params, cfg, gen2, ids[2:3], mask[2:3],
+                       n_slots=2, max_len=32, admit_group=1)
+    n2 = out2["lengths"][0]
+    assert out2["tokens"][0, n2 - 1] == eos
+
+
+def test_offline_queue_padding_and_recycling(setup):
+    """More requests than slots, queue size not a multiple of the
+    admission group: every request gets exactly its own output."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n = 8, 11  # 11 % 4 != 0 -> dummy-row padding
+    ids, mask = _queue(n, bucket, seed=11)
+    ref = _server_reference(params, cfg, gen, ids, mask, None, 4, 32,
+                            bucket)
+    out = run_offline(params, cfg, gen, ids, mask, n_slots=4,
+                      max_len=32, admit_group=4)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            out["tokens"][i, :out["lengths"][i]], ref[i],
+            err_msg=f"request {i}")
