@@ -83,6 +83,10 @@ def main():
                          "when a backfill group has accumulated)")
     ap.add_argument("--admit-batch", type=int, default=8,
                     help="serve mode: early-exit/backfill group size")
+    ap.add_argument("--spec-draft", default="int8",
+                    choices=["int8", "lookup"],
+                    help="--mode spec draft source: int8 self-draft or "
+                         "prompt-lookup (n-gram, model-free)")
     ap.add_argument("--kv-int8", action="store_true",
                     help="serve mode: int8 KV cache with per-column "
                          "scales (halves the per-step KV read; sampling "
@@ -198,10 +202,28 @@ def _random_int8_params(cfg):
             "o_proj": (cfg.q_dim, H),
             "gateup_proj": (H, 2 * I), "down_proj": (I, H)}
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("rows", "cols", "n"))
+    def _int8_stack(k, *, rows, cols, n):
+        # one layer at a time under lax.map: the threefry uint32
+        # intermediates stay per-layer. Generating the full [L, din,
+        # dout] in one call (random.randint OR random.bits) materializes
+        # 4x-8x intermediates — 27 GB at 8B's gateup — and OOMs the chip
+        # before the bench starts.
+        def one(kk):
+            return jax.lax.bitcast_convert_type(
+                jax.random.bits(kk, (rows, cols), jnp.uint8), jnp.int8)
+        return jax.lax.map(one, jax.random.split(k, n))
+
     def qrand(k, shape):
         # per-output-channel scales, stacked like the weights
         scale_shape = shape[:-2] + (shape[-1],)
-        return {"w_q": jax.random.randint(k, shape, -127, 127, jnp.int8),
+        if len(shape) == 3:
+            w = _int8_stack(k, rows=shape[1], cols=shape[2], n=shape[0])
+        else:
+            w = _int8_stack(k, rows=shape[0], cols=shape[1], n=1)[0]
+        return {"w_q": w,
                 "scale": jnp.full(scale_shape, 2e-4, jnp.float32)}
 
     keys = iter(jax.random.split(key, 16))
@@ -214,10 +236,17 @@ def _random_int8_params(cfg):
     }
     for name, (din, dout) in dims.items():
         layers[name] = qrand(next(keys), (L, din, dout))
+    def _embed(k):
+        # chunked for the same reason as _int8_stack (8B: [151936, 4096])
+        n = 8 if cfg.vocab_size % 8 == 0 else 1
+        rows = cfg.vocab_size // n
+        return jax.jit(lambda kk: jax.lax.map(
+            lambda ki: (0.02 * jax.random.normal(
+                ki, (rows, H), jnp.float32)).astype(jnp.bfloat16),
+            jax.random.split(kk, n)).reshape(cfg.vocab_size, H))(k)
+
     params = {
-        "embed": (0.02 * jax.random.normal(
-            next(keys), (cfg.vocab_size, H), jnp.float32)
-        ).astype(jnp.bfloat16),
+        "embed": _embed(next(keys)),
         "layers": layers,
         "final_norm": jnp.ones((H,), jnp.bfloat16),
         "lm_head_q": qrand(next(keys), (H, cfg.vocab_size)),
@@ -247,7 +276,8 @@ def bench_spec(args):
         cfg = QWEN3_PRESETS[args.preset]
         P, T, k = args.prompt_len, args.new_tokens, 4
     base = qwen3.init_params(cfg, jax.random.key(0))
-    draft = qwen3.quantize_for_decode(base, cfg)
+    lookup = args.spec_draft == "lookup"
+    draft = None if lookup else qwen3.quantize_for_decode(base, cfg)
     target = base if args.smoke else qwen3.fuse_for_decode(base, cfg)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, P)), jnp.int32)
@@ -262,6 +292,9 @@ def bench_spec(args):
                                      jax.random.key(0))
 
     def run_spec():
+        if lookup:
+            from molly_tpu.inference.speculative import generate_lookup
+            return generate_lookup(target, cfg, ids, gen, k=2 * k, n=3)
         return generate_speculative(target, cfg, draft, cfg, ids, gen, k=k)
 
     ref = np.asarray(run_plain())
@@ -280,10 +313,13 @@ def bench_spec(args):
 
     plain = rate(run_plain)
     spec = rate(run_spec)
+    draft_desc = ("prompt-lookup n=3, model-free" if lookup
+                  else "int8 self-draft")
     print(json.dumps({
         "metric": f"{args.preset if not args.smoke else 'smoke'} "
-                  f"single-stream speculative decode (bf16 target, int8 "
-                  f"self-draft, k={k}, prompt {P}, gen {T}; baseline = "
+                  f"single-stream speculative decode (bf16 target, "
+                  f"{draft_desc}, k={2 * k if lookup else k}, prompt {P}, "
+                  f"gen {T}; baseline = "
                   f"plain greedy {plain:.0f} tok/s; output match "
                   f"{match:.2f} — bf16 near-ties on random weights; "
                   f"random-weight draft agreement is a pessimistic floor)",

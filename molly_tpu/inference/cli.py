@@ -69,6 +69,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="backfill group size under --serve (chunks exit "
                         "early once this many slots sit finished while "
                         "requests are queued)")
+    p.add_argument("--decoding", default="engine",
+                   choices=["engine", "lookup"],
+                   help="'lookup' = prompt-lookup speculative decoding "
+                        "(n-gram drafts verified in one forward; "
+                        "token-exact, single-stream — fastest for "
+                        "outputs that quote the input)")
+    p.add_argument("--lookup-k", type=int, default=8,
+                   help="draft tokens per lookup round")
+    p.add_argument("--lookup-n", type=int, default=3,
+                   help="n-gram length matched against the history")
     p.add_argument("--serve-kv-int8", action="store_true",
                    help="int8 KV slot pool under --serve (halves KV "
                         "memory/bandwidth; ~1e-2 logit noise)")
@@ -140,14 +150,25 @@ def main(argv=None) -> None:
     rng = jax.random.key(args.seed)
     if args.serve:
         return _run_serve(args, ds, params, cfg, gen, text_tok, rng)
+    batch_size = args.batch_size
+    if args.decoding == "lookup":
+        batch_size = 1  # single-stream speculation; prompts stay unpadded
     n_done = 0
     with open(args.output_file, "a") as fh:
-        for batch in iterate_batches(ds, args.batch_size, drop_last=False,
+        for batch in iterate_batches(ds, batch_size, drop_last=False,
                                      collate_fn=collate_test):
             arrs = {k: jnp.asarray(v) for k, v in batch.items()
                     if isinstance(v, np.ndarray)}
             rng, step = jax.random.split(rng)
-            tokens = np.asarray(generate(params, cfg, arrs, gen, step))
+            if args.decoding == "lookup":
+                from .speculative import generate_lookup
+                embeds = fusion.build_inputs_embeds(params, cfg, arrs)
+                tokens = np.asarray(generate_lookup(
+                    params["text"], cfg.text, arrs["input_ids"], gen,
+                    k=args.lookup_k, n=args.lookup_n, rng=step,
+                    inputs_embeds=embeds))
+            else:
+                tokens = np.asarray(generate(params, cfg, arrs, gen, step))
             for i in range(tokens.shape[0]):
                 out_ids = tokens[i]
                 out_ids = out_ids[out_ids != gen.pad_token_id]

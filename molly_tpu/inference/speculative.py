@@ -22,6 +22,20 @@ The natural TPU draft is the int8-quantized copy of the target
 (``quantize_for_decode``): no second checkpoint, high agreement, ~2x
 cheaper steps. Any Qwen3Config model sharing the vocabulary works.
 
+A second, model-free draft source is PROMPT LOOKUP (n-gram drafting):
+the last ``n`` tokens of the stream are matched against the full history
+(prompt + generated so far) and the k tokens following the most recent
+prior occurrence are proposed. Drafting costs a vectorized compare over
+the (static-shape) history buffer — no draft model, no draft cache, no
+second set of weights in HBM — so a missed draft costs only the
+(k+1)-wide verify, which at B=1 is priced like one decode step
+(weight-bound). It accelerates exactly the workloads molly serves:
+answers that quote spans of the tagged input sequence (site/motif
+extraction, echo/transcription tasks) and repetitive templated outputs.
+Sampled mode treats the deterministic draft as a point-mass q (accept
+d_i w.p. p(d_i); residual = p with d_i zeroed), which keeps the
+distribution-exactness guarantee.
+
 Cache discipline: both models keep one append-only KV cache with a length
 pointer. A rejected draft leaves garbage rows beyond the pointer; they are
 masked off (cols >= len are invisible) and overwritten by the next round's
@@ -105,8 +119,26 @@ def _first_token(logits_last, presence_row, gen, rng):
     return jax.random.categorical(rng, jnp.log(p + 1e-30))
 
 
+def _lookup_drafts(hist, L, total, *, n, k):
+    """Prompt-lookup draft: the k tokens after the most recent prior
+    occurrence of the last-n-gram ending at hist[L-1]. No match → the
+    slice starts at L (pad tokens), which the verify simply rejects."""
+    query = jax.lax.dynamic_slice(hist, (L - n,), (n,))
+    idx = jnp.arange(total)
+    ok = jnp.ones((total,), bool)
+    for j in range(n):  # window ending at i matches query[n-1-j] at i-j
+        shifted = (jnp.concatenate([jnp.full((j,), -1, hist.dtype),
+                                    hist[:total - j]]) if j else hist)
+        ok = ok & (shifted == query[n - 1 - j])
+    cand = jnp.where(ok & (idx >= n - 1) & (idx <= L - 2), idx, -1)
+    p = jnp.max(cand)
+    p = jnp.where(p < 0, L - 1, p)
+    return jax.lax.dynamic_slice(hist, (p + 1,), (k,))
+
+
 def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
-               t_cfg, d_cfg, gen: GenerationConfig, k: int):
+               t_cfg, d_cfg, gen: GenerationConfig, k: int,
+               lookup_n: int | None = None):
     P = (prompt_embeds.shape[1] if prompt_embeds is not None
          else input_ids.shape[1])
     T = gen.max_new_tokens
@@ -114,7 +146,6 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
     total = P + T + k + 2
 
     t_cache = qwen3.init_cache(t_cfg, 1, total)
-    d_cache = qwen3.init_cache(d_cfg, 1, total)
 
     logits, t_cache = _feed(t_params, t_cfg, input_ids, 0, t_cache, total,
                             last_only=True, emb=prompt_embeds)
@@ -122,10 +153,17 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
     rng, r0 = jax.random.split(rng)
     pending = _first_token(logits[-1], presence0, gen, r0)
     presence0 = presence0.at[pending].set(True)
-    _, d_cache = _feed(d_params, d_cfg, input_ids, 0, d_cache, total,
-                       last_only=True,
-                       emb=(prompt_embeds.astype(jnp.dtype(d_cfg.dtype))
-                            if prompt_embeds is not None else None))
+    if lookup_n is None:
+        d_cache = qwen3.init_cache(d_cfg, 1, total)
+        _, d_cache = _feed(d_params, d_cfg, input_ids, 0, d_cache, total,
+                           last_only=True,
+                           emb=(prompt_embeds.astype(jnp.dtype(d_cfg.dtype))
+                                if prompt_embeds is not None else None))
+    else:
+        # the "draft state" is the token history (prompt + generated)
+        d_cache = jnp.full((total,), gen.pad_token_id, jnp.int32)
+        d_cache = d_cache.at[:P].set(input_ids[0])
+        d_cache = d_cache.at[P].set(pending)
 
     tokens = jnp.full((T + k + 1,), gen.pad_token_id, jnp.int32)
     tokens = tokens.at[0].set(pending)
@@ -139,30 +177,40 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
         rng, r_draft, r_acc, r_ext = jax.random.split(rng, 4)
 
         # ---- draft phase: k tokens + their (processed) distributions ----
-        def draft_step(carry, j):
-            tok, cache, pres = carry
-            logit, cache = _feed(d_params, d_cfg, tok[None, None],
-                                 length + j, cache, total)
-            if gen.do_sample:
-                q = _processed_probs(logit, pres[None], gen)[0]
-                nxt = jax.random.categorical(
-                    jax.random.fold_in(r_draft, j), jnp.log(q + 1e-30))
-            else:
-                q = jnp.zeros((V,), jnp.float32)
-                pl = apply_repetition_penalty(logit, pres[None],
-                                              gen.repetition_penalty)
-                nxt = jnp.argmax(pl[-1])
-            pres = pres.at[nxt].set(True)
-            return (nxt, cache, pres), (nxt, q)
+        if lookup_n is not None:
+            drafts = _lookup_drafts(d_cache, P + n_gen, total,
+                                    n=lookup_n, k=k)
+            # deterministic draft = point-mass q at the drafted token
+            qd = (jax.nn.one_hot(drafts, V, dtype=jnp.float32)
+                  if gen.do_sample else jnp.zeros((k, V), jnp.float32))
+            d_cache2 = d_cache
+        else:
+            def draft_step(carry, j):
+                tok, cache, pres = carry
+                logit, cache = _feed(d_params, d_cfg, tok[None, None],
+                                     length + j, cache, total)
+                if gen.do_sample:
+                    q = _processed_probs(logit, pres[None], gen)[0]
+                    nxt = jax.random.categorical(
+                        jax.random.fold_in(r_draft, j), jnp.log(q + 1e-30))
+                else:
+                    q = jnp.zeros((V,), jnp.float32)
+                    pl = apply_repetition_penalty(logit, pres[None],
+                                                  gen.repetition_penalty)
+                    nxt = jnp.argmax(pl[-1])
+                pres = pres.at[nxt].set(True)
+                return (nxt, cache, pres), (nxt, q)
 
-        (_, d_cache2, _), (drafts, qd) = jax.lax.scan(
-            draft_step, (pending, d_cache, presence), jnp.arange(k))
-        # KV-only feed of d_k so a fully-accepted round (m == k) leaves no
-        # hole in the draft cache: the scan fed [pending, d1..d_{k-1}], so
-        # position length+k (d_k's row) would otherwise stay garbage yet
-        # fall inside every later round's attention window.
-        _, d_cache2 = _feed(d_params, d_cfg, drafts[-1][None, None],
-                            length + k, d_cache2, total, skip_logits=True)
+            (_, d_cache2, _), (drafts, qd) = jax.lax.scan(
+                draft_step, (pending, d_cache, presence), jnp.arange(k))
+            # KV-only feed of d_k so a fully-accepted round (m == k) leaves
+            # no hole in the draft cache: the scan fed [pending,
+            # d1..d_{k-1}], so position length+k (d_k's row) would
+            # otherwise stay garbage yet fall inside every later round's
+            # attention window.
+            _, d_cache2 = _feed(d_params, d_cfg, drafts[-1][None, None],
+                                length + k, d_cache2, total,
+                                skip_logits=True)
 
         # ---- verify: ONE target forward over [pending, d1..dk] ----
         seq = jnp.concatenate([pending[None], drafts])[None]  # [1, k+1]
@@ -211,6 +259,12 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
             tokens, jnp.where(j < n_emit, emit,
                               jax.lax.dynamic_slice(tokens, (n_gen,),
                                                     (k + 1,))), (n_gen,))
+        if lookup_n is not None:  # extend the lookup history
+            d_cache2 = jax.lax.dynamic_update_slice(
+                d_cache2, jnp.where(
+                    j < n_emit, emit,
+                    jax.lax.dynamic_slice(d_cache2, (P + n_gen,),
+                                          (k + 1,))), (P + n_gen,))
         return (n_gen + n_emit, length + 1 + m, ext, tokens,
                 t_cache2, d_cache2, presence, done | eos_hit, rng,
                 n_rounds + 1, n_accepted + m)
@@ -230,9 +284,9 @@ def _spec_impl(t_params, d_params, input_ids, prompt_embeds, rng, *,
 
 
 @lru_cache(maxsize=None)
-def _spec_fn(t_cfg, d_cfg, gen, k):
+def _spec_fn(t_cfg, d_cfg, gen, k, lookup_n=None):
     return jax.jit(partial(_spec_impl, t_cfg=t_cfg, d_cfg=d_cfg, gen=gen,
-                           k=k))
+                           k=k, lookup_n=lookup_n))
 
 
 def generate_speculative(
@@ -258,6 +312,38 @@ def generate_speculative(
         rng = jax.random.key(0)
     out, n_rounds, n_acc = _spec_fn(target_cfg, draft_cfg, gen, k)(
         target_params, draft_params, input_ids, inputs_embeds, rng)
+    if return_stats:
+        return out, n_rounds, n_acc
+    return out
+
+
+def generate_lookup(
+    target_params, target_cfg,
+    input_ids,                # [1, P] unpadded prompt ids (REQUIRED —
+    #                           the lookup history matches on token ids)
+    gen: GenerationConfig = None,
+    k: int = 8,
+    n: int = 3,
+    rng=None,
+    return_stats: bool = False,
+    inputs_embeds=None,       # [1, P, H] fusion prompt; ids still required
+):
+    """Prompt-lookup (n-gram) speculative decode — no draft model. The
+    last ``n`` tokens are matched against the history; the ``k`` tokens
+    after the most recent prior occurrence are verified in one target
+    forward. Greedy: token-exact vs target-only greedy. Sampled:
+    distribution-exact (point-mass q rejection sampling). A draft miss
+    costs ~one decode step, so worst case ~= plain decoding; spans the
+    model copies from its input/output history decode up to (k+1)x
+    faster. Replaces the serving hot path the reference runs one token
+    at a time (/root/reference/src/inference_lora.py:284-321)."""
+    assert input_ids is not None and input_ids.shape[0] == 1, \
+        "single-stream (B=1) lookup speculation with prompt ids"
+    assert input_ids.shape[1] >= n, "prompt shorter than the lookup n-gram"
+    if rng is None:
+        rng = jax.random.key(0)
+    out, n_rounds, n_acc = _spec_fn(target_cfg, None, gen, k, n)(
+        target_params, None, input_ids, inputs_embeds, rng)
     if return_stats:
         return out, n_rounds, n_acc
     return out
