@@ -70,6 +70,12 @@ def main():
                          "other modes")
     ap.add_argument("--preset", default="qwen3-1.7b",
                     help="decoder preset (e.g. qwen3-8b with --int8)")
+    ap.add_argument("--train-batch", type=int, default=4,
+                    help="--mode train micro-batch size")
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "dots", "none"],
+                    help="--mode train remat: full recompute, save-dots, "
+                         "or no remat (max speed, max memory)")
     ap.add_argument("--full-ft", action="store_true",
                     help="train mode: full fine-tune (all decoder params) "
                          "instead of LoRA; qwen3-0.6b fits one chip")
@@ -541,7 +547,10 @@ def bench_train(args):
     from molly_tpu.training import (TrainConfig, attach_lora,
                                     init_train_state, make_train_step)
 
-    text = dataclasses.replace(QWEN3_PRESETS[args.preset], remat=True)
+    text = dataclasses.replace(QWEN3_PRESETS[args.preset],
+                               remat=args.remat != "none",
+                               remat_policy=("dots" if args.remat == "dots"
+                                             else "full"))
     cfg = FusionConfig(
         text=text,
         dna_rna=dataclasses.replace(ESM_PRESETS["nt-500m"],
@@ -549,7 +558,7 @@ def bench_train(args):
         protein=dataclasses.replace(ESM_PRESETS["esm2-8m"],
                                     dtype="bfloat16"),
         dna_rna_k_tokens=128, protein_k_tokens=128)
-    B, S = 4, 1024
+    B, S = args.train_batch, 1024
     rng = np.random.default_rng(0)
     labels = np.full((B, S), -100, np.int32)
     labels[:, S // 2:] = rng.integers(1, cfg.text.vocab_size, (B, S // 2))
@@ -602,8 +611,10 @@ def bench_train(args):
     mfu = flops / V5E_PEAK_BF16_FLOPS
     print(json.dumps({
         "metric": f"{args.preset} {recipe} step (fusion model, "
-                  f"1 chip, seq {S}, micro-bs {B}, remat; model FLOPs "
-                  f"exclude remat recompute)",
+                  f"remat={args.remat}, "
+                  f"1 chip, seq {S}, micro-bs {B}; model FLOPs exclude "
+                  f"remat recompute; no reference train baseline exists "
+                  f"— BASELINE.md — so vs_baseline is 0)",
         "value": round(tok_s, 1), "unit": "tokens/sec/chip",
         "vs_baseline": 0.0,
         "tflops": round(flops / 1e12, 1),

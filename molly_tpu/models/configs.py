@@ -29,6 +29,12 @@ class Qwen3Config:
     # runtime knobs
     dtype: str = "bfloat16"
     remat: bool = False  # jax.checkpoint each layer
+    # remat policy when remat=True: "full" recomputes the whole layer in
+    # backward (min memory); "dots" saves matmul outputs and recomputes
+    # only the cheap elementwise chain (jax
+    # dots_with_no_batch_dims_saveable) — ~1 fwd less recompute per step
+    # where memory allows
+    remat_policy: str = "full"
     # context parallelism: shard the sequence over the mesh "seq" axis and
     # run ring attention (parallel.ring_attention) — long-context training
     # beyond the reference's single-device cap (SURVEY.md §5.7). Training

@@ -281,7 +281,7 @@ def forward_hidden(
             return h, (h if output_hidden_states else None)
 
         if cfg.remat:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, policy=_remat_policy(cfg))
         hidden, per_layer = jax.lax.scan(
             body, hidden, (lp, lora_layers, layer_rngs))
         new_cache = None
@@ -315,6 +315,14 @@ def forward_hidden(
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache
+
+
+def _remat_policy(cfg: Qwen3Config):
+    """None => recompute everything (min memory); dots => save matmul
+    outputs, recompute only elementwise ops (~1 fwd less recompute)."""
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
 
 
 def logits_from_hidden(params: Params, cfg: Qwen3Config,

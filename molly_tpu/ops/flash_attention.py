@@ -62,7 +62,10 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 scale, causal, block_k, q_offset, kv_len):
     iq = pl.program_id(2)
     BQ, D = q_ref.shape[2], q_ref.shape[3]
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale  # [BQ, D]
+    # dots keep operands in the storage dtype (bf16 runs the MXU at full
+    # rate; f32 operands would quarter it) and accumulate in f32 via
+    # preferred_element_type; scale is applied to the f32 product
+    q = q_ref[0, 0, :, :]  # [BQ, D]
 
     num_kv_blocks = _cdiv(kv_len, block_k)
     if causal:
@@ -80,11 +83,10 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     def body(j, carry):
         acc, m_i, l_i = carry
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(
-            jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(
-            jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jnp.dot(q, k_blk.T,
+                    preferred_element_type=jnp.float32) * scale
 
         kv_pos = (j * block_k +
                   jax.lax.broadcasted_iota(jnp.int32, (BQ, block_k), 1))
@@ -99,7 +101,7 @@ def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk,
+        acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
                                     preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -220,8 +222,8 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dq_ref, *, scale, causal, block_k, q_offset, kv_len):
     iq = pl.program_id(2)
     BQ, D = q_ref.shape[2], q_ref.shape[3]
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    q = q_ref[0, 0, :, :]          # storage dtype; scale applied post-dot
+    do = do_ref[0, 0, :, :]
     lse = lse_ref[0, 0, 0, :][:, None]
     delta = delta_ref[0, 0, 0, :][:, None]
 
@@ -237,11 +239,10 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq = jnp.zeros((BQ, D), jnp.float32)
 
     def body(j, dq):
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(
-            jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :].astype(
-            jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jnp.dot(q, k_blk.T,
+                    preferred_element_type=jnp.float32) * scale
         kv_pos = (j * block_k +
                   jax.lax.broadcasted_iota(jnp.int32, (BQ, block_k), 1))
         if causal:
@@ -253,7 +254,7 @@ def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, num_visit, body, dq)
@@ -267,8 +268,8 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ik = pl.program_id(2)
     BK, D = k_ref.shape[2], k_ref.shape[3]
     Sq = q_ref.shape[2]
-    k_blk = k_ref[0, 0, :, :].astype(jnp.float32)
-    v_blk = v_ref[0, 0, :, :].astype(jnp.float32)
+    k_blk = k_ref[0, 0, :, :]      # storage dtype; see _fwd_kernel note
+    v_blk = v_ref[0, 0, :, :]
 
     kv_pos = (ik * BK +
               jax.lax.broadcasted_iota(jnp.int32, (block_q, BK), 1))
@@ -286,14 +287,13 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def q_head_loop(g, carry):
         def body(i, carry):
             dk, dv = carry
-            q_blk = q_ref[0, g, pl.ds(i * block_q, block_q), :].astype(
-                jnp.float32) * scale
-            do = do_ref[0, g, pl.ds(i * block_q, block_q), :].astype(
-                jnp.float32)
+            q_blk = q_ref[0, g, pl.ds(i * block_q, block_q), :]
+            do = do_ref[0, g, pl.ds(i * block_q, block_q), :]
             lse = lse_ref[0, g, 0, pl.ds(i * block_q, block_q)][:, None]
             delta = delta_ref[0, g, 0, pl.ds(i * block_q, block_q)][:, None]
 
-            s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+            s = jnp.dot(q_blk, k_blk.T,
+                        preferred_element_type=jnp.float32) * scale
             q_pos = (q_offset + i * block_q +
                      jax.lax.broadcasted_iota(jnp.int32, (block_q, BK), 0))
             if causal:
@@ -303,9 +303,10 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             s = jnp.where((q_pos - q_offset) < q_len, s, NEG_INF)
 
             p = jnp.exp(s - lse)
-            dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+            pc = p.astype(do.dtype)
+            dv = dv + jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
             dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-            ds = p * (dp - delta)
+            ds = (p * (dp - delta)).astype(q_blk.dtype)
             dk = dk + jnp.dot(ds.T, q_blk,
                               preferred_element_type=jnp.float32)
             return dk, dv
@@ -313,7 +314,8 @@ def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return jax.lax.fori_loop(first_q, num_q_blocks, body, carry)
 
     dk, dv = jax.lax.fori_loop(0, group, q_head_loop, (dk, dv))
-    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    # the scale lived on q in s = scale*q@k^T; dk = scale * sum(ds^T @ q)
+    dk_ref[0, 0, :, :] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 
 

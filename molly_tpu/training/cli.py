@@ -54,6 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tiny random model (CI smoke)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gradient-checkpointing", type=str2bool, default=False)
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "dots"],
+                   help="with --gradient-checkpointing: 'dots' saves "
+                        "matmul outputs and recomputes only elementwise "
+                        "ops (faster where memory allows)")
     # data
     p.add_argument("--train-dataset-path", required=True)
     p.add_argument("--eval-dataset-path", default=None)
@@ -165,7 +170,8 @@ def run_training(args) -> dict:
     if args.tiny:
         text_cfg = tiny_qwen3(
             vocab_size=-(-text_tok.vocab_size // 128) * 128,
-            dtype=args.dtype, remat=args.gradient_checkpointing)
+            dtype=args.dtype, remat=args.gradient_checkpointing,
+            remat_policy=args.remat_policy)
         dna_cfg = tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
                            dtype=args.dtype)
         prot_cfg = tiny_esm(vocab_size=prot_tok.vocab_size,
@@ -173,7 +179,8 @@ def run_training(args) -> dict:
     else:
         text_cfg = dataclasses.replace(
             QWEN3_PRESETS[args.text_preset], dtype=args.dtype,
-            remat=args.gradient_checkpointing)
+            remat=args.gradient_checkpointing,
+            remat_policy=args.remat_policy)
         dna_cfg = dataclasses.replace(ESM_PRESETS[args.dna_rna_preset],
                                       dtype=args.dtype)
         prot_cfg = dataclasses.replace(ESM_PRESETS[args.protein_preset],

@@ -12,8 +12,8 @@ exec python -m molly_tpu.training.cli \
   --text-preset qwen3-0.6b \
   --train-dataset-path "${TRAIN_DATA:?set TRAIN_DATA}" \
   --max-len 1024 --dna-rna-k-tokens 128 --protein-k-tokens 128 \
-  --batch-size-per-gpu 4 --gradient-accumulation-steps 1 \
-  --gradient-checkpointing true \
+  --batch-size-per-gpu 8 --gradient-accumulation-steps 1 \
+  --gradient-checkpointing true --remat-policy dots \
   --train-bio false --train-mlp true --train-llm true \
   --prefetch-depth 2 --cache-dataset true \
   --lr 1e-5 --warmup 0.03 --lr-decay-style cosine \
