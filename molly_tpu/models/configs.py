@@ -40,6 +40,12 @@ class Qwen3Config:
     # beyond the reference's single-device cap (SURVEY.md §5.7). Training
     # (no-cache) path only; requires running under a mesh with a seq axis.
     context_parallel: bool = False
+    # end-to-end zigzag contract: the CALLER has already permuted the
+    # token stream (embeddings, mask, positions, labels) into zigzag
+    # order, so ring attention skips its per-layer permute/unpermute
+    # gathers. Set by the trainer's context-parallel fast path — callers
+    # passing natural-order streams must leave this False.
+    context_parallel_prepermuted: bool = False
     # zigzag layout: balance causal work across the ring (each device
     # holds an early AND a late chunk of the sequence)
     context_parallel_zigzag: bool = False

@@ -141,11 +141,16 @@ def cross_entropy_loss(
     *,
     task_label: Optional[jnp.ndarray] = None,  # [B]
     z_loss: float = 0.0,
+    pre_shifted: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Mean next-token CE over supervised positions (+ optional per-task
     domain losses, replacing the reference's full-logit recompute at
-    /root/reference/src/trainer/domain_loss.py:1120-1131)."""
-    logits, labels = shift_for_next_token(logits, labels)
+    /root/reference/src/trainer/domain_loss.py:1120-1131).
+
+    pre_shifted=True: labels[t] already targets position t (zigzag
+    context-parallel streams shift BEFORE permuting); skip the shift."""
+    if not pre_shifted:
+        logits, labels = shift_for_next_token(logits, labels)
     valid = labels != LABEL_IGNORE
     labels_safe = jnp.where(valid, labels, 0)
 
@@ -186,19 +191,22 @@ def loss_from_hidden(
     params: Params, cfg: FusionConfig, hidden: jnp.ndarray,
     batch: Dict[str, jnp.ndarray], *, z_loss: float = 0.0,
     fused_lce: bool = True, chunk_size: int = 256,
+    pre_shifted: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """LM loss + metrics from final hidden states. fused_lce avoids the
-    [B, S, V] logit tensor (ops.lce); the naive path materializes it."""
+    [B, S, V] logit tensor (ops.lce); the naive path materializes it.
+    pre_shifted: see causal_lm_loss (zigzag context-parallel streams)."""
     labels = batch["labels"]
     task_label = batch.get("task_label")
     if not fused_lce:
         logits = qwen3.logits_from_hidden(params["text"], cfg.text, hidden)
         return cross_entropy_loss(logits, labels, task_label=task_label,
-                                  z_loss=z_loss)
+                                  z_loss=z_loss, pre_shifted=pre_shifted)
     from ..ops.lce import causal_lm_loss
     w = lm_head_weight(params, cfg.text)
     loss, per_nll, per_tok = causal_lm_loss(
-        hidden, w, labels, chunk_size=chunk_size, z_loss=z_loss)
+        hidden, w, labels, chunk_size=chunk_size, z_loss=z_loss,
+        pre_shifted=pre_shifted)
     metrics: Dict[str, jnp.ndarray] = {
         "loss": loss, "tokens": jnp.sum(per_tok)}
     if task_label is not None:

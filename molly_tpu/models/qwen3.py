@@ -161,7 +161,8 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
             from ..parallel.ring_attention import ring_attention_sharded
             attn = ring_attention_sharded(
                 q, kk, v, mask, causal=causal, scale=Dh ** -0.5,
-                zigzag=cfg.context_parallel_zigzag)
+                zigzag=cfg.context_parallel_zigzag,
+                pre_permuted=cfg.context_parallel_prepermuted)
         else:
             attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
                                          scale=Dh ** -0.5)

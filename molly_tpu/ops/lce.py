@@ -141,18 +141,27 @@ def causal_lm_loss(
     *,
     chunk_size: int = DEFAULT_CHUNK,
     z_loss: float = 0.0,
+    pre_shifted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Next-token LM loss without logit materialization.
 
     Returns (mean_loss, per_sample_nll_sum [B], per_sample_token_count [B])
     — the pieces fusion.cross_entropy_loss needs for domain losses.
+
+    pre_shifted=True: labels[t] is ALREADY the next-token target for
+    position t (the caller shifted before permuting the stream — the
+    zigzag context-parallel layout, where positions t and t+1 are not
+    adjacent); no shift is applied here.
     """
     B, S, H = hidden.shape
-    h = hidden[:, :-1].reshape(-1, H)
-    l = labels[:, 1:].reshape(-1)
+    if pre_shifted:
+        h, l = hidden.reshape(-1, H), labels.reshape(-1)
+    else:
+        h, l = hidden[:, :-1].reshape(-1, H), labels[:, 1:].reshape(-1)
     nll = fused_linear_cross_entropy(h, w, l, chunk_size, z_loss)
-    nll = nll.reshape(B, S - 1)
-    valid = (labels[:, 1:] != IGNORE_INDEX)
+    nll = nll.reshape(B, -1)
+    valid = (labels != IGNORE_INDEX) if pre_shifted else (
+        labels[:, 1:] != IGNORE_INDEX)
     per_sample_tokens = jnp.sum(valid, axis=-1)
     per_sample_nll = jnp.sum(nll, axis=-1)
     total = jnp.maximum(jnp.sum(per_sample_tokens), 1)

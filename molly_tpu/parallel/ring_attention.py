@@ -173,6 +173,7 @@ def ring_attention_sharded(
     causal: bool = True,
     scale: Optional[float] = None,
     zigzag: bool = False,
+    pre_permuted: bool = False,
 ) -> jnp.ndarray:
     """shard_map wrapper: global arrays in, seq axis manual, others auto.
 
@@ -181,15 +182,18 @@ def ring_attention_sharded(
     tensor sharding of the surrounding program stays with GSPMD.
 
     zigzag=True permutes the sequence into the balanced layout before the
-    collective and back after (a per-call gather; production long-context
-    runs should instead keep the whole activation stream in zigzag order
-    end-to-end and permute once at the loss).
+    collective and back after (a per-call gather). With pre_permuted=True
+    the caller guarantees the WHOLE activation stream is already in zigzag
+    order (the end-to-end layout the trainer uses: permute embeddings /
+    mask / positions / labels once per step instead of q/k/v/out once per
+    LAYER) — the per-call gathers are skipped and the output stays in
+    zigzag order.
     """
     if mask is None:
         mask = jnp.ones(q.shape[:2], jnp.int32)
     mesh = jax.sharding.get_abstract_mesh()
     n_dev = mesh.shape.get(axis_name, 1) if mesh is not None else 1
-    if zigzag and n_dev > 1:
+    if zigzag and n_dev > 1 and not pre_permuted:
         q, k, v = (zigzag_permute(x, n_dev) for x in (q, k, v))
         mask = zigzag_permute(mask, n_dev)
     qs = P(None, axis_name, None, None)
@@ -202,6 +206,6 @@ def ring_attention_sharded(
         axis_names=frozenset({axis_name}),
     )
     out = fn(q, k, v, mask)
-    if zigzag and n_dev > 1:
+    if zigzag and n_dev > 1 and not pre_permuted:
         out = zigzag_unpermute(out, n_dev)
     return out

@@ -166,9 +166,46 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
         def loss_fn(params, batch, rng):
             from ..models import qwen3
             embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
+            mask = batch.get("attention_mask")
+            text_cfg, positions, pre_shifted = model_cfg.text, None, False
+            if text_cfg.context_parallel and text_cfg.context_parallel_zigzag:
+                # end-to-end zigzag: permute the stream ONCE (embeddings,
+                # mask, RoPE positions, pre-shifted labels) instead of
+                # q/k/v/out once per layer — every op between attentions
+                # is position-independent, attention causality tracks
+                # per-token position vectors, and the token-summed loss
+                # is permutation-invariant once labels ride along.
+                mesh = jax.sharding.get_abstract_mesh()
+                n_seq = mesh.shape.get("seq", 1) if mesh is not None else 1
+                if n_seq > 1:
+                    import dataclasses
+
+                    from ..parallel.ring_attention import zigzag_order
+                    B, S, _ = embeds.shape
+                    order = zigzag_order(S, n_seq)
+                    if mask is None:
+                        positions = jnp.broadcast_to(
+                            jnp.arange(S)[None], (B, S))
+                    else:
+                        positions = jnp.maximum(
+                            jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1,
+                            0)
+                    lbl = batch["labels"]  # align BEFORE permuting
+                    lbl = jnp.concatenate(
+                        [lbl[:, 1:],
+                         jnp.full((B, 1), fusion.LABEL_IGNORE, lbl.dtype)],
+                        axis=1)
+                    embeds = jnp.take(embeds, order, axis=1)
+                    positions = jnp.take(positions, order, axis=1)
+                    if mask is not None:
+                        mask = jnp.take(mask, order, axis=1)
+                    batch = {**batch, "labels": jnp.take(lbl, order, axis=1)}
+                    text_cfg = dataclasses.replace(
+                        text_cfg, context_parallel_prepermuted=True)
+                    pre_shifted = True
             hidden, _ = qwen3.forward_hidden(
-                params["text"], model_cfg.text, inputs_embeds=embeds,
-                attention_mask=batch.get("attention_mask"),
+                params["text"], text_cfg, inputs_embeds=embeds,
+                attention_mask=mask, positions=positions,
                 lora=params.get("lora"),
                 lora_scale=lora_cfg.scale if lora_cfg else 1.0,
                 lora_dropout=lora_cfg.dropout if lora_cfg else 0.0,
@@ -176,7 +213,7 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 else None)
             return fusion.loss_from_hidden(
                 params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
-                fused_lce=train_cfg.fused_lce)
+                fused_lce=train_cfg.fused_lce, pre_shifted=pre_shifted)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:

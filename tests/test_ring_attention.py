@@ -231,3 +231,61 @@ def test_seq_sharded_zigzag_train_loss_matches():
         sb = shard_batch(batch, mesh, seq_shard=True)
         got = jax.jit(lambda p, b: fusion.loss_fn(p, cfg, b)[0])(sp, sb)
     np.testing.assert_allclose(float(got), float(expect), rtol=2e-5)
+
+
+def test_zigzag_train_step_end_to_end_layout_matches_plain():
+    """The trainer's end-to-end zigzag fast path — ONE stream permute per
+    step (embeds/mask/positions/pre-shifted labels) with
+    context_parallel_prepermuted attention, instead of q/k/v/out permutes
+    every layer — must reproduce the plain unsharded train step exactly:
+    same loss, same domain losses, same updated params."""
+    from molly_tpu.training import (TrainConfig, init_train_state,
+                                    make_train_step)
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8,
+                        context_parallel=True,
+                        context_parallel_zigzag=True),
+        dna_rna=tiny_esm(vocab_size=16),
+        protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    plain = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, context_parallel=False,
+                                      context_parallel_zigzag=False))
+    params = fusion.init_params(plain, jax.random.key(0))
+    B, S = 4, 32
+    rng = np.random.default_rng(7)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, 16:] = rng.integers(1, 64, (B, S - 16))
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 64, (B, S))),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.asarray(rng.integers(2, 16, (B, 1, 4))),
+        "dna_rna_pos": jnp.asarray([[1], [2], [-1], [0]]),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+        "task_label": jnp.asarray([0, 3, 19, 0]),
+    }
+    tc = TrainConfig()
+    st_plain, m_plain = jax.jit(make_train_step(plain, tc))(
+        init_train_state(params, tc), batch, jax.random.key(1))
+
+    mesh = make_mesh(data=1, fsdp=2, tensor=1, seq=4)
+    with jax.sharding.set_mesh(mesh):
+        state = init_train_state(shard_params(params, mesh), tc)
+        sb = shard_batch(batch, mesh, seq_shard=True)
+        st_zig, m_zig = jax.jit(make_train_step(cfg, tc))(
+            state, sb, jax.random.key(1))
+
+    np.testing.assert_allclose(float(m_zig["loss"]), float(m_plain["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(m_zig["domain_loss_sum"]),
+                               np.asarray(m_plain["domain_loss_sum"]),
+                               rtol=2e-4, atol=1e-6)
+    flat_p, _ = jax.tree.flatten(st_plain.params)
+    flat_z, _ = jax.tree.flatten(st_zig.params)
+    for a, b in zip(flat_p, flat_z):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-6)
