@@ -140,9 +140,15 @@ def _split_accum(batch: Dict[str, jnp.ndarray], accum: int):
 def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
     """Returns a jittable (state, batch, rng) -> (state, metrics) function.
 
-    The fusion loss is differentiated wrt ALL params; frozen subtrees get
-    their updates zeroed by optax.masked. (XLA dead-code-eliminates the
-    frozen backward paths because their grads are unused.)
+    The loss is differentiated ONLY wrt the trainable leaves
+    (trainable_mask): frozen subtrees are closed over as constants, so
+    their backward passes never exist in the HLO at all — with frozen
+    encoders the entire encoder backward disappears, and under LoRA the
+    base-weight grad matmuls do. (The previous design differentiated all
+    params and relied on DCE, but the grad-norm reduction consumed every
+    leaf, keeping the frozen backward alive.) The grad-accum carry also
+    shrinks to trainable leaves only — under LoRA that is the difference
+    between carrying adapter-sized and model-sized buffers per microstep.
     """
     tx = None  # built lazily so init and step share one optimizer
 
@@ -218,7 +224,20 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
         accum = train_cfg.accum_steps
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        # static partition: trainable leaves become the differentiated
+        # argument; frozen leaves are closed over (constants to autodiff)
+        mask_flat = jax.tree.leaves(trainable_mask(state.params, train_cfg))
+        flat, treedef = jax.tree.flatten(state.params)
+        t_idx = tuple(i for i, m in enumerate(mask_flat) if m)
+        train_leaves = [flat[i] for i in t_idx]
+
+        def loss_train(tl, mb, r):
+            full = list(flat)
+            for j, i in enumerate(t_idx):
+                full[i] = tl[j]
+            return loss_fn(jax.tree.unflatten(treedef, full), mb, r)
+
+        grad_fn = jax.value_and_grad(loss_train, has_aux=True)
 
         if accum > 1:
             micro = _split_accum(batch, accum)
@@ -226,12 +245,12 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
             def micro_step(carry, mb):
                 g_acc, m_acc, i = carry
                 (_, metrics), grads = grad_fn(
-                    state.params, mb, jax.random.fold_in(rng, i))
+                    train_leaves, mb, jax.random.fold_in(rng, i))
                 g_acc = jax.tree.map(jnp.add, g_acc, grads)
                 m_acc = jax.tree.map(jnp.add, m_acc, metrics)
                 return (g_acc, m_acc, i + 1), None
 
-            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            zero_g = jax.tree.map(jnp.zeros_like, train_leaves)
             zero_m = {
                 "loss": jnp.zeros(()), "tokens": jnp.zeros((), jnp.int32)}
             if "task_label" in batch:
@@ -243,11 +262,19 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
             grads = jax.tree.map(lambda g: g / accum, grads)
             metrics = {**metrics, "loss": metrics["loss"] / accum}
         else:
-            (_, metrics), grads = grad_fn(state.params, batch, rng)
+            (_, metrics), grads = grad_fn(train_leaves, batch, rng)
 
+        # grad norm over the params being optimized (frozen grads are
+        # identically zero and excluded — also what the clip inside the
+        # optimizer sees)
         gnorm = optax.global_norm(grads)
+        full_g = [None] * len(flat)
+        it = iter(grads)
+        for i, leaf in enumerate(flat):
+            full_g[i] = next(it) if i in t_idx else jnp.zeros_like(leaf)
+        grads_full = jax.tree.unflatten(treedef, full_g)
         updates, opt_state = get_tx(state.params).update(
-            grads, state.opt_state, state.params)
+            grads_full, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # NaN/Inf guard (HF Trainer keeps non-finite-loss filtering,
         # domain_loss.py:655-661): skip the update, keep the old state
