@@ -65,7 +65,9 @@ def _chunk_attention(q, k, v, kv_mask, q_pos, kv_pos, causal, scale):
     # entries themselves — zero them so the partial merges as "no data"
     p = jnp.where(s <= _NEG_INF * 0.5, 0.0, p)
     l = jnp.sum(p, axis=-1)                       # [B, Nkv, G, Sq]
-    o = jnp.einsum("bngqk,bknd->bngqd", p, v.astype(jnp.float32))
+    # operands in storage dtype (full-rate MXU for bf16), f32 accumulation
+    o = jnp.einsum("bngqk,bknd->bngqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
     return o, m, l
 
 
