@@ -104,6 +104,11 @@ def main():
                          "dispatch (admission+prefill+decode+harvest on "
                          "device); the offline-throughput answer to "
                          "host-dispatch overhead")
+    ap.add_argument("--spec-lookup", type=int, default=0,
+                    help="serve --offline: prompt-lookup speculation, N "
+                         "draft tokens per ring round (forces greedy "
+                         "decoding — in-ring speculation is greedy-exact "
+                         "only; 0 = plain one-token ticks)")
     ap.add_argument("--prefix-len", type=int, default=0,
                     help="serve mode: length of a prompt prefix shared by "
                          "every request (prefilled once via the engine's "
@@ -375,7 +380,10 @@ def bench_serve(args):
         if not args.smoke:
             text = qwen3.fuse_for_decode(text, tcfg)
     params = {"text": text}
-    gen = GenerationConfig(max_new_tokens=long_t, do_sample=True,
+    # --spec-lookup forces greedy: in-ring speculation is greedy-exact
+    # only (the metric string records the switch)
+    gen = GenerationConfig(max_new_tokens=long_t,
+                           do_sample=not args.spec_lookup,
                            temperature=0.8, top_p=0.95, top_k=20,
                            repetition_penalty=1.1, eos_token_id=-1,
                            pad_token_id=0)
@@ -466,17 +474,20 @@ def bench_serve(args):
         out = run_offline(params, cfg, gen, ids, mask, ocaps,
                           n_slots=n_slots, max_len=max_len,
                           admit_group=args.admit_batch,
-                          kv_quant="int8" if args.kv_int8 else None)
+                          kv_quant="int8" if args.kv_int8 else None,
+                          spec_lookup=args.spec_lookup)
         dt = time.perf_counter() - t0
         total = int(out["lengths"].sum())
         if report:
             import sys
             occ = total / max(1, out["decode_ticks"] * n_slots)
+            spec_note = (f" accepted={out['accepted']}"
+                         if args.spec_lookup else "")
             print(f"[offline] useful={total} "
                   f"decode_ticks={out['decode_ticks']} "
                   f"admit_ticks={out['ticks'] - out['decode_ticks']} "
                   f"slot_occupancy={occ:.3f} wall={dt:.2f}s "
-                  f"dispatches=1", file=sys.stderr)
+                  f"dispatches=1{spec_note}", file=sys.stderr)
         return total, dt
 
     run_engine = run_ring if args.offline else run_once
@@ -498,7 +509,9 @@ def bench_serve(args):
         "metric": f"{args.preset if not args.smoke else 'smoke'} "
                   f"{engine_name} "
                   f"({'int8' if args.int8 else 'bf16'}"
-                  f"{', int8 KV' if args.kv_int8 else ''}, {n_slots} slots, "
+                  f"{', int8 KV' if args.kv_int8 else ''}"
+                  f"{f', greedy lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
+                  f", {n_slots} slots, "
                   f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "
                   f"prompt {prompt}{prefix_note}; baseline = MEASURED "
                   f"static batching, same workload, "

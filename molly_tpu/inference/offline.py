@@ -116,6 +116,17 @@ def _admit(params, st, rng, *, tcfg, gen, n_slots, admit_group, bucket,
     st["active"] = st["active"].at[slots].set(~done0)
     st["req_of_slot"] = st["req_of_slot"].at[slots].set(new_req)
     st["queue_head"] = qh + k
+    if "tok_hist" in st:  # speculative mode: position-ordered history
+        Hh = st["tok_hist"].shape[1]
+        hist_rows = jnp.full((k, Hh), -1, jnp.int32)
+        # scatter prompt ids to their positions (pads -> OOB, dropped)
+        dst = jnp.where(mask != 0, positions, Hh)
+        hist_rows = hist_rows.at[jnp.arange(k)[:, None], dst].set(
+            ids, mode="drop")
+        n0 = jnp.sum(mask, axis=1)
+        hist_rows = hist_rows.at[jnp.arange(k), n0].set(tok0)
+        st["tok_hist"] = st["tok_hist"].at[slots].set(hist_rows)
+        st["gen_cols"] = st["gen_cols"].at[slots].set(0)
     return st
 
 
@@ -159,9 +170,139 @@ def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
     return st
 
 
+def _spec_tick(params, st, *, tcfg, gen, prompt_cols, ring_cols,
+               spec_k, ngram_n):
+    """One prompt-lookup speculative round for every active slot.
+
+    Device-side batched version of speculative.generate_lookup (greedy
+    mode): each row drafts ``spec_k`` tokens from the most recent prior
+    occurrence of its trailing ``ngram_n``-gram in its own token history,
+    then ONE (spec_k+1)-wide verify forward scores the chain and the
+    longest matching prefix + one correction/extension token is emitted —
+    token-identical to the plain tick, but the per-tick HBM sweep over
+    weights and KV is amortized over every accepted token (decode is
+    bandwidth-bound, so accepted tokens are nearly free).
+
+    Layout: tentative KV for the W=spec_k+1 fed tokens is written DENSELY
+    at each row's own next ring columns (per-row [B, W] cache_index);
+    after acceptance only the first m+1 columns are validated and
+    ``gen_cols`` advances by m+1, so rejected columns are overwritten by
+    the next round — no ring capacity is wasted (caps must leave spec_k
+    columns of headroom, enforced by the caller)."""
+    B = st["n_real"].shape[0]
+    L = st["valid"].shape[1]
+    W = spec_k + 1
+    rows = jnp.arange(B)
+    hist = st["tok_hist"]
+    Hh = hist.shape[1]
+    nr = st["n_real"]          # position of the pending token (= fed[0])
+
+    # ---- draft: trailing n-gram ending at hist[nr] (the pending token);
+    # find the most recent PRIOR window end i < nr with the same n-gram
+    patt_idx = nr[:, None] - (ngram_n - 1) + jnp.arange(ngram_n)[None]
+    pattern = jnp.take_along_axis(hist, jnp.maximum(patt_idx, 0), axis=1)
+    idx = jnp.arange(Hh)
+    ok = jnp.ones((B, Hh), bool)
+    for j in range(ngram_n):  # window ending at i matches pattern[n-1-j]
+        shifted = (jnp.concatenate(
+            [jnp.full((B, j), -1, hist.dtype), hist[:, :Hh - j]], axis=1)
+            if j else hist)
+        ok = ok & (shifted == pattern[:, ngram_n - 1 - j][:, None])
+    cand = jnp.where(
+        ok & (idx[None] >= ngram_n - 1) & (idx[None] <= nr[:, None] - 1),
+        idx[None], -1)
+    p = jnp.max(cand, axis=1)
+    p = jnp.where(p < 0, nr, p)   # no match -> unwritten region (-1 hist)
+    d_idx = p[:, None] + 1 + jnp.arange(spec_k)[None]
+    drafts = jnp.take_along_axis(hist, jnp.minimum(d_idx, Hh - 1), axis=1)
+    drafts = jnp.maximum(drafts, 0)          # -1 (unwritten) -> id 0
+
+    # ---- verify forward: [pending, d_1..d_k] at per-row dense columns
+    fed = jnp.concatenate([st["last_tok"][:, None], drafts], axis=1)
+    cols = prompt_cols + jax.lax.rem(
+        st["gen_cols"][:, None] + jnp.arange(W)[None], ring_cols)
+    onehot = (cols[:, :, None] == idx[None, None, :L])        # [B, W, L]
+    tent = jnp.cumsum(onehot.astype(jnp.int32), axis=1) > 0   # j sees <= j
+    m4 = ((st["valid"][:, None, :] != 0) | tent)[:, None]     # [B,1,W,L]
+    positions = nr[:, None] + jnp.arange(W)[None]
+    emb = qwen3.embed_tokens(params["text"], fed)
+    cache_in = {"kv": st["cache"]}
+    if "kv_scale" in st:
+        cache_in["kv_scale"] = st["kv_scale"]
+    hidden, cache = qwen3.forward_hidden(
+        params["text"], tcfg, inputs_embeds=emb, attention_mask=m4,
+        positions=positions, cache=cache_in, cache_index=cols,
+        causal=False)
+    st["cache"] = cache["kv"]
+    if "kv_scale" in st:
+        st["kv_scale"] = cache["kv_scale"]
+    logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden)
+
+    # ---- greedy targets with the engine's repetition-penalty semantics:
+    # presence for verify position j includes drafts d_1..d_j (the
+    # hypothetically-emitted chain) — speculative._spec_impl pres_rows
+    targets = []
+    pres = st["presence"]
+    for j in range(W):
+        targets.append(sample_tokens(
+            logits[:, j], jax.random.key(0), do_sample=False,
+            temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p,
+            repetition_penalty=gen.repetition_penalty, presence=pres))
+        if j < W - 1:
+            pres = pres.at[rows, drafts[:, j]].set(True)
+    targets = jnp.stack(targets, axis=1)                      # [B, W]
+
+    okc = jnp.cumprod((drafts == targets[:, :spec_k]).astype(jnp.int32),
+                      axis=1)
+    m = jnp.sum(okc, axis=1)                                  # [B] accepted
+    ext = jnp.take_along_axis(targets, m[:, None], axis=1)[:, 0]
+    j_w = jnp.arange(W)[None]
+    emit = jnp.where(j_w < m[:, None],
+                     jnp.concatenate([drafts, drafts[:, -1:]], axis=1),
+                     jnp.where(j_w == m[:, None], ext[:, None],
+                               gen.pad_token_id))             # [B, W]
+
+    # ---- truncate by cap room and first EOS, inactive rows emit nothing
+    room = jnp.maximum(st["cap"] - st["out_len"], 0)
+    base_e = jnp.minimum(m + 1, room)
+    eos_pos = jnp.min(jnp.where((emit == gen.eos_token_id)
+                                & (j_w < base_e[:, None]), j_w, W), axis=1)
+    e_eff = jnp.where(st["active"],
+                      jnp.minimum(base_e, eos_pos + 1), 0)    # [B]
+    emit_on = j_w < e_eff[:, None]
+
+    # ---- state updates (scatter with OOB-drop for masked positions)
+    T = st["out_buf"].shape[1]
+    dst_out = jnp.where(emit_on, st["out_len"][:, None] + j_w, T)
+    st["out_buf"] = st["out_buf"].at[rows[:, None], dst_out].set(
+        emit, mode="drop")
+    dst_hist = jnp.where(emit_on, nr[:, None] + 1 + j_w, Hh)
+    st["tok_hist"] = st["tok_hist"].at[rows[:, None], dst_hist].set(
+        emit, mode="drop")
+    V = st["presence"].shape[1]
+    st["presence"] = st["presence"].at[
+        rows[:, None], jnp.where(emit_on, emit, V)].set(True, mode="drop")
+    # keep KV columns of the e_eff fed tokens actually consumed
+    keep = jnp.where(j_w < e_eff[:, None], cols, L)
+    st["valid"] = st["valid"].at[rows[:, None], keep].set(1, mode="drop")
+    st["gen_cols"] = st["gen_cols"] + e_eff
+    st["n_real"] = nr + e_eff
+    st["out_len"] = st["out_len"] + e_eff
+    last = jnp.take_along_axis(
+        emit, jnp.maximum(e_eff - 1, 0)[:, None], axis=1)[:, 0]
+    st["last_tok"] = jnp.where(e_eff > 0, last, st["last_tok"])
+    newly_done = st["active"] & (
+        (eos_pos < base_e) | (st["out_len"] >= st["cap"]))
+    st["active"] = st["active"] & ~newly_done
+    # accepted draft tokens actually emitted (e_eff - 1 per live row)
+    st["accepted"] = st["accepted"] + jnp.sum(jnp.maximum(e_eff - 1, 0))
+    return st
+
+
 def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
               cfg: FusionConfig, gen: GenerationConfig, n_slots: int,
-              max_len: int, admit_group: int, kv_quant: Optional[str]):
+              max_len: int, admit_group: int, kv_quant: Optional[str],
+              spec_k: int = 0, ngram_n: int = 3):
     tcfg = cfg.text
     N, bucket = queue_ids.shape
     prompt_cols = bucket
@@ -191,6 +332,10 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
         "queue_head": jnp.int32(0),
         "tick": jnp.int32(0),
     }
+    if spec_k:
+        st["tok_hist"] = jnp.full((n_slots, max_len), -1, jnp.int32)
+        st["gen_cols"] = jnp.zeros((n_slots,), jnp.int32)
+        st["accepted"] = jnp.int32(0)
 
     # Loop nesting matters enormously here: putting admit/decode in a
     # lax.cond selected EVERY tick forces XLA to copy the multi-GB cache
@@ -209,9 +354,15 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
                                jnp.logical_not(want_admit(st)))
 
     def decode_body(st):
-        r = jax.random.fold_in(rng, st["tick"])
-        st = _decode_tick(params, st, r, tcfg=tcfg, gen=gen,
-                          prompt_cols=prompt_cols, ring_cols=ring_cols)
+        if spec_k:
+            st = _spec_tick(params, st, tcfg=tcfg, gen=gen,
+                            prompt_cols=prompt_cols, ring_cols=ring_cols,
+                            spec_k=spec_k, ngram_n=ngram_n)
+            st["head"] = st["head"] + 1  # rounds, for decode_ticks stats
+        else:
+            r = jax.random.fold_in(rng, st["tick"])
+            st = _decode_tick(params, st, r, tcfg=tcfg, gen=gen,
+                              prompt_cols=prompt_cols, ring_cols=ring_cols)
         st["tick"] = st["tick"] + 1
         return st
 
@@ -238,14 +389,16 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
     st["results"] = st["results"].at[dst].set(st["out_buf"])
     st["res_len"] = st["res_len"].at[dst].set(st["out_len"])
     return (st["results"][:N], st["res_len"][:N], st["tick"],
-            st["head"])
+            st["head"], st.get("accepted", jnp.int32(-1)))
 
 
 @lru_cache(maxsize=None)
-def _run_fn(cfg, gen, n_slots, max_len, admit_group, kv_quant):
+def _run_fn(cfg, gen, n_slots, max_len, admit_group, kv_quant,
+            spec_k=0, ngram_n=3):
     return jax.jit(partial(
         _run_impl, cfg=cfg, gen=gen, n_slots=n_slots, max_len=max_len,
-        admit_group=admit_group, kv_quant=kv_quant))
+        admit_group=admit_group, kv_quant=kv_quant, spec_k=spec_k,
+        ngram_n=ngram_n))
 
 
 def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
@@ -254,20 +407,29 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
                 n_slots: int = 64, max_len: int = 1024,
                 admit_group: int = 8,
                 kv_quant: Optional[str] = None,
+                spec_lookup: int = 0, ngram_n: int = 3,
                 rng: Optional[jax.Array] = None,
                 ) -> Dict[str, np.ndarray]:
     """Run a whole offline workload in one device dispatch.
 
     queue_ids/queue_mask: [N, bucket] left-padded prompts (one bucket).
     queue_caps: [N] per-request max_new_tokens (default: gen cap).
-    Returns {"tokens": [N, T] int32, "lengths": [N], "ticks": int,
-    "decode_ticks": int}; row i holds request i's generated tokens
-    (EOS included), first ``lengths[i]`` valid.
+    spec_lookup: draft tokens per prompt-lookup speculation round
+    (0 = plain one-token ticks; requires greedy decoding — outputs stay
+    token-identical, rounds shrink by the acceptance rate). Returns
+    {"tokens": [N, T] int32, "lengths": [N], "ticks": int,
+    "decode_ticks": int, "accepted": int}; row i holds request i's
+    generated tokens (EOS included), first ``lengths[i]`` valid.
     """
     N = queue_ids.shape[0]
     assert N >= 1
+    assert not (spec_lookup and gen.do_sample), (
+        "spec_lookup requires greedy decoding (do_sample=False)")
     caps = (np.full((N,), gen.max_new_tokens, np.int32)
             if queue_caps is None else np.asarray(queue_caps, np.int32))
+    if spec_lookup:
+        # tentative KV columns need spec_lookup headroom past the cap
+        caps = np.minimum(caps, max_len - queue_ids.shape[1] - spec_lookup)
     # pad the queue to a multiple of the admission group with cap-1 dummy
     # rows so the admit branch's shape is static
     k = max(1, min(admit_group, n_slots))
@@ -281,11 +443,13 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
             [np.asarray(queue_mask),
              np.ones((pad, queue_mask.shape[1]), np.int32)])
         caps = np.concatenate([caps, np.ones((pad,), np.int32)])
-    fn = _run_fn(cfg, gen, n_slots, max_len, k, kv_quant)
+    fn = _run_fn(cfg, gen, n_slots, max_len, k, kv_quant,
+                 spec_lookup, ngram_n)
     rng = rng if rng is not None else jax.random.key(0)
-    res, lens, ticks, head = fn(
+    res, lens, ticks, head, accepted = fn(
         params, jnp.asarray(queue_ids, jnp.int32),
         jnp.asarray(queue_mask, jnp.int32), jnp.asarray(caps), rng)
     res, lens = np.asarray(res[:N]), np.asarray(lens[:N])
     return {"tokens": res, "lengths": lens,
-            "ticks": int(ticks), "decode_ticks": int(head)}
+            "ticks": int(ticks), "decode_ticks": int(head),
+            "accepted": int(accepted)}

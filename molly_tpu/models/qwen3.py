@@ -178,10 +178,20 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
             kv_new, sc_new = quantize_kv(kv_new)
         else:
             kv_new = kv_new.astype(ckv.dtype)
-        if jnp.ndim(cache_index) > 0:
+        if jnp.ndim(cache_index) == 2:
+            # per-row per-step cache index [B, S] (speculative verify in
+            # the serving ring: row b writes its S candidate tokens at its
+            # own columns) — advanced-index scatter over (row, column)
+            ridx = jnp.arange(B)[:, None]  # [B, 1] broadcasts with [B, S]
+            ckv = ckv.at[li, ridx, :, cache_index, :].set(
+                kv_new.transpose(0, 2, 1, 3))  # [B, S, Nkv, 2*Dh]
+            if csc is not None:
+                csc = csc.at[li, ridx, :, cache_index, :].set(
+                    sc_new.transpose(0, 2, 1, 3))
+        elif jnp.ndim(cache_index) > 0:
             # per-row cache index [B] (continuous-batching decode: each
             # serving slot sits at its own length) — scatter one row/slot
-            assert S == 1, "per-row cache_index requires single-token steps"
+            assert S == 1, "per-row cache_index [B] requires S == 1"
             ckv = ckv.at[li, jnp.arange(B), :, cache_index, :].set(
                 kv_new[:, :, 0])
             if csc is not None:

@@ -128,3 +128,91 @@ def test_offline_queue_padding_and_recycling(setup):
         np.testing.assert_array_equal(
             out["tokens"][i, :out["lengths"][i]], ref[i],
             err_msg=f"request {i}")
+
+
+def test_offline_spec_lookup_token_exact(setup):
+    """Prompt-lookup speculation inside the ring must be token-identical
+    to the plain ring (greedy, default repetition penalty): acceptance
+    changes how many rounds produce the tokens, never which tokens."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 10, 4
+    ids, mask = _queue(n, bucket, seed=5)
+    plain = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                        max_len=96, admit_group=2)
+    spec = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                       max_len=96, admit_group=2, spec_lookup=4)
+    np.testing.assert_array_equal(spec["lengths"], plain["lengths"])
+    for i in range(n):
+        np.testing.assert_array_equal(
+            spec["tokens"][i, :spec["lengths"][i]],
+            plain["tokens"][i, :plain["lengths"][i]],
+            err_msg=f"request {i}")
+    # a verify round emits at least one token, so rounds <= plain ticks;
+    # tiny random greedy models loop, so lookup should accept something
+    assert spec["decode_ticks"] <= plain["decode_ticks"]
+    assert spec["accepted"] > 0, "no drafts accepted on a looping model"
+
+
+def test_offline_spec_lookup_caps_eos_and_no_penalty(setup):
+    """Spec mode respects per-request caps and EOS mid-chain, and stays
+    exact with repetition_penalty=1.0 (no presence chain in play)."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n = 8, 5
+    ids, mask = _queue(n, bucket, seed=9)
+    caps = np.asarray([1, 3, 12, 5, 2], np.int32)
+    plain = run_offline(params, cfg, gen, ids, mask, caps, n_slots=2,
+                        max_len=48, admit_group=1)
+    spec = run_offline(params, cfg, gen, ids, mask, caps, n_slots=2,
+                       max_len=48, admit_group=1, spec_lookup=3)
+    np.testing.assert_array_equal(spec["lengths"], plain["lengths"])
+    for i in range(n):
+        np.testing.assert_array_equal(
+            spec["tokens"][i, :spec["lengths"][i]],
+            plain["tokens"][i, :plain["lengths"][i]],
+            err_msg=f"request {i}")
+
+    # EOS mid-chain: make row 2's 3rd token its eos; the spec ring must
+    # stop there and include it
+    eos = int(plain["tokens"][2, 2])
+    gen2 = GenerationConfig(max_new_tokens=12, do_sample=False,
+                            repetition_penalty=1.0, eos_token_id=eos,
+                            pad_token_id=0)
+    ref = run_offline(params, cfg, gen2, ids[2:3], mask[2:3], n_slots=2,
+                      max_len=48, admit_group=1)
+    got = run_offline(params, cfg, gen2, ids[2:3], mask[2:3], n_slots=2,
+                      max_len=48, admit_group=1, spec_lookup=3)
+    np.testing.assert_array_equal(got["lengths"], ref["lengths"])
+    np.testing.assert_array_equal(
+        got["tokens"][0, :got["lengths"][0]],
+        ref["tokens"][0, :ref["lengths"][0]])
+
+
+def test_offline_spec_lookup_int8_kv(setup):
+    """Spec + int8 KV cache compose; >=90% token agreement with the plain
+    int8 ring (the quantized columns are written identically, but matmul
+    shape differences can flip argmax near-ties on a random model)."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n = 16, 6
+    ids, mask = _queue(n, bucket, seed=13)
+    plain = run_offline(params, cfg, gen, ids, mask, n_slots=3,
+                        max_len=64, admit_group=1, kv_quant="int8")
+    spec = run_offline(params, cfg, gen, ids, mask, n_slots=3,
+                       max_len=64, admit_group=1, kv_quant="int8",
+                       spec_lookup=4)
+    agree = total = 0
+    for i in range(n):
+        a = plain["tokens"][i, :plain["lengths"][i]]
+        b = spec["tokens"][i, :spec["lengths"][i]]
+        k = min(a.size, b.size)
+        agree += int(np.sum(a[:k] == b[:k]))
+        total += max(a.size, b.size)
+    assert agree / total >= 0.9, (agree, total)
