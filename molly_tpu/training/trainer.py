@@ -58,6 +58,9 @@ class TrainConfig:
     # a "pipe" mesh axis (parallel.pipeline); 0 = off. LoRA not supported
     # in the pipelined decoder path.
     pp_micro: int = 0
+    # Adam moments in pinned host memory instead of HBM (the TPU-native
+    # ds_z2_offload_config.json analogue) — see offload_opt_state
+    offload_opt_state: bool = False
 
 
 def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
@@ -122,6 +125,49 @@ class TrainState:
     params: Dict[str, Any]
     opt_state: Any
     step: jnp.ndarray
+
+
+def host_opt_shardings(state: TrainState):
+    """Per-leaf shardings pinning the optimizer state to host memory."""
+    return jax.tree.map(
+        lambda x: x.sharding.with_memory_kind("pinned_host"),
+        state.opt_state)
+
+
+def offload_opt_state(state: TrainState) -> TrainState:
+    """Move the Adam moments to pinned host memory — the TPU-native
+    analogue of DeepSpeed's optimizer CPU offload
+    (/root/reference/src/configs/ds_z2_offload_config.json): optimizer
+    state stops occupying HBM (2x trainable params in f32), at the cost
+    of a host<->device transfer per step. Call once after
+    init_train_state / checkpoint restore (placement happens outside
+    jit); pair with make_offloaded_step so each step RETURNS the state
+    to host memory instead of letting it migrate back to HBM."""
+    return TrainState(params=state.params,
+                      opt_state=jax.device_put(state.opt_state,
+                                               host_opt_shardings(state)),
+                      step=state.step)
+
+
+def make_offloaded_step(step_fn, state0: TrainState):
+    """Wrap a train step so the optimizer state lives in pinned host
+    memory between steps: the incoming moments transfer to device for
+    the update math and the fresh moments transfer back (device_put
+    inside jit emits the XLA device-placement annotations; the avals
+    carry the memory space, so the compiler schedules the copies)."""
+    host = host_opt_shardings(state0)
+    dev = jax.tree.map(lambda s: s.with_memory_kind("device"), host)
+
+    def wrapped(state, batch, rng):
+        opt_dev = jax.tree.map(jax.device_put, state.opt_state, dev)
+        new_state, metrics = step_fn(
+            TrainState(params=state.params, opt_state=opt_dev,
+                       step=state.step), batch, rng)
+        opt = jax.tree.map(jax.device_put, new_state.opt_state, host)
+        return TrainState(params=new_state.params, opt_state=opt,
+                          step=new_state.step), metrics
+
+    return wrapped
 
 
 def init_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:

@@ -226,3 +226,33 @@ def test_async_checkpoint_overlaps_steps(tmp_path, setup):
     for a, b in zip(jax.tree_util.tree_leaves(state2.params),
                     jax.tree_util.tree_leaves(rb.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_offload_opt_state_matches_default(setup):
+    """Optimizer-state host offload (the ds_z2_offload analogue) must not
+    change the math: same loss and same updated params as the default
+    step. On backends without host memory spaces the placement annotation
+    is a no-op, so this pins correctness everywhere; memory-kind
+    assertions are meaningful on TPU only (placement outside jit is
+    checked here)."""
+    from molly_tpu.training import make_offloaded_step, offload_opt_state
+    cfg, params, batch = setup
+    tc = TrainConfig(train_bio=False, train_mlp=True, train_llm=True)
+    s0 = init_train_state(params, tc)
+    st_ref, m_ref = jax.jit(make_train_step(cfg, tc))(
+        s0, batch, jax.random.key(3))
+
+    s1 = offload_opt_state(init_train_state(params, tc))
+    for leaf in jax.tree.leaves(s1.opt_state):
+        assert leaf.sharding.memory_kind == "pinned_host", leaf.sharding
+    step = jax.jit(make_offloaded_step(make_train_step(cfg, tc), s1))
+    st_off, m_off = step(s1, batch, jax.random.key(3))
+    np.testing.assert_allclose(float(m_off["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st_ref.params),
+                    jax.tree.leaves(st_off.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+    # second step runs from the offloaded state (steady-state shape)
+    st2, _ = step(st_off, batch, jax.random.key(4))
+    assert int(st2.step) == 2
