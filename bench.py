@@ -106,9 +106,9 @@ def main():
                          "host-dispatch overhead")
     ap.add_argument("--spec-lookup", type=int, default=0,
                     help="serve --offline: prompt-lookup speculation, N "
-                         "draft tokens per ring round (forces greedy "
-                         "decoding — in-ring speculation is greedy-exact "
-                         "only; 0 = plain one-token ticks)")
+                         "draft tokens per ring round (greedy stays "
+                         "token-exact, sampled distribution-exact; "
+                         "0 = plain one-token ticks)")
     ap.add_argument("--prefix-len", type=int, default=0,
                     help="serve mode: length of a prompt prefix shared by "
                          "every request (prefilled once via the engine's "
@@ -380,10 +380,7 @@ def bench_serve(args):
         if not args.smoke:
             text = qwen3.fuse_for_decode(text, tcfg)
     params = {"text": text}
-    # --spec-lookup forces greedy: in-ring speculation is greedy-exact
-    # only (the metric string records the switch)
-    gen = GenerationConfig(max_new_tokens=long_t,
-                           do_sample=not args.spec_lookup,
+    gen = GenerationConfig(max_new_tokens=long_t, do_sample=True,
                            temperature=0.8, top_p=0.95, top_k=20,
                            repetition_penalty=1.1, eos_token_id=-1,
                            pad_token_id=0)
@@ -510,7 +507,7 @@ def bench_serve(args):
                   f"{engine_name} "
                   f"({'int8' if args.int8 else 'bf16'}"
                   f"{', int8 KV' if args.kv_int8 else ''}"
-                  f"{f', greedy lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
+                  f"{f', lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
                   f", {n_slots} slots, "
                   f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "
                   f"prompt {prompt}{prefix_note}; baseline = MEASURED "

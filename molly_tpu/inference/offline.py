@@ -170,18 +170,22 @@ def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
     return st
 
 
-def _spec_tick(params, st, *, tcfg, gen, prompt_cols, ring_cols,
+def _spec_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols,
                spec_k, ngram_n):
     """One prompt-lookup speculative round for every active slot.
 
-    Device-side batched version of speculative.generate_lookup (greedy
-    mode): each row drafts ``spec_k`` tokens from the most recent prior
-    occurrence of its trailing ``ngram_n``-gram in its own token history,
-    then ONE (spec_k+1)-wide verify forward scores the chain and the
-    longest matching prefix + one correction/extension token is emitted —
-    token-identical to the plain tick, but the per-tick HBM sweep over
-    weights and KV is amortized over every accepted token (decode is
-    bandwidth-bound, so accepted tokens are nearly free).
+    Device-side batched version of speculative.generate_lookup: each row
+    drafts ``spec_k`` tokens from the most recent prior occurrence of its
+    trailing ``ngram_n``-gram in its own token history, then ONE
+    (spec_k+1)-wide verify forward scores the chain and the longest
+    accepted prefix + one correction/extension token is emitted. Greedy
+    is token-identical to the plain tick; sampled applies the point-mass
+    rejection rule (accept d_j w.p. p_j(d_j); on rejection sample the
+    normalized residual, on full accept the bonus distribution) over the
+    engine's processed distributions, so the OUTPUT DISTRIBUTION equals
+    plain sampling. Either way the per-round HBM sweep over weights and
+    KV is amortized over every accepted token (decode is bandwidth-bound,
+    so accepted tokens are nearly free).
 
     Layout: tentative KV for the W=spec_k+1 fed tokens is written DENSELY
     at each row's own next ring columns (per-row [B, W] cache_index);
@@ -238,24 +242,58 @@ def _spec_tick(params, st, *, tcfg, gen, prompt_cols, ring_cols,
         st["kv_scale"] = cache["kv_scale"]
     logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden)
 
-    # ---- greedy targets with the engine's repetition-penalty semantics:
     # presence for verify position j includes drafts d_1..d_j (the
     # hypothetically-emitted chain) — speculative._spec_impl pres_rows
-    targets = []
-    pres = st["presence"]
-    for j in range(W):
-        targets.append(sample_tokens(
-            logits[:, j], jax.random.key(0), do_sample=False,
-            temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p,
-            repetition_penalty=gen.repetition_penalty, presence=pres))
-        if j < W - 1:
+    if not gen.do_sample:
+        # greedy: accept while the draft matches the penalized argmax
+        targets = []
+        pres = st["presence"]
+        for j in range(W):
+            targets.append(sample_tokens(
+                logits[:, j], jax.random.key(0), do_sample=False,
+                temperature=gen.temperature, top_k=gen.top_k,
+                top_p=gen.top_p,
+                repetition_penalty=gen.repetition_penalty, presence=pres))
+            if j < W - 1:
+                pres = pres.at[rows, drafts[:, j]].set(True)
+        targets = jnp.stack(targets, axis=1)                  # [B, W]
+        okc = jnp.cumprod(
+            (drafts == targets[:, :spec_k]).astype(jnp.int32), axis=1)
+        m = jnp.sum(okc, axis=1)                              # [B] accepted
+        ext = jnp.take_along_axis(targets, m[:, None], axis=1)[:, 0]
+    else:
+        # sampled: point-mass-q rejection (accept d_j w.p. p_j(d_j)) over
+        # the engine's processed dists — speculative._spec_impl sampled
+        from .speculative import _processed_probs
+        pres = st["presence"]
+        oks = []
+        for j in range(spec_k):
+            pj = _processed_probs(logits[:, j].astype(jnp.float32), pres,
+                                  gen)                        # [B, V]
+            pd = pj[rows, drafts[:, j]]
+            u = jax.random.uniform(jax.random.fold_in(rng, j), (B,))
+            oks.append((u < pd).astype(jnp.int32))
             pres = pres.at[rows, drafts[:, j]].set(True)
-    targets = jnp.stack(targets, axis=1)                      # [B, W]
+        m = jnp.sum(jnp.cumprod(jnp.stack(oks, axis=1), axis=1), axis=1)
+        # extension: residual at the reject position, bonus dist at m=k;
+        # presence row at position m includes drafts d_1..d_m
+        pres_m = st["presence"]
+        for j in range(spec_k):
+            upd = pres_m.at[rows, drafts[:, j]].set(True)
+            pres_m = jnp.where((j < m)[:, None], upd, pres_m)
+        lg_m = jnp.take_along_axis(
+            logits, m[:, None, None], axis=1)[:, 0].astype(jnp.float32)
+        pm = _processed_probs(lg_m, pres_m, gen)              # [B, V]
+        dm = jnp.take_along_axis(
+            drafts, jnp.minimum(m, spec_k - 1)[:, None], axis=1)[:, 0]
+        resid = pm.at[rows, dm].set(0.0)
+        dist = jnp.where((m < spec_k)[:, None], resid, pm)
+        # numeric guard: vanished residual falls back to p_m
+        dist = jnp.where(jnp.sum(dist, axis=1, keepdims=True) > 1e-20,
+                         dist, pm)
+        ext = jax.random.categorical(jax.random.fold_in(rng, spec_k),
+                                     jnp.log(dist + 1e-30), axis=-1)
 
-    okc = jnp.cumprod((drafts == targets[:, :spec_k]).astype(jnp.int32),
-                      axis=1)
-    m = jnp.sum(okc, axis=1)                                  # [B] accepted
-    ext = jnp.take_along_axis(targets, m[:, None], axis=1)[:, 0]
     j_w = jnp.arange(W)[None]
     emit = jnp.where(j_w < m[:, None],
                      jnp.concatenate([drafts, drafts[:, -1:]], axis=1),
@@ -355,7 +393,8 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
 
     def decode_body(st):
         if spec_k:
-            st = _spec_tick(params, st, tcfg=tcfg, gen=gen,
+            r = jax.random.fold_in(rng, st["tick"])
+            st = _spec_tick(params, st, r, tcfg=tcfg, gen=gen,
                             prompt_cols=prompt_cols, ring_cols=ring_cols,
                             spec_k=spec_k, ngram_n=ngram_n)
             st["head"] = st["head"] + 1  # rounds, for decode_ticks stats
@@ -415,16 +454,15 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
     queue_ids/queue_mask: [N, bucket] left-padded prompts (one bucket).
     queue_caps: [N] per-request max_new_tokens (default: gen cap).
     spec_lookup: draft tokens per prompt-lookup speculation round
-    (0 = plain one-token ticks; requires greedy decoding — outputs stay
-    token-identical, rounds shrink by the acceptance rate). Returns
+    (0 = plain one-token ticks). Greedy outputs stay token-identical;
+    sampled outputs stay distribution-identical (point-mass rejection
+    rule); rounds shrink by the acceptance rate. Returns
     {"tokens": [N, T] int32, "lengths": [N], "ticks": int,
     "decode_ticks": int, "accepted": int}; row i holds request i's
     generated tokens (EOS included), first ``lengths[i]`` valid.
     """
     N = queue_ids.shape[0]
     assert N >= 1
-    assert not (spec_lookup and gen.do_sample), (
-        "spec_lookup requires greedy decoding (do_sample=False)")
     caps = (np.full((N,), gen.max_new_tokens, np.int32)
             if queue_caps is None else np.asarray(queue_caps, np.int32))
     if spec_lookup:

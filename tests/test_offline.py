@@ -216,3 +216,40 @@ def test_offline_spec_lookup_int8_kv(setup):
         agree += int(np.sum(a[:k] == b[:k]))
         total += max(a.size, b.size)
     assert agree / total >= 0.9, (agree, total)
+
+
+def test_offline_spec_lookup_sampled_distribution(setup):
+    """Sampled in-ring speculation must leave the OUTPUT DISTRIBUTION
+    unchanged (point-mass rejection rule). Many requests share one
+    prompt; per-position token frequencies across requests of the plain
+    sampled ring and the spec ring must agree within empirical-TV noise
+    (same bar as test_speculative's single-stream distribution tests)."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=3, do_sample=True,
+                           temperature=0.9, top_k=8, top_p=0.95,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    n, bucket = 512, 8
+    ids = np.tile(np.arange(1, bucket + 1, dtype=np.int32), (n, 1))
+    mask = np.ones((n, bucket), np.int32)
+    plain = run_offline(params, cfg, gen, ids, mask, n_slots=64,
+                        max_len=32, admit_group=64,
+                        rng=jax.random.key(11))
+    plain2 = run_offline(params, cfg, gen, ids, mask, n_slots=64,
+                         max_len=32, admit_group=64,
+                         rng=jax.random.key(77))
+    spec = run_offline(params, cfg, gen, ids, mask, n_slots=64,
+                       max_len=32, admit_group=64, spec_lookup=3,
+                       rng=jax.random.key(23))
+    assert (plain["lengths"] == 3).all() and (spec["lengths"] == 3).all()
+    V = cfg.text.vocab_size
+
+    def tv(a, b, pos):
+        fa = np.bincount(a["tokens"][:, pos], minlength=V) / n
+        fb = np.bincount(b["tokens"][:, pos], minlength=V) / n
+        return 0.5 * np.abs(fa - fb).sum()
+
+    for pos in range(3):
+        noise = tv(plain, plain2, pos)  # empirical-TV floor at this n
+        got = tv(plain, spec, pos)
+        assert got < noise + 0.08, (pos, got, noise)
