@@ -27,9 +27,13 @@ top-k/top-p/repetition-penalty presence sets), EOS/cap termination, and
 the prompt-columns + generation-ring cache layout are identical to
 server.py; outputs for greedy decoding are token-identical.
 
-Scope (v1): text-only prompts, one prompt bucket (callers left-pad to it),
-no shared-prefix caching, no streaming. Online/latency serving and omics
-prompts stay on ``ServingEngine``.
+Scope: text AND fusion (omics-injected) prompts — ``queue_omics`` uploads
+the whole queue's segment arrays and each admission group's segments run
+through the frozen encoders on device; one prompt bucket (callers
+left-pad to it); no shared-prefix caching, no streaming. Online/latency
+serving stays on ``ServingEngine``. Prompt-lookup speculation
+(``spec_lookup``) runs in-ring: greedy token-exact, sampled
+distribution-exact.
 """
 
 from __future__ import annotations
@@ -47,11 +51,16 @@ from .engine import GenerationConfig
 from .sampling import sample_tokens
 
 
-def _admit(params, st, rng, *, tcfg, gen, n_slots, admit_group, bucket,
+def _admit(params, st, rng, *, cfg, gen, n_slots, admit_group, bucket,
            ring_cols):
     """Recycle ``admit_group`` slots and prefill the next queued prompts
     into them. Queue exhaustion is padded out by the caller (dummy rows,
-    cap 1), so the group shape is static."""
+    cap 1), so the group shape is static. Fusion prompts: the queue can
+    carry omics segment arrays (queue_dna_tokens/_pos, queue_prot_...)
+    — the group's segments run through the frozen encoders + projector
+    injection right here, on device (the encoder cost amortizes over the
+    admission group exactly like the online engine's group prefill)."""
+    tcfg = cfg.text
     k = admit_group
     B = n_slots
     # pick k recyclable slots (finished or never used). The caller's cond
@@ -78,8 +87,26 @@ def _admit(params, st, rng, *, tcfg, gen, n_slots, admit_group, bucket,
     caps = jnp.minimum(jnp.maximum(caps, 1), ring_cols)
     new_req = qh + jnp.arange(k)
 
-    # prefill the group (bf16 temp cache, flash attention when available)
-    emb = qwen3.embed_tokens(params["text"], ids)
+    # prefill the group (bf16 temp cache, flash attention when available);
+    # omics segments (if queued) encode + inject into the group's embeds
+    if "queue_dna_tokens" in st or "queue_prot_tokens" in st:
+        from ..models import fusion
+        eb = {"input_ids": ids}
+        if "queue_dna_tokens" in st:
+            g, kd = st["queue_dna_tokens"].shape[1:]
+            eb["dna_rna_tokens"] = jax.lax.dynamic_slice(
+                st["queue_dna_tokens"], (qh, 0, 0), (k, g, kd))
+            eb["dna_rna_pos"] = jax.lax.dynamic_slice(
+                st["queue_dna_pos"], (qh, 0), (k, g))
+        if "queue_prot_tokens" in st:
+            g, kp = st["queue_prot_tokens"].shape[1:]
+            eb["protein_tokens"] = jax.lax.dynamic_slice(
+                st["queue_prot_tokens"], (qh, 0, 0), (k, g, kp))
+            eb["protein_pos"] = jax.lax.dynamic_slice(
+                st["queue_prot_pos"], (qh, 0), (k, g))
+        emb = fusion.build_inputs_embeds(params, cfg, eb)
+    else:
+        emb = qwen3.embed_tokens(params["text"], ids)
     cache = qwen3.init_cache(tcfg, k, bucket)
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
     hidden, cache = qwen3.forward_hidden(
@@ -337,7 +364,8 @@ def _spec_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols,
     return st
 
 
-def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
+def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
+              rng, *,
               cfg: FusionConfig, gen: GenerationConfig, n_slots: int,
               max_len: int, admit_group: int, kv_quant: Optional[str],
               spec_k: int = 0, ngram_n: int = 3):
@@ -369,6 +397,7 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
         "queue_caps": queue_caps,
         "queue_head": jnp.int32(0),
         "tick": jnp.int32(0),
+        **queue_omics,  # queue_{dna,prot}_{tokens,pos} when fusion prompts
     }
     if spec_k:
         st["tok_hist"] = jnp.full((n_slots, max_len), -1, jnp.int32)
@@ -413,7 +442,7 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, rng, *,
             want_admit(st),
             lambda s: _admit(params, s,
                              jax.random.fold_in(rng, -1 - s["tick"]),
-                             tcfg=tcfg, gen=gen, n_slots=n_slots,
+                             cfg=cfg, gen=gen, n_slots=n_slots,
                              admit_group=admit_group, bucket=bucket,
                              ring_cols=ring_cols),
             lambda s: s, st)
@@ -447,12 +476,18 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
                 admit_group: int = 8,
                 kv_quant: Optional[str] = None,
                 spec_lookup: int = 0, ngram_n: int = 3,
+                queue_omics: Optional[Dict[str, np.ndarray]] = None,
                 rng: Optional[jax.Array] = None,
                 ) -> Dict[str, np.ndarray]:
     """Run a whole offline workload in one device dispatch.
 
     queue_ids/queue_mask: [N, bucket] left-padded prompts (one bucket).
     queue_caps: [N] per-request max_new_tokens (default: gen cap).
+    queue_omics: fusion prompts — whole-queue omics segment arrays
+    ({"dna_rna_tokens": [N, G, k], "dna_rna_pos": [N, G],
+    "protein_tokens": ..., "protein_pos": ...}, collator layout with
+    start positions already shifted for the left pad); each admission
+    group's segments run through the encoders on device.
     spec_lookup: draft tokens per prompt-lookup speculation round
     (0 = plain one-token ticks). Greedy outputs stay token-identical;
     sampled outputs stay distribution-identical (point-mass rejection
@@ -472,6 +507,13 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
     # rows so the admit branch's shape is static
     k = max(1, min(admit_group, n_slots))
     pad = (-N) % k
+    # rename to the ring's queue keys (dict rides the jit as a pytree)
+    _QKEY = {"dna_rna_tokens": "queue_dna_tokens",
+             "dna_rna_pos": "queue_dna_pos",
+             "protein_tokens": "queue_prot_tokens",
+             "protein_pos": "queue_prot_pos"}
+    omics = {_QKEY[kk]: np.asarray(v, np.int32)
+             for kk, v in (queue_omics or {}).items()}
     if pad:
         queue_ids = np.concatenate(
             [np.asarray(queue_ids),
@@ -481,12 +523,17 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
             [np.asarray(queue_mask),
              np.ones((pad, queue_mask.shape[1]), np.int32)])
         caps = np.concatenate([caps, np.ones((pad,), np.int32)])
+        for kk, v in omics.items():  # dummy rows: no segments (pos -1),
+            fill = -1 if kk.endswith("_pos") else 1  # pad tokens = 1
+            omics[kk] = np.concatenate(
+                [v, np.full((pad,) + v.shape[1:], fill, np.int32)])
     fn = _run_fn(cfg, gen, n_slots, max_len, k, kv_quant,
                  spec_lookup, ngram_n)
     rng = rng if rng is not None else jax.random.key(0)
     res, lens, ticks, head, accepted = fn(
         params, jnp.asarray(queue_ids, jnp.int32),
-        jnp.asarray(queue_mask, jnp.int32), jnp.asarray(caps), rng)
+        jnp.asarray(queue_mask, jnp.int32), jnp.asarray(caps),
+        {kk: jnp.asarray(v) for kk, v in omics.items()}, rng)
     res, lens = np.asarray(res[:N]), np.asarray(lens[:N])
     return {"tokens": res, "lengths": lens,
             "ticks": int(ticks), "decode_ticks": int(head),

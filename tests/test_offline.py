@@ -253,3 +253,56 @@ def test_offline_spec_lookup_sampled_distribution(setup):
         noise = tv(plain, plain2, pos)  # empirical-TV floor at this n
         got = tv(plain, spec, pos)
         assert got < noise + 0.08, (pos, got, noise)
+
+
+def test_offline_fusion_prompts_match_online(setup):
+    """Fusion (omics-injected) prompts through the ring: greedy outputs
+    must match the online engine, which runs the same encoders +
+    injection per admission group (reference inference_lora.py's actual
+    workload is omics-tagged)."""
+    from molly_tpu.inference.server import _pad_to_bucket
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 7, 3
+    rng = np.random.default_rng(21)
+    reqs, rows = [], []
+    for i in range(n):
+        s = int(rng.integers(8, bucket + 1))
+        batch = {
+            "input_ids": rng.integers(1, 64, (1, s)).astype(np.int32),
+            "attention_mask": np.ones((1, s), np.int32),
+            # one DNA segment (k=4 placeholder slots) at a start that
+            # keeps start+1+4 inside the prompt; every other request
+            # also carries a protein segment
+            "dna_rna_tokens": rng.integers(2, 16, (1, 1, 4)).astype(
+                np.int32),
+            "dna_rna_pos": np.asarray([[int(rng.integers(0, s - 5))]],
+                                      np.int32),
+        }
+        if i % 2:
+            batch["protein_tokens"] = np.full((1, 1, 4), 3, np.int32)
+            batch["protein_pos"] = np.asarray(
+                [[int(rng.integers(0, s - 5))]], np.int32)
+        else:  # static queue shapes: padded no-segment rows
+            batch["protein_tokens"] = np.full((1, 1, 4), 1, np.int32)
+            batch["protein_pos"] = np.asarray([[-1]], np.int32)
+        reqs.append(Request(uid=i, batch=batch))
+        rows.append(_pad_to_bucket(batch, bucket, gen.pad_token_id))
+
+    eng = ServingEngine(params, cfg, gen, n_slots=n_slots, max_len=48,
+                        prefill_buckets=(bucket,))
+    ref = eng.run(reqs)
+
+    ids = np.concatenate([r["input_ids"] for r in rows])
+    mask = np.concatenate([r["attention_mask"] for r in rows])
+    omics = {k: np.concatenate([r[k] for r in rows])
+             for k in ("dna_rna_tokens", "dna_rna_pos",
+                       "protein_tokens", "protein_pos")}
+    out = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                      max_len=48, admit_group=2, queue_omics=omics)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            out["tokens"][i, :out["lengths"][i]], ref[i],
+            err_msg=f"request {i}")
