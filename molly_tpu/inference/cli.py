@@ -80,8 +80,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lookup-n", type=int, default=3,
                    help="n-gram length matched against the history")
     p.add_argument("--serve-kv-int8", action="store_true",
-                   help="int8 KV slot pool under --serve (halves KV "
-                        "memory/bandwidth; ~1e-2 logit noise)")
+                   help="int8 KV slot pool under --serve / --offline-ring "
+                        "(halves KV memory/bandwidth; ~1e-2 logit noise)")
+    p.add_argument("--offline-ring", action="store_true",
+                   help="device-side admission ring (inference.offline): "
+                        "the WHOLE workload — admission, encoder-injected "
+                        "prefill, decode, harvest — runs in ONE device "
+                        "dispatch; --batch-size sets the slot count")
+    p.add_argument("--ring-spec", type=int, default=0,
+                   help="with --offline-ring: prompt-lookup speculation, "
+                        "N draft tokens per round (greedy token-exact, "
+                        "sampled distribution-exact)")
     return p
 
 
@@ -148,6 +157,8 @@ def main(argv=None) -> None:
         pad_token_id=text_tok.pad_token_id or 0)
 
     rng = jax.random.key(args.seed)
+    if args.offline_ring:
+        return _run_offline_ring(args, ds, params, cfg, gen, text_tok, rng)
     if args.serve:
         return _run_serve(args, ds, params, cfg, gen, text_tok, rng)
     batch_size = args.batch_size
@@ -184,6 +195,78 @@ def main(argv=None) -> None:
                 }) + "\n")
             n_done += tokens.shape[0]
             print(f"[inference] {n_done}/{len(ds)}", flush=True)
+
+
+def _run_offline_ring(args, ds, params, cfg, gen, text_tok, rng) -> None:
+    """One-dispatch offline path (inference.offline.run_offline): the
+    whole parquet's prompts + omics segments upload once, the ring
+    admits/prefills/decodes/harvests on device, and the host writes the
+    same JSONL the batch path writes. Replaces the reference's
+    per-batch generate loop (inference_lora.py:284-321) with O(1) host
+    round trips."""
+    import numpy as np
+
+    from ..data import collate_test, iterate_batches
+    from .offline import run_offline
+    from .server import _pad_to_bucket
+
+    bucket = args.max_length
+    rows, meta = [], []
+    for row in iterate_batches(ds, 1, drop_last=False,
+                               collate_fn=collate_test):
+        rows.append(_pad_to_bucket(
+            {k: row[k] for k in ("input_ids", "attention_mask",
+                                 "dna_rna_tokens", "dna_rna_pos",
+                                 "protein_tokens", "protein_pos")
+             if k in row}, bucket, gen.pad_token_id))
+        meta.append({k: row[k][0] for k in
+                     ("raw_input", "raw_output", "raw_label", "task",
+                      "kind")})
+    n = len(rows)
+
+    def stack_omics(tok_key, pos_key, fill_tok):
+        gmax = max((r[pos_key].shape[1] for r in rows if pos_key in r),
+                   default=0)
+        if not gmax:
+            return {}
+        kseg = next(r[tok_key].shape[2] for r in rows if tok_key in r)
+        toks = np.full((n, gmax, kseg), fill_tok, np.int32)
+        pos = np.full((n, gmax), -1, np.int32)
+        for i, r in enumerate(rows):
+            if pos_key in r:
+                g = r[pos_key].shape[1]
+                toks[i, :g] = r[tok_key][0]
+                pos[i, :g] = r[pos_key][0]
+        return {tok_key: toks, pos_key: pos}
+
+    omics = {**stack_omics("dna_rna_tokens", "dna_rna_pos", 1),
+             **stack_omics("protein_tokens", "protein_pos", 1)}
+    out = run_offline(
+        params, cfg, gen,
+        np.concatenate([r["input_ids"] for r in rows]),
+        np.concatenate([r["attention_mask"] for r in rows]),
+        n_slots=args.batch_size,
+        # +ring_spec: tentative KV columns need spec headroom past the cap
+        max_len=bucket + gen.max_new_tokens + args.ring_spec,
+        admit_group=args.serve_admit,
+        kv_quant="int8" if args.serve_kv_int8 else None,
+        spec_lookup=args.ring_spec,
+        queue_omics=omics or None, rng=rng)
+    with open(args.output_file, "a") as fh:
+        for i in range(n):
+            out_ids = out["tokens"][i, :out["lengths"][i]]
+            out_ids = out_ids[out_ids != gen.pad_token_id]
+            decoded = text_tok.decode(out_ids.tolist(),
+                                      skip_special_tokens=True)
+            m = meta[i]
+            fh.write(json.dumps({
+                "decoded_output": decoded,
+                "input": m["raw_input"], "gt_output": m["raw_output"],
+                "gt_label": m["raw_label"], "task": m["task"],
+                "kind": m["kind"],
+            }) + "\n")
+    print(f"[inference --offline-ring] {n}/{len(ds)} done in "
+          f"{out['ticks']} ticks (1 dispatch)", flush=True)
 
 
 def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:

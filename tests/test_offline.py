@@ -306,3 +306,35 @@ def test_offline_fusion_prompts_match_online(setup):
         np.testing.assert_array_equal(
             out["tokens"][i, :out["lengths"][i]], ref[i],
             err_msg=f"request {i}")
+
+
+def test_inference_cli_offline_ring_matches_static(tmp_path):
+    """--offline-ring produces the same greedy JSONL outputs as the
+    static batch path through the real CLI (tiny model, omics-tagged
+    toy parquet, one device dispatch for the whole file)."""
+    import json
+    from test_train_cli import _toy_parquet
+    from molly_tpu.inference.cli import main as infer_main
+
+    data = str(tmp_path / "d.parquet")
+    _toy_parquet(data, 6)
+    common = [
+        "--input-file", data, "--tiny", "--greedy",
+        "--max-length", "256", "--max-new-tokens", "6",
+        "--dna-rna-k-tokens", "4", "--protein-k-tokens", "4",
+        "--batch-size", "3",
+    ]
+    static_out = str(tmp_path / "static.jsonl")
+    infer_main(common + ["--output-file", static_out])
+    ring_out = str(tmp_path / "ring.jsonl")
+    infer_main(common + ["--output-file", ring_out, "--offline-ring",
+                         "--serve-admit", "2", "--ring-spec", "3"])
+
+    static = [json.loads(l) for l in open(static_out)]
+    ring = [json.loads(l) for l in open(ring_out)]
+    assert len(static) == len(ring) == 6
+    s_by_input = {r["input"]: r for r in static}
+    for r in ring:
+        ref = s_by_input[r["input"]]
+        assert r["decoded_output"] == ref["decoded_output"]
+        assert r["task"] == ref["task"]
