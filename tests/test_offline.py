@@ -338,3 +338,69 @@ def test_inference_cli_offline_ring_matches_static(tmp_path):
         ref = s_by_input[r["input"]]
         assert r["decoded_output"] == ref["decoded_output"]
         assert r["task"] == ref["task"]
+
+
+def test_offline_spec_near_full_acceptance_trained_copy():
+    """Trained-acceptance proof for the IN-RING speculation: a tiny model
+    trained to continue a periodic stream (the workload shape molly
+    serves — outputs quoting spans of the input) must make the ring's
+    batched lookup accept nearly everything: decode ROUNDS collapse to
+    ~tokens/(k+1) while outputs stay token-identical to the plain ring."""
+    import optax
+
+    from molly_tpu.models import qwen3, tiny_qwen3
+
+    cfg_t = tiny_qwen3(num_hidden_layers=2, vocab_size=32)
+    tparams = qwen3.init_params(cfg_t, jax.random.key(3))
+    pat = np.asarray([7, 3, 11, 19, 5, 23, 2, 13], np.int32)
+    seq = np.tile(pat, 8)[None]
+
+    import jax.numpy as jnp
+
+    def loss_fn(p):
+        logits = qwen3.forward_logits(
+            p, cfg_t,
+            inputs_embeds=qwen3.embed_tokens(p, jnp.asarray(seq[:, :-1])),
+            attention_mask=jnp.ones((1, 63), jnp.int32))
+        ll = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+        return -jnp.mean(ll[jnp.arange(63), seq[0, 1:]])
+
+    opt = optax.adamw(3e-3)
+    state = opt.init(tparams)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(150):
+        tparams, state, loss = step(tparams, state)
+    assert float(loss) < 0.1, float(loss)
+
+    cfg = FusionConfig(text=cfg_t, dna_rna=tiny_esm(vocab_size=16),
+                       protein=tiny_esm(vocab_size=20),
+                       dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(2))
+    params["text"] = tparams
+
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    n, bucket = 8, 24
+    ids = np.tile(pat, (n, 3))          # every request: 3 periods
+    mask = np.ones((n, bucket), np.int32)
+    plain = run_offline(params, cfg, gen, ids, mask, n_slots=4,
+                        max_len=96, admit_group=4)
+    spec = run_offline(params, cfg, gen, ids, mask, n_slots=4,
+                       max_len=96, admit_group=4, spec_lookup=5)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            spec["tokens"][i, :spec["lengths"][i]],
+            plain["tokens"][i, :plain["lengths"][i]], err_msg=str(i))
+    # 8 reqs x 24 tokens on 4 slots: plain needs ~2x24 rounds; near-full
+    # acceptance collapses it to ~2x24/(k+1)=8 (allow scheduling slack)
+    assert plain["decode_ticks"] >= 40, plain["decode_ticks"]
+    assert spec["decode_ticks"] <= 14, (spec["decode_ticks"],
+                                        spec["accepted"])
+    assert spec["accepted"] >= 0.75 * (n * 24 - n), spec["accepted"]
