@@ -187,3 +187,29 @@ def test_trained_model_int8_selfdraft_acceptance(trained):
     assert rate >= 0.5, (rate, total_acc, total_drafted)
     print(f"[spec] trained-tiny int8-self-draft acceptance "
           f"{rate:.2f} ({total_acc}/{total_drafted})")
+
+
+@pytest.mark.slow
+def test_trained_model_through_offline_ring(trained):
+    """The flagship offline path (--offline-ring: one device dispatch for
+    the whole file) must reproduce the batch path's predictions on the
+    TRAINED checkpoint and score the same well-above-chance MCC through
+    the real evalsuite."""
+    from molly_tpu.evalsuite.harness import evaluate_file
+    from molly_tpu.inference.cli import main as infer_main
+    from molly_tpu.tools.data_tools import convert_inference_jsonl
+
+    tmp_path, ckpt = trained["tmp"], trained["ckpt"]
+    ring_jsonl = str(tmp_path / "infer_ring.jsonl")
+    infer_main([
+        "--input-file", trained["test_parquet"],
+        "--output-file", ring_jsonl,
+        "--tiny", "--checkpoint", ckpt, "--greedy",
+        "--max-length", "256", "--max-new-tokens", "4",
+        "--dna-rna-k-tokens", "8", "--protein-k-tokens", "8",
+        "--batch-size", "16", "--offline-ring", "--ring-spec", "3",
+    ])
+    eval_jsonl = str(tmp_path / "eval_ring.jsonl")
+    assert convert_inference_jsonl(ring_jsonl, eval_jsonl) == 64
+    scores = evaluate_file(eval_jsonl, scale=False)
+    assert scores["DNA"]["pd"]["MCC"] >= 0.5, scores
