@@ -49,6 +49,17 @@ class Qwen3Config:
     # zigzag layout: balance causal work across the ring (each device
     # holds an early AND a late chunk of the sequence)
     context_parallel_zigzag: bool = False
+    # --- mixture of experts (Qwen3-MoE family; 0 = dense) ---
+    # Beyond the reference (dense Qwen3 only, SURVEY.md §2.4 EP: absent).
+    # num_experts > 0 replaces the dense SwiGLU MLP in every layer with a
+    # dropless top-k sparse FFN (ops.moe); intermediate_size is then the
+    # PER-EXPERT width (HF moe_intermediate_size).
+    num_experts: int = 0
+    num_experts_per_tok: int = 8
+    norm_topk_prob: bool = True
+    # Switch-style load-balance aux-loss coefficient (HF Qwen3-MoE
+    # router_aux_loss_coef default) — applied by the trainer
+    router_aux_coef: float = 1e-3
 
     @property
     def q_dim(self) -> int:
@@ -104,6 +115,15 @@ QWEN3_PRESETS = {
     "qwen3-8b": Qwen3Config(hidden_size=4096, intermediate_size=12288,
                             num_hidden_layers=36, num_attention_heads=32,
                             num_key_value_heads=8, tie_word_embeddings=False),
+    # Qwen3-30B-A3B (HF Qwen3MoeForCausalLM): 128 experts, top-8, 3B
+    # active params — the MoE flagship; intermediate_size here is the
+    # per-expert width (HF moe_intermediate_size=768)
+    "qwen3-30b-a3b": Qwen3Config(hidden_size=2048, intermediate_size=768,
+                                 num_hidden_layers=48,
+                                 num_attention_heads=32,
+                                 num_key_value_heads=4,
+                                 tie_word_embeddings=False,
+                                 num_experts=128, num_experts_per_tok=8),
 }
 
 ESM_PRESETS = {
@@ -133,6 +153,13 @@ def tiny_qwen3(**kw) -> Qwen3Config:
                 num_key_value_heads=2, head_dim=16, dtype="float32")
     base.update(kw)
     return Qwen3Config(**base)
+
+
+def tiny_moe(**kw) -> Qwen3Config:
+    """Small MoE config for tests/smoke runs (4 experts, top-2)."""
+    base = dict(num_experts=4, num_experts_per_tok=2)
+    base.update(kw)
+    return tiny_qwen3(**base)
 
 
 def tiny_esm(**kw) -> EsmConfig:

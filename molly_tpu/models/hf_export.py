@@ -45,10 +45,23 @@ def qwen3_to_hf_state(params: Dict[str, Any],
         "self_attn.o_proj.weight": ("o_proj", True),
         "self_attn.q_norm.weight": ("q_norm", False),
         "self_attn.k_norm.weight": ("k_norm", False),
-        "mlp.gate_proj.weight": ("gate_proj", True),
-        "mlp.up_proj.weight": ("up_proj", True),
-        "mlp.down_proj.weight": ("down_proj", True),
     }
+    if cfg.num_experts:  # Qwen3MoeForCausalLM layout
+        for i in range(L):
+            state[f"model.layers.{i}.mlp.gate.weight"] = t(
+                lp["router"][i])
+            for j in range(cfg.num_experts):
+                for hf_name, ours in (("gate_proj", "expert_gate"),
+                                      ("up_proj", "expert_up"),
+                                      ("down_proj", "expert_down")):
+                    state[f"model.layers.{i}.mlp.experts.{j}."
+                          f"{hf_name}.weight"] = t(lp[ours][i, j])
+    else:
+        per_layer.update({
+            "mlp.gate_proj.weight": ("gate_proj", True),
+            "mlp.up_proj.weight": ("up_proj", True),
+            "mlp.down_proj.weight": ("down_proj", True),
+        })
     for i in range(L):
         for hf_key, (ours, transpose) in per_layer.items():
             a = np.asarray(lp[ours][i])

@@ -92,12 +92,35 @@ def qwen3_from_hf(state: Mapping[str, Any], cfg: Qwen3Config,
             "o_proj": _stack(state, lf + "self_attn.o_proj.weight", L, True).astype(dt),
             "q_norm": _stack(state, lf + "self_attn.q_norm.weight", L).astype(dt),
             "k_norm": _stack(state, lf + "self_attn.k_norm.weight", L).astype(dt),
-            "gate_proj": _stack(state, lf + "mlp.gate_proj.weight", L, True).astype(dt),
-            "up_proj": _stack(state, lf + "mlp.up_proj.weight", L, True).astype(dt),
-            "down_proj": _stack(state, lf + "mlp.down_proj.weight", L, True).astype(dt),
         },
         "final_norm": one(pre + "norm.weight"),
     }
+    if cfg.num_experts:
+        # Qwen3MoeForCausalLM: mlp.gate = router Linear [E, H];
+        # mlp.experts.{j}.{gate,up,down}_proj per expert -> stacked
+        # [L, E, H, I] / [L, E, I, H] for the layer scan + EP sharding
+        E = cfg.num_experts
+        params["layers"]["router"] = _stack(
+            state, lf + "mlp.gate.weight", L, True).astype(np.float32)
+
+        def experts(name, li):
+            return np.stack([
+                _np(state[lf.format(i=li) +
+                          f"mlp.experts.{j}.{name}.weight"]).T
+                for j in range(E)])
+
+        for name, key in (("gate_proj", "expert_gate"),
+                          ("up_proj", "expert_up"),
+                          ("down_proj", "expert_down")):
+            params["layers"][key] = np.stack(
+                [experts(name, li) for li in range(L)]).astype(dt)
+    else:
+        params["layers"]["gate_proj"] = _stack(
+            state, lf + "mlp.gate_proj.weight", L, True).astype(dt)
+        params["layers"]["up_proj"] = _stack(
+            state, lf + "mlp.up_proj.weight", L, True).astype(dt)
+        params["layers"]["down_proj"] = _stack(
+            state, lf + "mlp.down_proj.weight", L, True).astype(dt)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = one("lm_head.weight", transpose=True)
     return {k: _to_jnp(v) for k, v in params.items()}
@@ -203,6 +226,14 @@ def qwen3_cfg_from_hf_config(hf_cfg, **overrides) -> Qwen3Config:
         tie_word_embeddings=get("tie_word_embeddings"),
         max_position_embeddings=get("max_position_embeddings"),
     )
+    if get("num_experts"):  # Qwen3MoeConfig
+        kw.update(
+            num_experts=get("num_experts"),
+            num_experts_per_tok=get("num_experts_per_tok", 8),
+            norm_topk_prob=bool(get("norm_topk_prob", True)),
+            router_aux_coef=get("router_aux_loss_coef", 1e-3),
+            intermediate_size=get("moe_intermediate_size"),
+        )
     kw.update(overrides)
     return Qwen3Config(**kw)
 

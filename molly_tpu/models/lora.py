@@ -55,10 +55,16 @@ def init_lora(cfg: Qwen3Config, lora_cfg: LoraConfig,
               key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
     """Gaussian A (std 1/r, PEFT's init_lora_weights='gaussian'), zero B."""
     dims = target_dims(cfg)
+    targets = lora_cfg.targets
+    if cfg.num_experts:
+        # MoE layers have no dense gate/up/down Linears; adapt attention
+        # projections only (expert-weight LoRA is a future seam)
+        targets = tuple(t for t in targets
+                        if t in ("q_proj", "k_proj", "v_proj", "o_proj"))
     L, r = cfg.num_hidden_layers, lora_cfg.r
-    keys = jax.random.split(key, len(lora_cfg.targets))
+    keys = jax.random.split(key, len(targets))
     layers = {}
-    for k, name in zip(keys, lora_cfg.targets):
+    for k, name in zip(keys, targets):
         d_in, d_out = dims[name]
         layers[name] = {
             "a": (jax.random.normal(k, (L, d_in, r), jnp.float32)

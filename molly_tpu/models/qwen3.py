@@ -67,12 +67,22 @@ def init_params(cfg: Qwen3Config, key: jax.Array) -> Params:
             "o_proj": lin(next(k), L, Dq, H),
             "q_norm": norm(L, Dh),
             "k_norm": norm(L, Dh),
-            "gate_proj": lin(next(k), L, H, I),
-            "up_proj": lin(next(k), L, H, I),
-            "down_proj": lin(next(k), L, I, H),
         },
         "final_norm": norm(H),
     }
+    if cfg.num_experts:
+        E = cfg.num_experts
+        # router in fp32 (tiny; top-k is precision-sensitive), experts
+        # stacked [L, E, H, I] for the layer scan + expert-axis sharding
+        params["layers"]["router"] = lin(
+            next(k), L, H, E).astype(jnp.float32)
+        params["layers"]["expert_gate"] = lin(next(k), L, E, H, I)
+        params["layers"]["expert_up"] = lin(next(k), L, E, H, I)
+        params["layers"]["expert_down"] = lin(next(k), L, E, I, H)
+    else:
+        params["layers"]["gate_proj"] = lin(next(k), L, H, I)
+        params["layers"]["up_proj"] = lin(next(k), L, H, I)
+        params["layers"]["down_proj"] = lin(next(k), L, I, H)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = lin(next(k), H, cfg.vocab_size)
     return params
@@ -216,14 +226,23 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
     hidden = hidden + attn
 
     x = rms_norm(hidden, p["post_attn_norm"], cfg.rms_norm_eps)
-    if "gateup_proj" in p:
+    moe_aux = None
+    if "router" in p:  # sparse MoE FFN (dropless top-k, ops.moe)
+        from ..ops.moe import moe_mlp
+        out2d, moe_aux = moe_mlp(
+            x.reshape(B * S, H), p["router"], p["expert_gate"],
+            p["expert_up"], p["expert_down"],
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            norm_topk_prob=cfg.norm_topk_prob)
+        down = out2d.reshape(B, S, H)
+    elif "gateup_proj" in p:  # fused decode weights
         gu = quant.linear(x, p["gateup_proj"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        mlp = jax.nn.silu(gate) * up
+        down = proj(jax.nn.silu(gate) * up, "down_proj")
     else:
         mlp = jax.nn.silu(proj(x, "gate_proj")) * proj(x, "up_proj")
-    down = proj(mlp, "down_proj")
-    return hidden + down, new_cache
+        down = proj(mlp, "down_proj")
+    return hidden + down, new_cache, moe_aux
 
 
 def forward_hidden(
@@ -255,6 +274,11 @@ def forward_hidden(
     per-layer outputs [L, B, S, H] pre-final-norm — the layer-by-layer
     parity harness (tools.parity) compares these against HF's
     ``hidden_states`` to localize divergence.
+
+    MoE models (cfg.num_experts > 0), no-cache path: the second return
+    slot (unused by training, which has no KV cache) carries
+    ``{"moe_aux": {"load_balance", "router_z"}}`` averaged over layers —
+    the trainer folds them into the loss (ops.moe).
     """
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
@@ -286,16 +310,20 @@ def forward_hidden(
         def body(carry, xs):
             h = carry
             layer_params, lora_l, rng = xs
-            h, _ = _layer(cfg, h, layer_params, cos, sin, attention_mask,
-                          causal, None, 0, lora_l, lora_scale,
-                          lora_dropout, rng)
-            return h, (h if output_hidden_states else None)
+            h, _, aux = _layer(cfg, h, layer_params, cos, sin,
+                               attention_mask, causal, None, 0, lora_l,
+                               lora_scale, lora_dropout, rng)
+            return h, ((h if output_hidden_states else None), aux)
 
         if cfg.remat:
             body = jax.checkpoint(body, policy=_remat_policy(cfg))
-        hidden, per_layer = jax.lax.scan(
+        hidden, (per_layer, aux_stack) = jax.lax.scan(
             body, hidden, (lp, lora_layers, layer_rngs))
-        new_cache = None
+        # MoE aux losses, averaged over layers (None for dense models) —
+        # returned in the cache slot (training never has a KV cache)
+        new_cache = (
+            {"moe_aux": jax.tree.map(jnp.mean, aux_stack)}
+            if aux_stack is not None else None)
         if output_hidden_states:
             out = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
             return out, new_cache, per_layer
@@ -308,10 +336,10 @@ def forward_hidden(
         def body(carry, xs):
             h, ckv, csc, li = carry
             layer_params, lora_l, rng = xs
-            h, (ckv, csc) = _layer(cfg, h, layer_params, cos, sin,
-                                   attention_mask, causal, (ckv, csc, li),
-                                   cache_index, lora_l, lora_scale,
-                                   lora_dropout, rng)
+            h, (ckv, csc), _ = _layer(cfg, h, layer_params, cos, sin,
+                                      attention_mask, causal,
+                                      (ckv, csc, li), cache_index, lora_l,
+                                      lora_scale, lora_dropout, rng)
             return (h, ckv, csc, li + 1), None
 
         if cfg.remat:
@@ -370,11 +398,12 @@ def fuse_for_decode(params: Params, cfg: Qwen3Config) -> Params:
     new_layers = dict(lp)
     new_layers["qkv_proj"] = jnp.concatenate(
         [lp["q_proj"], lp["k_proj"], lp["v_proj"]], axis=-1)
-    new_layers["gateup_proj"] = jnp.concatenate(
-        [lp["gate_proj"], lp["up_proj"]], axis=-1)
+    if "gate_proj" in lp:  # dense MLP (MoE experts are already grouped)
+        new_layers["gateup_proj"] = jnp.concatenate(
+            [lp["gate_proj"], lp["up_proj"]], axis=-1)
+        del new_layers["gate_proj"], new_layers["up_proj"]
     new_layers["qk_norm"] = _stacked_qk_norm(cfg, lp)
-    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
-                 "q_norm", "k_norm"):
+    for name in ("q_proj", "k_proj", "v_proj", "q_norm", "k_norm"):
         del new_layers[name]
     out = {**params, "layers": new_layers}
     if "lm_head" not in out:
@@ -391,23 +420,29 @@ def quantize_for_decode(params: Params, cfg: Qwen3Config,
     fuse=True additionally merges q/k/v and gate/up into single matmuls
     (fewer ops per decode step)."""
     new_layers = dict(params["layers"])
+    moe = "router" in new_layers  # experts stay bf16 (the int8 path is
+    # per-matmul; a quantized ragged-dot is a future seam — ops/moe.py)
     if fuse:
         lp = params["layers"]
         qkv = jnp.concatenate([lp["q_proj"], lp["k_proj"], lp["v_proj"]],
                               axis=-1)
-        gateup = jnp.concatenate([lp["gate_proj"], lp["up_proj"]], axis=-1)
         new_layers["qkv_proj"] = jax.vmap(quant.quantize_int8)(qkv)
-        new_layers["gateup_proj"] = jax.vmap(quant.quantize_int8)(gateup)
+        if not moe:
+            gateup = jnp.concatenate([lp["gate_proj"], lp["up_proj"]],
+                                     axis=-1)
+            new_layers["gateup_proj"] = jax.vmap(quant.quantize_int8)(gateup)
+            del new_layers["gate_proj"], new_layers["up_proj"]
+            new_layers["down_proj"] = jax.vmap(quant.quantize_int8)(
+                lp["down_proj"])
         new_layers["qk_norm"] = _stacked_qk_norm(cfg, lp)
-        for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
-                     "q_norm", "k_norm"):
+        for name in ("q_proj", "k_proj", "v_proj", "q_norm", "k_norm"):
             del new_layers[name]
-        for name in ("o_proj", "down_proj"):
-            new_layers[name] = jax.vmap(quant.quantize_int8)(lp[name])
+        new_layers["o_proj"] = jax.vmap(quant.quantize_int8)(lp["o_proj"])
     else:
         for name in QUANT_TARGETS:
-            new_layers[name] = jax.vmap(quant.quantize_int8)(
-                params["layers"][name])
+            if name in params["layers"]:
+                new_layers[name] = jax.vmap(quant.quantize_int8)(
+                    params["layers"][name])
     out = {**params, "layers": new_layers}
     head = (params["embed"].T if cfg.tie_word_embeddings
             else params["lm_head"])

@@ -1,0 +1,117 @@
+"""Dropless top-k mixture-of-experts MLP — TPU-native sparse FFN.
+
+Beyond the reference (SURVEY.md §2.4 lists EP as absent: the reference
+trains dense Qwen3 only), this powers the Qwen3-MoE model family
+(qwen3-30b-a3b-class checkpoints) and expert parallelism over an
+``expert`` mesh axis.
+
+Design (sort + ragged matmul, NOT the GShard capacity/one-hot dispatch):
+
+  1. router: [T, H] x [H, E] -> softmax probs (fp32), top-k per token
+  2. sort the T*k (token, choice) pairs by expert id -> contiguous
+     per-expert groups with data-dependent sizes
+  3. three ``jax.lax.ragged_dot`` calls run the grouped GEMMs
+     (gate/up/down) directly on the ragged groups — the MXU sees a few
+     large matmuls, no [T, E, capacity] one-hot dispatch tensor is ever
+     materialized, and NO tokens are dropped (capacity-free), so
+     inference is exact and training sees every token.
+  4. inverse-permute back to [T, k, H] and combine with routing weights
+     (a gather, not a scatter-add — cheaper on TPU and trivially
+     differentiable). ragged_dot has full JVP/transpose rules in JAX,
+     so the whole MLP is differentiable end to end.
+
+Expert parallelism: expert-stacked weights [E, H, I] shard over the
+``expert`` mesh axis (parallel.sharding); under GSPMD the ragged GEMMs
+partition over groups. Aux losses (Switch-style load-balance +
+router z-loss) return alongside the output for the trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def router_topk(x: jnp.ndarray, router_w: jnp.ndarray, k: int,
+                norm_topk_prob: bool = True
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                           jnp.ndarray]:
+    """Routing: returns (weights [T, k] fp32, expert ids [T, k],
+    probs [T, E] fp32, logits [T, E] fp32). Router math in fp32 — tiny
+    [T, E] tensors, and top-k ties/normalization are precision-sensitive."""
+    logits = jnp.dot(x, router_w.astype(x.dtype),
+                     preferred_element_type=jnp.float32)  # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topw, topi = jax.lax.top_k(probs, k)
+    if norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    return topw, topi, probs, logits
+
+
+def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
+            w_up: jnp.ndarray, w_down: jnp.ndarray, *,
+            num_experts_per_tok: int, norm_topk_prob: bool = True,
+            ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Sparse SwiGLU FFN. x [T, H]; router_w [H, E]; w_gate/w_up [E, H, I];
+    w_down [E, I, H] -> (out [T, H] in x.dtype, aux-loss dict).
+
+    Operands stay in storage dtype for the grouped GEMMs (bf16 MXU rate)
+    with fp32 accumulation, same convention as ops.lce._mm.
+    """
+    T, H = x.shape
+    E = w_gate.shape[0]
+    k = num_experts_per_tok
+    topw, topi, probs, logits = router_topk(x, router_w, k, norm_topk_prob)
+
+    flat_e = topi.reshape(T * k)              # expert id per (token, choice)
+    order = jnp.argsort(flat_e)               # group rows by expert
+    tok = order // k                           # source token per sorted row
+    xs = jnp.take(x, tok, axis=0)              # [T*k, H] gathered operands
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    def gdot(lhs, rhs):
+        return jax.lax.ragged_dot(lhs, rhs, group_sizes,
+                                  preferred_element_type=jnp.float32)
+
+    g = gdot(xs, w_gate)                       # [T*k, I] fp32
+    u = gdot(xs, w_up)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    y = gdot(h, w_down)                        # [T*k, H] fp32
+
+    # combine: inverse permutation (gather) back to (token, choice) order,
+    # weight, and sum the k choices
+    inv = jnp.argsort(order)
+    y = jnp.take(y, inv, axis=0).reshape(T, k, H)
+    out = jnp.sum(y * topw[..., None], axis=1).astype(x.dtype)
+
+    # Switch-Transformer load-balance loss: E * sum_e f_e * P_e where
+    # f_e = fraction of routed (token, choice) pairs on expert e and
+    # P_e = mean router prob. == 1.0 at perfect balance.
+    f = group_sizes.astype(jnp.float32) / (T * k)
+    lb = E * jnp.sum(f * jnp.mean(probs, axis=0))
+    z = jnp.mean(jnp.square(jax.nn.logsumexp(logits, axis=-1)))
+    aux = {"load_balance": lb, "router_z": z}
+    return out, aux
+
+
+def moe_mlp_reference(x, router_w, w_gate, w_up, w_down, *,
+                      num_experts_per_tok, norm_topk_prob=True):
+    """Naive dense reference (every expert on every token, masked
+    combine) — O(T*E) compute; test oracle only."""
+    topw, topi, _, _ = router_topk(x, router_w, num_experts_per_tok,
+                                   norm_topk_prob)
+    T, H = x.shape
+    E = w_gate.shape[0]
+
+    def one_expert(wg, wu, wd):
+        g = jnp.dot(x, wg, preferred_element_type=jnp.float32)
+        u = jnp.dot(x, wu, preferred_element_type=jnp.float32)
+        h = (jax.nn.silu(g) * u).astype(x.dtype)
+        return jnp.dot(h, wd, preferred_element_type=jnp.float32)
+
+    ys = jax.vmap(one_expert)(w_gate, w_up, w_down)      # [E, T, H]
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [T, k, E]
+    w_e = jnp.sum(onehot * topw[..., None], axis=1)      # [T, E]
+    return jnp.einsum("eth,te->th", ys, w_e).astype(x.dtype)

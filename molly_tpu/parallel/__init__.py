@@ -10,6 +10,7 @@ from .ring_attention import (
 )
 from .sharding import (
     DATA_AXIS,
+    EXPERT_AXIS,
     FSDP_AXIS,
     SEQ_AXIS,
     TENSOR_AXIS,

@@ -101,8 +101,8 @@ def decoder_forward_pp(
             cos_m, sin_m, mask_m = coss[m], sins[m], masks[m]
 
             def body(h, layer_params):
-                h, _ = qwen3._layer(cfg, h, layer_params, cos_m, sin_m,
-                                    mask_m, True, None, 0)
+                h, _, _ = qwen3._layer(cfg, h, layer_params, cos_m, sin_m,
+                                       mask_m, True, None, 0)
                 return h, None
 
             if cfg.remat:

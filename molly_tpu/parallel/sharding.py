@@ -32,19 +32,23 @@ DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
 SEQ_AXIS = "seq"  # context parallelism (ring attention) — beyond reference
+EXPERT_AXIS = "expert"  # MoE expert parallelism — beyond reference
 
 
 def make_mesh(data: int = 1, fsdp: int = -1, tensor: int = 1,
-              seq: int = 1, devices=None) -> Mesh:
-    """Build a 4-axis mesh. fsdp=-1 means "all remaining devices"."""
+              seq: int = 1, expert: int = 1, devices=None) -> Mesh:
+    """Build a 5-axis mesh. fsdp=-1 means "all remaining devices"."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp == -1:
-        assert n % (data * tensor * seq) == 0, (n, data, tensor, seq)
-        fsdp = n // (data * tensor * seq)
-    assert data * fsdp * tensor * seq == n, (data, fsdp, tensor, seq, n)
-    arr = np.asarray(devices).reshape(data, fsdp, tensor, seq)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS))
+        assert n % (data * tensor * seq * expert) == 0, (
+            n, data, tensor, seq, expert)
+        fsdp = n // (data * tensor * seq * expert)
+    assert data * fsdp * tensor * seq * expert == n, (
+        data, fsdp, tensor, seq, expert, n)
+    arr = np.asarray(devices).reshape(data, fsdp, tensor, seq, expert)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS,
+                      EXPERT_AXIS))
 
 
 # ---------------------------------------------------------------------------
@@ -61,6 +65,13 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"text/layers/o_proj$", P(None, TENSOR_AXIS, FSDP_AXIS)),
     (r"text/layers/(gate_proj|up_proj)$", P(None, FSDP_AXIS, TENSOR_AXIS)),
     (r"text/layers/down_proj$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    # MoE: experts [L, E, H, I] shard over the expert axis (EP); the
+    # per-expert matmul dims additionally shard over fsdp/tensor
+    (r"text/layers/router$", P()),
+    (r"text/layers/expert_(gate|up)$",
+     P(None, EXPERT_AXIS, FSDP_AXIS, TENSOR_AXIS)),
+    (r"text/layers/expert_down$",
+     P(None, EXPERT_AXIS, TENSOR_AXIS, FSDP_AXIS)),
     (r"text/layers/(input_norm|post_attn_norm|q_norm|k_norm)$", P()),
     (r"text/final_norm$", P()),
     # --- ESM encoders (frozen, but still sharded to save HBM) ---

@@ -52,6 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="random init (smoke runs)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model (CI smoke)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="override the text config to a MoE decoder with "
+                        "this many experts (0 keeps the preset; composes "
+                        "with --tiny for EP smoke runs)")
+    p.add_argument("--moe-topk", type=int, default=2,
+                   help="experts per token under --moe-experts")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gradient-checkpointing", type=str2bool, default=False)
     p.add_argument("--remat-policy", default="full",
@@ -135,6 +141,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "seq axes and LoRA")
     p.add_argument("--pp-microbatches", type=int, default=2,
                    help="microbatches per step under --mesh-pipe")
+    p.add_argument("--mesh-expert", type=int, default=1,
+                   help="expert-parallel axis size: MoE expert weights "
+                        "shard over this axis (requires a MoE text "
+                        "preset, e.g. qwen3-30b-a3b; beyond the "
+                        "reference, SURVEY.md §2.4 EP)")
     return p
 
 
@@ -190,6 +201,10 @@ def run_training(args) -> dict:
                                       dtype=args.dtype)
         prot_cfg = dataclasses.replace(ESM_PRESETS[args.protein_preset],
                                        dtype=args.dtype)
+    if args.moe_experts:
+        text_cfg = dataclasses.replace(
+            text_cfg, num_experts=args.moe_experts,
+            num_experts_per_tok=args.moe_topk)
     if args.mesh_seq > 1:
         div = args.mesh_seq * (2 if args.cp_zigzag else 1)
         assert args.max_len % div == 0, (
@@ -285,8 +300,13 @@ def run_training(args) -> dict:
         mesh = make_pp_mesh(pipe=args.mesh_pipe,
                             data=n_dev // args.mesh_pipe)
     else:
+        if args.mesh_expert > 1:
+            assert cfg.text.num_experts, (
+                "--mesh-expert requires a MoE text preset "
+                "(cfg.text.num_experts > 0)")
         mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                         tensor=args.mesh_tensor, seq=args.mesh_seq)
+                         tensor=args.mesh_tensor, seq=args.mesh_seq,
+                         expert=args.mesh_expert)
     print_rank_0(f"mesh: {dict(mesh.shape)}")
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -406,6 +426,9 @@ def run_training(args) -> dict:
                               "grad_norm": metrics["grad_norm"],
                               "learning_rate": metrics["learning_rate"],
                               "epoch": epoch}
+                    if "moe_load_balance" in metrics:
+                        record["moe_load_balance"] = (
+                            metrics["moe_load_balance"])
                     if args.compute_domain_losses:
                         record.update(domain_loss_metrics(
                             {k: np.asarray(v) for k, v in metrics.items()}))

@@ -255,7 +255,7 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                     text_cfg = dataclasses.replace(
                         text_cfg, context_parallel_prepermuted=True)
                     pre_shifted = True
-            hidden, _ = qwen3.forward_hidden(
+            hidden, aux_out = qwen3.forward_hidden(
                 params["text"], text_cfg, inputs_embeds=embeds,
                 attention_mask=mask, positions=positions,
                 lora=params.get("lora"),
@@ -263,9 +263,17 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 lora_dropout=lora_cfg.dropout if lora_cfg else 0.0,
                 dropout_rng=rng if (lora_cfg and lora_cfg.dropout > 0)
                 else None)
-            return fusion.loss_from_hidden(
+            loss, metrics = fusion.loss_from_hidden(
                 params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
                 fused_lce=train_cfg.fused_lce, pre_shifted=pre_shifted)
+            if text_cfg.num_experts and aux_out is not None:
+                # MoE router load-balance aux loss (ops.moe); z-loss for
+                # the router rides the same coefficient family as the HF
+                # Qwen3-MoE config (router_aux_loss_coef)
+                lb = aux_out["moe_aux"]["load_balance"]
+                loss = loss + text_cfg.router_aux_coef * lb
+                metrics = {**metrics, "moe_load_balance": lb}
+            return loss, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
@@ -299,6 +307,8 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
             zero_g = jax.tree.map(jnp.zeros_like, train_leaves)
             zero_m = {
                 "loss": jnp.zeros(()), "tokens": jnp.zeros((), jnp.int32)}
+            if model_cfg.text.num_experts and not train_cfg.pp_micro:
+                zero_m["moe_load_balance"] = jnp.zeros(())
             if "task_label" in batch:
                 from ..data.omics_dataset import NUM_DOMAIN_TASKS
                 zero_m["domain_loss_sum"] = jnp.zeros(NUM_DOMAIN_TASKS + 1)
@@ -307,6 +317,9 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 micro_step, (zero_g, zero_m, 0), micro)
             grads = jax.tree.map(lambda g: g / accum, grads)
             metrics = {**metrics, "loss": metrics["loss"] / accum}
+            if "moe_load_balance" in metrics:
+                metrics["moe_load_balance"] = (
+                    metrics["moe_load_balance"] / accum)
         else:
             (_, metrics), grads = grad_fn(train_leaves, batch, rng)
 

@@ -1,0 +1,211 @@
+"""Mixture-of-experts (ops.moe + Qwen3-MoE model family + EP sharding).
+
+Beyond the reference (dense Qwen3 only — SURVEY.md §2.4 lists EP as
+absent); the model family itself follows HF Qwen3MoeForCausalLM
+semantics (router softmax -> top-k -> normalized combine).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molly_tpu.models import qwen3, tiny_moe, tiny_qwen3
+from molly_tpu.ops.moe import moe_mlp, moe_mlp_reference
+
+
+def _mlp_weights(key, E=4, H=16, I=32, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "router": 0.5 * jax.random.normal(ks[0], (H, E), jnp.float32),
+        "gate": 0.2 * jax.random.normal(ks[1], (E, H, I), dtype),
+        "up": 0.2 * jax.random.normal(ks[2], (E, H, I), dtype),
+        "down": 0.2 * jax.random.normal(ks[3], (E, I, H), dtype),
+    }
+
+
+def test_moe_mlp_matches_dense_reference():
+    """Sort+ragged_dot dispatch == naive every-expert-masked-combine."""
+    w = _mlp_weights(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (24, 16), jnp.float32)
+    out, aux = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                       num_experts_per_tok=2)
+    ref = moe_mlp_reference(x, w["router"], w["gate"], w["up"], w["down"],
+                            num_experts_per_tok=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.isfinite(float(aux["load_balance"]))
+    assert np.isfinite(float(aux["router_z"]))
+
+
+def test_moe_single_expert_equals_dense_swiglu():
+    """E=1, k=1 degenerates to the plain dense SwiGLU MLP."""
+    w = _mlp_weights(jax.random.key(2), E=1)
+    x = jax.random.normal(jax.random.key(3), (8, 16), jnp.float32)
+    out, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                     num_experts_per_tok=1)
+    dense = (jax.nn.silu(x @ w["gate"][0]) * (x @ w["up"][0])) @ w["down"][0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_moe_grads_flow_to_experts_and_router():
+    w = _mlp_weights(jax.random.key(4))
+    x = jax.random.normal(jax.random.key(5), (24, 16), jnp.float32)
+
+    def loss(w):
+        out, aux = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                           num_experts_per_tok=2)
+        return jnp.sum(out ** 2) + 0.01 * aux["load_balance"]
+
+    g = jax.grad(loss)(w)
+    for name in ("router", "gate", "up", "down"):
+        arr = np.asarray(g[name])
+        assert np.all(np.isfinite(arr)), name
+        assert np.abs(arr).sum() > 0, name
+
+
+def test_moe_load_balance_uniform_vs_collapsed():
+    """Switch LB loss == 1 at perfect balance, >1 when routing collapses."""
+    E, H, T = 4, 16, 64
+    x = jax.random.normal(jax.random.key(6), (T, H))
+    w = _mlp_weights(jax.random.key(7), E=E)
+    uniform = jnp.zeros((H, E))  # equal logits -> ties -> balanced-ish
+    _, aux_u = moe_mlp(x, uniform, w["gate"], w["up"], w["down"],
+                       num_experts_per_tok=2)
+    collapsed = jnp.zeros((H, E)).at[:, 0].set(10.0)  # everyone -> e0
+    xc = jnp.abs(x) + 0.1  # positive inputs => logit_0 >> 0 on every token
+    _, aux_c = moe_mlp(xc, collapsed, w["gate"], w["up"], w["down"],
+                       num_experts_per_tok=1)
+    assert float(aux_u["load_balance"]) == pytest.approx(1.0, abs=0.05)
+    assert float(aux_c["load_balance"]) > 2.0
+
+
+def test_moe_decoder_forward_and_cache_decode_consistent():
+    """Qwen3-MoE decode with KV cache matches the no-cache forward."""
+    cfg = tiny_moe()
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    assert "router" in params["layers"]
+    B, S = 2, 10
+    ids = jax.random.randint(jax.random.key(1), (B, S), 0, cfg.vocab_size)
+    logits_full = qwen3.forward_logits(params, cfg, input_ids=ids)
+
+    cache = qwen3.init_cache(cfg, B, S)
+    hidden, cache = qwen3.forward_hidden(params, cfg, input_ids=ids[:, :-1],
+                                         cache=cache, cache_index=0)
+    hidden, _ = qwen3.forward_hidden(params, cfg, input_ids=ids[:, -1:],
+                                     cache=cache, cache_index=S - 1)
+    last = qwen3.logits_from_hidden(params, cfg, hidden)
+    np.testing.assert_allclose(np.asarray(last[:, 0]),
+                               np.asarray(logits_full[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_moe_aux_returned_no_cache():
+    cfg = tiny_moe()
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    ids = jnp.ones((2, 8), jnp.int32)
+    hidden, aux = qwen3.forward_hidden(params, cfg, input_ids=ids)
+    assert set(aux["moe_aux"]) == {"load_balance", "router_z"}
+    assert aux["moe_aux"]["load_balance"].shape == ()
+    # dense model still returns None
+    dcfg = tiny_qwen3()
+    dparams = qwen3.init_params(dcfg, jax.random.key(1))
+    _, none = qwen3.forward_hidden(dparams, dcfg, input_ids=ids)
+    assert none is None
+
+
+def test_moe_train_step_decreases_loss():
+    """Full fusion train step on a MoE text model learns on a fixed batch
+    and reports the load-balance metric."""
+    from molly_tpu.models import fusion, tiny_esm
+    from molly_tpu.models.fusion import FusionConfig
+    from molly_tpu.training import (TrainConfig, init_train_state,
+                                    make_train_step)
+
+    cfg = FusionConfig(text=tiny_moe(), dna_rna=tiny_esm(),
+                       protein=tiny_esm(), dna_rna_k_tokens=4,
+                       protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    tc = TrainConfig(learning_rate=3e-3, total_steps=30, warmup_ratio=0.0,
+                     train_bio=False, train_mlp=True, train_llm=True,
+                     accum_steps=2)
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc))
+    B, S = 4, 16
+    rng = np.random.default_rng(0)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, S // 2:] = rng.integers(1, cfg.text.vocab_size, (B, S // 2))
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, cfg.text.vocab_size, (B, S)), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.full((B, 1, 4), 3, jnp.int32),
+        "dna_rna_pos": jnp.asarray([[1]] * B, jnp.int32),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+        "task_label": jnp.zeros((B,), jnp.int32),
+    }
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(float(m["moe_load_balance"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_moe_ep_sharded_matches_unsharded():
+    """Expert-parallel GSPMD run (expert axis) reproduces the single-
+    device loss+grads."""
+    from molly_tpu.parallel import make_mesh, param_specs, shard_params
+
+    cfg = dataclasses.replace(tiny_moe(), dtype="float32")
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    ids = jax.random.randint(jax.random.key(1), (4, 16), 0, cfg.vocab_size)
+    labels = jax.random.randint(jax.random.key(2), (4, 16), 0,
+                                cfg.vocab_size)
+
+    def loss_fn(p):
+        logits = qwen3.forward_logits(p, cfg, input_ids=ids)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lp[:, :-1], labels[:, 1:, None],
+                                   axis=-1)
+        return jnp.mean(nll)
+
+    base_loss, base_grads = jax.value_and_grad(loss_fn)(params)
+
+    mesh = make_mesh(data=2, fsdp=2, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params({"text": params}, mesh)["text"]
+        espec = param_specs({"text": params})["text"]
+        ep_names = [
+            p for p, s in jax.tree_util.tree_flatten_with_path(espec)[0]
+            if "expert" in str(s)]
+        assert ep_names, "expert weights must carry the expert axis"
+        sh_loss, sh_grads = jax.jit(jax.value_and_grad(loss_fn))(sp)
+    np.testing.assert_allclose(float(sh_loss), float(base_loss),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        base_grads, jax.device_get(sh_grads))
+
+
+def test_moe_hf_import_export_roundtrip():
+    """hf_export(state) -> qwen3_from_hf reproduces the param tree."""
+    from molly_tpu.models.hf_export import qwen3_to_hf_state
+    from molly_tpu.models.hf_import import qwen3_from_hf
+
+    cfg = dataclasses.replace(tiny_moe(), tie_word_embeddings=False)
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    state = qwen3_to_hf_state(params, cfg)
+    assert "model.layers.0.mlp.gate.weight" in state
+    assert "model.layers.0.mlp.experts.3.down_proj.weight" in state
+    back = qwen3_from_hf(state, cfg, dtype="float32")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6),
+        params, back)

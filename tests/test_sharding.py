@@ -26,11 +26,14 @@ def test_virtual_devices_present():
 
 def test_make_mesh_shapes():
     m = make_mesh(data=2, fsdp=2, tensor=2)
-    assert m.shape == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1}
+    assert m.shape == {"data": 2, "fsdp": 2, "tensor": 2, "seq": 1,
+                       "expert": 1}
     m2 = make_mesh(data=1, tensor=2)  # fsdp=-1 -> 4
     assert m2.shape["fsdp"] == 4
     m3 = make_mesh(data=1, fsdp=2, tensor=2, seq=2)
     assert m3.shape["seq"] == 2
+    m4 = make_mesh(data=1, fsdp=2, expert=4)
+    assert m4.shape["expert"] == 4
 
 
 def test_spec_rules():
