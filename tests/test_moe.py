@@ -194,6 +194,42 @@ def test_moe_ep_sharded_matches_unsharded():
         base_grads, jax.device_get(sh_grads))
 
 
+def test_moe_serving_engine_greedy_parity():
+    """The continuous-batching engine serves a MoE decoder: greedy
+    outputs match the batch engine on the same padded bucket (the decode
+    path runs the sparse FFN with per-row cache indices)."""
+    from molly_tpu.inference.engine import GenerationConfig, generate
+    from molly_tpu.inference.server import (Request, ServingEngine,
+                                            _pad_to_bucket)
+    from molly_tpu.models import fusion, tiny_esm
+    from molly_tpu.models.fusion import FusionConfig
+
+    cfg = FusionConfig(
+        text=tiny_moe(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=8),
+        dna_rna=tiny_esm(vocab_size=16), protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(0)
+    reqs = [Request(uid=i, batch={
+        "input_ids": rng.integers(1, 64, (1, s)).astype(np.int32),
+        "attention_mask": np.ones((1, s), np.int32),
+    }) for i, s in enumerate([5, 12])]
+    eng = ServingEngine(params, cfg, gen, n_slots=2, max_len=48,
+                        prefill_buckets=(16,))
+    results = eng.run(list(reqs))
+    for req in reqs:
+        padded = _pad_to_bucket(req.batch, 16, gen.pad_token_id)
+        jb = {k: jnp.asarray(v) for k, v in padded.items()}
+        ref = np.asarray(generate(params, cfg, jb, gen,
+                                  jax.random.key(0)))[0]
+        np.testing.assert_array_equal(results[req.uid], ref)
+
+
 def test_moe_hf_import_export_roundtrip():
     """hf_export(state) -> qwen3_from_hf reproduces the param tree."""
     from molly_tpu.models.hf_export import qwen3_to_hf_state
