@@ -28,10 +28,40 @@ router z-loss) return alongside the output for the trainer.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Grouped-GEMM backend for the expert matmuls:
+#   "ragged" — jax.lax.ragged_dot (XLA lowering; differentiable, runs on
+#              every platform; the correctness reference)
+#   "gmm"    — Pallas megablox grouped matmul (custom-VJP fwd+bwd; the
+#              TPU hot path — flip after an on-chip measurement, or run
+#              with interpret=True off-TPU for parity tests)
+_MOE_IMPL = os.environ.get("MOLLY_MOE_GEMM", "ragged")
+assert _MOE_IMPL in ("ragged", "gmm"), _MOE_IMPL
+
+
+def set_moe_gemm_impl(name: str) -> None:
+    global _MOE_IMPL
+    assert name in ("ragged", "gmm"), name
+    _MOE_IMPL = name
+
+
+def _grouped_dot(lhs: jnp.ndarray, rhs: jnp.ndarray,
+                 group_sizes: jnp.ndarray) -> jnp.ndarray:
+    """[M, K] x [G, K, N] with per-group row counts -> [M, N] fp32."""
+    if _MOE_IMPL == "gmm":
+        from jax.experimental.pallas.ops.tpu.megablox import gmm
+        interpret = jax.devices()[0].platform != "tpu"
+        # custom_vjp: positional args only (kwargs unsupported under vjp)
+        return gmm(lhs, rhs, group_sizes,
+                   jnp.float32, (128, 128, 128), None, None,
+                   False, interpret)
+    return jax.lax.ragged_dot(lhs, rhs, group_sizes,
+                              preferred_element_type=jnp.float32)
 
 
 def router_topk(x: jnp.ndarray, router_w: jnp.ndarray, k: int,
@@ -71,14 +101,10 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
     xs = jnp.take(x, tok, axis=0)              # [T*k, H] gathered operands
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
-    def gdot(lhs, rhs):
-        return jax.lax.ragged_dot(lhs, rhs, group_sizes,
-                                  preferred_element_type=jnp.float32)
-
-    g = gdot(xs, w_gate)                       # [T*k, I] fp32
-    u = gdot(xs, w_up)
+    g = _grouped_dot(xs, w_gate, group_sizes)  # [T*k, I] fp32
+    u = _grouped_dot(xs, w_up, group_sizes)
     h = (jax.nn.silu(g) * u).astype(x.dtype)
-    y = gdot(h, w_down)                        # [T*k, H] fp32
+    y = _grouped_dot(h, w_down, group_sizes)   # [T*k, H] fp32
 
     # combine: inverse permutation (gather) back to (token, choice) order,
     # weight, and sum the k choices

@@ -51,6 +51,34 @@ def test_moe_single_expert_equals_dense_swiglu():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_moe_gmm_backend_matches_ragged():
+    """Pallas megablox grouped-matmul backend (interpret mode off-TPU)
+    reproduces the ragged_dot backend — values AND grads."""
+    from molly_tpu.ops.moe import set_moe_gemm_impl
+
+    # MXU-friendly dims (the gmm kernel tiles at 128)
+    w = _mlp_weights(jax.random.key(8), E=2, H=128, I=128)
+    x = jax.random.normal(jax.random.key(9), (64, 128), jnp.float32)
+
+    def loss(w, x):
+        out, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                         num_experts_per_tok=2)
+        return jnp.sum(out ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(loss)(w, x)
+    set_moe_gemm_impl("gmm")
+    try:
+        gmm_l, gmm_g = jax.value_and_grad(loss)(w, x)
+    finally:
+        set_moe_gemm_impl("ragged")
+    np.testing.assert_allclose(float(gmm_l), float(ref_l), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+        ref_g, gmm_g)
+
+
 def test_moe_grads_flow_to_experts_and_router():
     w = _mlp_weights(jax.random.key(4))
     x = jax.random.normal(jax.random.key(5), (24, 16), jnp.float32)
