@@ -101,7 +101,8 @@ def qwen3_from_hf(state: Mapping[str, Any], cfg: Qwen3Config,
         # [L, E, H, I] / [L, E, I, H] for the layer scan + EP sharding
         E = cfg.num_experts
         params["layers"]["router"] = _stack(
-            state, lf + "mlp.gate.weight", L, True).astype(np.float32)
+            state, lf + "mlp.gate.weight", L, True).astype(
+                np.promote_types(np.float32, dt))  # router never below f32
 
         def experts(name, li):
             return np.stack([

@@ -53,15 +53,16 @@ def set_moe_gemm_impl(name: str) -> None:
 def _grouped_dot(lhs: jnp.ndarray, rhs: jnp.ndarray,
                  group_sizes: jnp.ndarray) -> jnp.ndarray:
     """[M, K] x [G, K, N] with per-group row counts -> [M, N] fp32."""
+    acc = jnp.promote_types(jnp.float32, lhs.dtype)  # f64 parity tests
     if _MOE_IMPL == "gmm":
         from jax.experimental.pallas.ops.tpu.megablox import gmm
         interpret = jax.devices()[0].platform != "tpu"
         # custom_vjp: positional args only (kwargs unsupported under vjp)
         return gmm(lhs, rhs, group_sizes,
-                   jnp.float32, (128, 128, 128), None, None,
+                   acc, (128, 128, 128), None, None,
                    False, interpret)
     return jax.lax.ragged_dot(lhs, rhs, group_sizes,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=acc)
 
 
 def router_topk(x: jnp.ndarray, router_w: jnp.ndarray, k: int,
@@ -71,9 +72,12 @@ def router_topk(x: jnp.ndarray, router_w: jnp.ndarray, k: int,
     """Routing: returns (weights [T, k] fp32, expert ids [T, k],
     probs [T, E] fp32, logits [T, E] fp32). Router math in fp32 — tiny
     [T, E] tensors, and top-k ties/normalization are precision-sensitive."""
-    logits = jnp.dot(x, router_w.astype(x.dtype),
-                     preferred_element_type=jnp.float32)  # [T, E]
-    probs = jax.nn.softmax(logits, axis=-1)
+    logits = jnp.dot(
+        x, router_w.astype(x.dtype),
+        preferred_element_type=jnp.promote_types(jnp.float32, x.dtype))
+    # softmax in f32 regardless of model dtype — matches HF
+    # Qwen3MoeSparseMoeBlock (F.softmax(..., dtype=torch.float))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     topw, topi = jax.lax.top_k(probs, k)
     if norm_topk_prob:
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
@@ -110,7 +114,8 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
     # weight, and sum the k choices
     inv = jnp.argsort(order)
     y = jnp.take(y, inv, axis=0).reshape(T, k, H)
-    out = jnp.sum(y * topw[..., None], axis=1).astype(x.dtype)
+    out = jnp.sum(y * topw.astype(y.dtype)[..., None],
+                  axis=1).astype(x.dtype)
 
     # Switch-Transformer load-balance loss: E * sum_e f_e * P_e where
     # f_e = fraction of routed (token, choice) pairs on expert e and
@@ -131,13 +136,16 @@ def moe_mlp_reference(x, router_w, w_gate, w_up, w_down, *,
     T, H = x.shape
     E = w_gate.shape[0]
 
+    acc = jnp.promote_types(jnp.float32, x.dtype)
+
     def one_expert(wg, wu, wd):
-        g = jnp.dot(x, wg, preferred_element_type=jnp.float32)
-        u = jnp.dot(x, wu, preferred_element_type=jnp.float32)
+        g = jnp.dot(x, wg, preferred_element_type=acc)
+        u = jnp.dot(x, wu, preferred_element_type=acc)
         h = (jax.nn.silu(g) * u).astype(x.dtype)
-        return jnp.dot(h, wd, preferred_element_type=jnp.float32)
+        return jnp.dot(h, wd, preferred_element_type=acc)
 
     ys = jax.vmap(one_expert)(w_gate, w_up, w_down)      # [E, T, H]
     onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [T, k, E]
     w_e = jnp.sum(onehot * topw[..., None], axis=1)      # [T, E]
-    return jnp.einsum("eth,te->th", ys, w_e).astype(x.dtype)
+    return jnp.einsum("eth,te->th", ys,
+                      w_e.astype(acc)).astype(x.dtype)

@@ -97,6 +97,42 @@ def test_qwen3_logit_parity_x64():
     assert diff < X64_ATOL, f"max |Δlogit| = {diff}"
 
 
+def test_qwen3_moe_logit_parity_x64():
+    """Golden-logit parity for the MoE family vs HF Qwen3MoeForCausalLM
+    (router softmax/top-k conventions, per-expert SwiGLU, combine order)."""
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    torch.manual_seed(3)
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, rope_theta=1e6,
+        tie_word_embeddings=True, attn_implementation="eager",
+        output_router_logits=False,
+    )
+    model = Qwen3MoeForCausalLM(hf_cfg).eval().to(torch.float64)
+    with enable_x64():
+        cfg = qwen3_cfg_from_hf_config(hf_cfg, dtype="float64")
+        assert cfg.num_experts == 4 and cfg.intermediate_size == 48
+        params = qwen3_from_hf(model.state_dict(), cfg, dtype="float64")
+        B, S = 2, 17
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, hf_cfg.vocab_size, (B, S))
+        mask = np.ones((B, S), dtype=np.int64)
+        mask[1, -5:] = 0
+        with torch.no_grad():
+            ref = model(torch.tensor(ids),
+                        attention_mask=torch.tensor(mask)).logits.numpy()
+        got = np.asarray(jqwen.forward_logits(
+            params, cfg, input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask)))
+    m = mask.astype(bool)
+    diff = np.abs(ref[m] - got[m]).max()
+    assert diff < X64_ATOL, f"max |Δlogit| = {diff}"
+
+
 def test_qwen3_untied_lm_head_f32():
     model, hf_cfg = _build_hf_qwen(seed=1, tie=False)
     model = model.to(torch.float32)
