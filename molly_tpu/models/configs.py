@@ -60,6 +60,13 @@ class Qwen3Config:
     # Switch-style load-balance aux-loss coefficient (HF Qwen3-MoE
     # router_aux_loss_coef default) — applied by the trainer
     router_aux_coef: float = 1e-3
+    # expert parallelism: run the sparse FFN under shard_map over the
+    # mesh "expert" axis (ops.moe.moe_mlp_expert_sharded) — expert
+    # weights stay local (never gathered), GShard-style per-device
+    # capacity buffer, one psum per layer. Requires a mesh with an
+    # expert axis; the train CLI sets this under --mesh-expert N>1.
+    expert_parallel: bool = False
+    ep_capacity_factor: float = 2.0
 
     @property
     def q_dim(self) -> int:

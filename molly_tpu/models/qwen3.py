@@ -228,12 +228,21 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
     x = rms_norm(hidden, p["post_attn_norm"], cfg.rms_norm_eps)
     moe_aux = None
     if "router" in p:  # sparse MoE FFN (dropless top-k, ops.moe)
-        from ..ops.moe import moe_mlp
-        out2d, moe_aux = moe_mlp(
-            x.reshape(B * S, H), p["router"], p["expert_gate"],
-            p["expert_up"], p["expert_down"],
-            num_experts_per_tok=cfg.num_experts_per_tok,
-            norm_topk_prob=cfg.norm_topk_prob)
+        if cfg.expert_parallel:
+            from ..ops.moe import moe_mlp_expert_sharded
+            out2d, moe_aux = moe_mlp_expert_sharded(
+                x.reshape(B * S, H), p["router"], p["expert_gate"],
+                p["expert_up"], p["expert_down"],
+                num_experts_per_tok=cfg.num_experts_per_tok,
+                norm_topk_prob=cfg.norm_topk_prob,
+                capacity_factor=cfg.ep_capacity_factor)
+        else:
+            from ..ops.moe import moe_mlp
+            out2d, moe_aux = moe_mlp(
+                x.reshape(B * S, H), p["router"], p["expert_gate"],
+                p["expert_up"], p["expert_down"],
+                num_experts_per_tok=cfg.num_experts_per_tok,
+                norm_topk_prob=cfg.norm_topk_prob)
         down = out2d.reshape(B, S, H)
     elif "gateup_proj" in p:  # fused decode weights
         gu = quant.linear(x, p["gateup_proj"])

@@ -127,6 +127,99 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
     return out, aux
 
 
+def moe_mlp_expert_sharded(
+        x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
+        w_up: jnp.ndarray, w_down: jnp.ndarray, *,
+        num_experts_per_tok: int, norm_topk_prob: bool = True,
+        capacity_factor: float = 2.0, axis_name: str = "expert",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Expert-parallel MoE MLP: weights sharded over ``axis_name``, NEVER
+    gathered (the GSPMD fallback around data-dependent dispatch gathers
+    the [E, H, I] stacks every layer, defeating EP's memory win).
+
+    shard_map plan (the expert axis goes manual; data/fsdp/tensor stay
+    with GSPMD):
+      - routing is replicated math (tiny [T, E] tensors)
+      - each device compacts the (token, choice) pairs routed to ITS
+        experts into a static per-device buffer of
+        C = ceil(T * k * capacity_factor / n_dev) rows (GShard-style
+        capacity: overflow rows are dropped, so unlike the dropless
+        single-device path this is approximate under extreme imbalance;
+        capacity_factor=2 makes drops vanishingly rare at load_balance
+        ≈ 1, and the aux loss pushes routing there)
+      - local grouped GEMMs over the C-row buffer (compute scales 1/n)
+      - one psum of the [T, H] partial outputs per layer (the only
+        collective; comm = activations, not weights)
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    n_dev = mesh.shape.get(axis_name, 1) if mesh is not None else 1
+    if n_dev <= 1:
+        return moe_mlp(x, router_w, w_gate, w_up, w_down,
+                       num_experts_per_tok=num_experts_per_tok,
+                       norm_topk_prob=norm_topk_prob)
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    T, H = x.shape
+    E = w_gate.shape[0]
+    k = num_experts_per_tok
+    assert E % n_dev == 0, (E, n_dev)
+    C = max(-(-T * k * capacity_factor // n_dev), 1)
+    C = int(min(C, T * k))
+    topw, topi, probs, logits = router_topk(x, router_w, k,
+                                            norm_topk_prob)
+    f = (jnp.bincount(topi.reshape(-1), length=E).astype(jnp.float32)
+         / (T * k))
+    aux = {"load_balance": E * jnp.sum(f * jnp.mean(probs, axis=0)),
+           "router_z": jnp.mean(jnp.square(
+               jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)))}
+
+    def local_fn(x, topw, topi, wg, wu, wd):
+        # mark the replicated operands device-varying BEFORE the
+        # data-dependent gathers: the device-local sel/tok indices make
+        # every downstream value varying, and without the explicit pcast
+        # the vma transpose silently drops the cross-device cotangent
+        # sum for topw/x (wrong router grads; values unaffected)
+        x, topw, topi = (jax.lax.pcast(v, (axis_name,), to="varying")
+                         for v in (x, topw, topi))
+        E_l = wg.shape[0]
+        e_lo = jax.lax.axis_index(axis_name) * E_l
+        flat_e = topi.reshape(T * k) - e_lo
+        flat_w = topw.reshape(T * k)
+        local = (flat_e >= 0) & (flat_e < E_l)
+        # sort: local rows grouped by expert first, non-local last
+        order = jnp.argsort(jnp.where(local, flat_e, E_l))
+        sel = order[:C]
+        tok = sel // k
+        valid = jnp.take(local, sel)
+        # per-expert counts, cumulatively truncated to the C-row buffer
+        sizes = jnp.bincount(jnp.where(local, flat_e, E_l),
+                             length=E_l + 1)[:E_l]
+        cum = jnp.minimum(jnp.cumsum(sizes), C)
+        sizes = jnp.diff(jnp.concatenate(
+            [jnp.zeros((1,), cum.dtype), cum])).astype(jnp.int32)
+        xs = jnp.take(x, tok, axis=0) * valid[:, None].astype(x.dtype)
+        g = _grouped_dot(xs, wg, sizes)
+        u = _grouped_dot(xs, wu, sizes)
+        h = (jax.nn.silu(g) * u).astype(x.dtype)
+        y = _grouped_dot(h, wd, sizes)
+        w_sel = jnp.take(flat_w, sel) * valid
+        out = jnp.zeros((T, H), y.dtype).at[tok].add(
+            y * w_sel[:, None].astype(y.dtype))
+        return jax.lax.psum(out, axis_name)
+
+    fn = jax.shard_map(
+        local_fn,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name),
+                  P(axis_name)),
+        out_specs=P(),
+        axis_names=frozenset({axis_name}),
+    )
+    out = fn(x, topw, topi, w_gate, w_up, w_down)
+    return out.astype(x.dtype), aux
+
+
 def moe_mlp_reference(x, router_w, w_gate, w_up, w_down, *,
                       num_experts_per_tok, norm_topk_prob=True):
     """Naive dense reference (every expert on every token, masked

