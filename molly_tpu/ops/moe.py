@@ -154,9 +154,12 @@ def moe_mlp_expert_sharded(
     mesh = jax.sharding.get_abstract_mesh()
     n_dev = mesh.shape.get(axis_name, 1) if mesh is not None else 1
     if n_dev <= 1:
-        return moe_mlp(x, router_w, w_gate, w_up, w_down,
-                       num_experts_per_tok=num_experts_per_tok,
-                       norm_topk_prob=norm_topk_prob)
+        out, aux = moe_mlp(x, router_w, w_gate, w_up, w_down,
+                           num_experts_per_tok=num_experts_per_tok,
+                           norm_topk_prob=norm_topk_prob)
+        # keep the aux pytree identical to the sharded path (the layer
+        # scan and the trainer's accum carry need consistent keys)
+        return out, {**aux, "ep_dropped_frac": jnp.zeros((), jnp.float32)}
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
@@ -194,9 +197,9 @@ def moe_mlp_expert_sharded(
         tok = sel // k
         valid = jnp.take(local, sel)
         # per-expert counts, cumulatively truncated to the C-row buffer
-        sizes = jnp.bincount(jnp.where(local, flat_e, E_l),
-                             length=E_l + 1)[:E_l]
-        cum = jnp.minimum(jnp.cumsum(sizes), C)
+        sizes0 = jnp.bincount(jnp.where(local, flat_e, E_l),
+                              length=E_l + 1)[:E_l]
+        cum = jnp.minimum(jnp.cumsum(sizes0), C)
         sizes = jnp.diff(jnp.concatenate(
             [jnp.zeros((1,), cum.dtype), cum])).astype(jnp.int32)
         xs = jnp.take(x, tok, axis=0) * valid[:, None].astype(x.dtype)
@@ -207,16 +210,21 @@ def moe_mlp_expert_sharded(
         w_sel = jnp.take(flat_w, sel) * valid
         out = jnp.zeros((T, H), y.dtype).at[tok].add(
             y * w_sel[:, None].astype(y.dtype))
-        return jax.lax.psum(out, axis_name)
+        # capacity-overflow observability: (token, choice) pairs that
+        # did not fit this device's C-row buffer lose their contribution
+        dropped = jnp.sum(sizes0) - cum[-1]
+        return (jax.lax.psum(out, axis_name),
+                jax.lax.psum(dropped, axis_name))
 
     fn = jax.shard_map(
         local_fn,
         in_specs=(P(), P(), P(), P(axis_name), P(axis_name),
                   P(axis_name)),
-        out_specs=P(),
+        out_specs=(P(), P()),
         axis_names=frozenset({axis_name}),
     )
-    out = fn(x, topw, topi, w_gate, w_up, w_down)
+    out, dropped = fn(x, topw, topi, w_gate, w_up, w_down)
+    aux["ep_dropped_frac"] = dropped.astype(jnp.float32) / (T * k)
     return out.astype(x.dtype), aux
 
 

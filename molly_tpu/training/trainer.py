@@ -273,6 +273,9 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 lb = aux_out["moe_aux"]["load_balance"]
                 loss = loss + text_cfg.router_aux_coef * lb
                 metrics = {**metrics, "moe_load_balance": lb}
+                if "ep_dropped_frac" in aux_out["moe_aux"]:
+                    metrics["moe_ep_dropped_frac"] = (
+                        aux_out["moe_aux"]["ep_dropped_frac"])
             return loss, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -309,6 +312,8 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 "loss": jnp.zeros(()), "tokens": jnp.zeros((), jnp.int32)}
             if model_cfg.text.num_experts and not train_cfg.pp_micro:
                 zero_m["moe_load_balance"] = jnp.zeros(())
+                if model_cfg.text.expert_parallel:
+                    zero_m["moe_ep_dropped_frac"] = jnp.zeros(())
             if "task_label" in batch:
                 from ..data.omics_dataset import NUM_DOMAIN_TASKS
                 zero_m["domain_loss_sum"] = jnp.zeros(NUM_DOMAIN_TASKS + 1)
@@ -317,9 +322,9 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 micro_step, (zero_g, zero_m, 0), micro)
             grads = jax.tree.map(lambda g: g / accum, grads)
             metrics = {**metrics, "loss": metrics["loss"] / accum}
-            if "moe_load_balance" in metrics:
-                metrics["moe_load_balance"] = (
-                    metrics["moe_load_balance"] / accum)
+            for mk in ("moe_load_balance", "moe_ep_dropped_frac"):
+                if mk in metrics:
+                    metrics[mk] = metrics[mk] / accum
         else:
             (_, metrics), grads = grad_fn(train_leaves, batch, rng)
 
