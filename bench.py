@@ -47,6 +47,15 @@ def a100_range(base: float):
     return [round(base * A100_RANGE_FRAC[0]), round(base * A100_RANGE_FRAC[1])]
 
 
+def smoke_dtype():
+    """bf16 on accelerators, f32 on CPU: the MXU-native dot dtype policy
+    (bf16 x bf16 -> f32, models/qwen3.py) is what --smoke exercises, but
+    XLA:CPU's thunk runtime has no BF16xBF16=F32 DotThunk and dies with
+    UNIMPLEMENTED — smoke mode exists precisely for CPU plumbing tests."""
+    import jax
+    return "float32" if jax.default_backend() == "cpu" else "bfloat16"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -146,7 +155,7 @@ def main():
         _generate_from_embeds
 
     if args.smoke:
-        cfg = tiny_qwen3(num_hidden_layers=2, dtype="bfloat16")
+        cfg = tiny_qwen3(num_hidden_layers=2, dtype=smoke_dtype())
         B, S, T = 2, 16, 8
     else:
         cfg = QWEN3_PRESETS[args.preset]
@@ -155,7 +164,15 @@ def main():
     if args.int8:
         # build int8 params directly (quantizing a materialized bf16 8B
         # would OOM the chip first; values don't affect throughput)
-        params = _random_int8_params(cfg)
+        if cfg.num_experts:
+            # MoE presets fit in bf16 (experts stay bf16 in the int8
+            # scheme anyway); quantize the attention/head weights from a
+            # real init instead of the big-dense _random_int8_params
+            # shortcut
+            params = qwen3.quantize_for_decode(
+                qwen3.init_params(cfg, jax.random.key(0)), cfg)
+        else:
+            params = _random_int8_params(cfg)
     else:
         params = qwen3.init_params(cfg, jax.random.key(0))
         if not args.smoke:
@@ -186,18 +203,25 @@ def main():
 
     toks_per_s = (B * T) / dt
     base = A100_BASELINES.get(args.preset, 500.0)
+    if cfg.num_experts:
+        # MoE presets have no reference analogue (the reference is
+        # dense-only); report raw throughput with no baseline claim
+        base = 0.0
     print(json.dumps({
         "metric": f"{args.preset} decode throughput (1 chip, "
-                  f"{'int8' if args.int8 else 'bf16'}, "
-                  f"batch {B}, prompt {S}, gen {T}; baseline = "
-                  f"ESTIMATED reference stack on A100 {base:.0f} tok/s, "
-                  f"unmeasured, see benchmarks/README.md)"
+                  f"{'int8-attn' if args.int8 and cfg.num_experts else 'int8' if args.int8 else 'bf16'}, "
+                  f"batch {B}, prompt {S}, gen {T}; "
+                  + ("MoE: no reference baseline (dense-only reference)"
+                     if cfg.num_experts else
+                     f"baseline = ESTIMATED reference stack on A100 "
+                     f"{base:.0f} tok/s, unmeasured, see "
+                     f"benchmarks/README.md") + ")"
                   if not args.smoke else "smoke decode throughput",
         "value": round(toks_per_s, 1),
         "unit": "tokens/sec/chip",
-        "vs_baseline": round(toks_per_s / base, 3),
+        "vs_baseline": round(toks_per_s / base, 3) if base else 0.0,
         # uncertainty of the ESTIMATED denominator rides with the artifact
-        "baseline_range": a100_range(base),
+        "baseline_range": a100_range(base) if base else None,
     }))
 
 
@@ -281,7 +305,7 @@ def bench_spec(args):
     from molly_tpu.inference.speculative import generate_speculative
 
     if args.smoke:
-        cfg = tiny_qwen3(num_hidden_layers=2, dtype="bfloat16")
+        cfg = tiny_qwen3(num_hidden_layers=2, dtype=smoke_dtype())
         P, T, k = 16, 8, 2
     else:
         cfg = QWEN3_PRESETS[args.preset]
@@ -366,7 +390,7 @@ def bench_serve(args):
     # the identical workload
     n_req = args.n_req or (8 if args.smoke else 4 * n_slots)
     if args.smoke:
-        tcfg = tiny_qwen3(num_hidden_layers=2, dtype="bfloat16")
+        tcfg = tiny_qwen3(num_hidden_layers=2, dtype=smoke_dtype())
         prompt, max_len, buckets = 16, 64, (16,)
     else:
         tcfg = QWEN3_PRESETS[args.preset]
@@ -744,7 +768,8 @@ def bench_ttft(args):
     from molly_tpu.models import QWEN3_PRESETS, qwen3, tiny_qwen3
     from molly_tpu.inference.engine import GenerationConfig,         _generate_from_embeds
 
-    cfg = tiny_qwen3(dtype="bfloat16") if args.smoke else         QWEN3_PRESETS["qwen3-1.7b"]
+    cfg = tiny_qwen3(dtype=smoke_dtype()) if args.smoke else \
+        QWEN3_PRESETS["qwen3-1.7b"]
     B, S = (2, 16) if args.smoke else (args.batch, args.prompt_len)
     params = qwen3.init_params(cfg, jax.random.key(0))
     rng = np.random.default_rng(0)

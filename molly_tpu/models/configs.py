@@ -131,6 +131,15 @@ QWEN3_PRESETS = {
                                  num_key_value_heads=4,
                                  tie_word_embeddings=False,
                                  num_experts=128, num_experts_per_tok=8),
+    # synthetic single-chip MoE perf config (NOT a published checkpoint):
+    # ~4.2B total / ~1.8B active params, ~8.5 GB bf16 — sized so the MoE
+    # decode/train paths are measurable on one 16 GB v5e chip
+    "qwen3-moe-mini": Qwen3Config(hidden_size=2048, intermediate_size=768,
+                                  num_hidden_layers=24,
+                                  num_attention_heads=16,
+                                  num_key_value_heads=8,
+                                  tie_word_embeddings=True,
+                                  num_experts=32, num_experts_per_tok=8),
 }
 
 ESM_PRESETS = {
