@@ -79,6 +79,10 @@ def main():
                          "other modes")
     ap.add_argument("--preset", default="qwen3-1.7b",
                     help="decoder preset (e.g. qwen3-8b with --int8)")
+    ap.add_argument("--int8-experts", action="store_true",
+                    help="MoE presets with --int8: also quantize the "
+                         "expert stacks (ops.moe.quantize_experts) — "
+                         "experts are ~all of a MoE's weight bytes")
     ap.add_argument("--train-batch", type=int, default=4,
                     help="--mode train micro-batch size")
     ap.add_argument("--remat", default="full",
@@ -165,12 +169,13 @@ def main():
         # build int8 params directly (quantizing a materialized bf16 8B
         # would OOM the chip first; values don't affect throughput)
         if cfg.num_experts:
-            # MoE presets fit in bf16 (experts stay bf16 in the int8
-            # scheme anyway); quantize the attention/head weights from a
-            # real init instead of the big-dense _random_int8_params
-            # shortcut
+            # MoE presets fit in bf16; quantize from a real init instead
+            # of the big-dense _random_int8_params shortcut. Default is
+            # attention/head-only int8; --int8-experts also quantizes
+            # the expert stacks (~all of a MoE's weight bytes).
             params = qwen3.quantize_for_decode(
-                qwen3.init_params(cfg, jax.random.key(0)), cfg)
+                qwen3.init_params(cfg, jax.random.key(0)), cfg,
+                moe_experts=args.int8_experts)
         else:
             params = _random_int8_params(cfg)
     else:
@@ -209,7 +214,7 @@ def main():
         base = 0.0
     print(json.dumps({
         "metric": f"{args.preset} decode throughput (1 chip, "
-                  f"{'int8-attn' if args.int8 and cfg.num_experts else 'int8' if args.int8 else 'bf16'}, "
+                  f"{('int8' if args.int8_experts else 'int8-attn') if args.int8 and cfg.num_experts else 'int8' if args.int8 else 'bf16'}, "
                   f"batch {B}, prompt {S}, gen {T}; "
                   + ("MoE: no reference baseline (dense-only reference)"
                      if cfg.num_experts else

@@ -423,14 +423,24 @@ def fuse_for_decode(params: Params, cfg: Qwen3Config) -> Params:
 
 
 def quantize_for_decode(params: Params, cfg: Qwen3Config,
-                        fuse: bool = True) -> Params:
+                        fuse: bool = True,
+                        moe_experts: bool = False) -> Params:
     """Int8-quantize the layer linears + lm head for serving (weight-only,
     per-output-channel). Embedding stays bf16 (gather reads are tiny).
     fuse=True additionally merges q/k/v and gate/up into single matmuls
-    (fewer ops per decode step)."""
+    (fewer ops per decode step). moe_experts=True also quantizes the
+    stacked expert weights (ops.moe.quantize_experts) — experts are ~all
+    of a MoE's weight bytes, so this is where the MoE bandwidth win
+    lives; the router stays fp32 (tiny, and top-k is precision-
+    sensitive)."""
     new_layers = dict(params["layers"])
-    moe = "router" in new_layers  # experts stay bf16 (the int8 path is
-    # per-matmul; a quantized ragged-dot is a future seam — ops/moe.py)
+    moe = "router" in new_layers
+    if moe and moe_experts:
+        from ..ops.moe import quantize_experts
+        for name in ("expert_gate", "expert_up", "expert_down"):
+            # leading axis is the stacked layer dim: [L, E, K, N]
+            new_layers[name] = jax.vmap(quantize_experts)(
+                params["layers"][name])
     if fuse:
         lp = params["layers"]
         qkv = jnp.concatenate([lp["q_proj"], lp["k_proj"], lp["v_proj"]],

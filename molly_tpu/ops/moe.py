@@ -50,9 +50,35 @@ def set_moe_gemm_impl(name: str) -> None:
     _MOE_IMPL = name
 
 
-def _grouped_dot(lhs: jnp.ndarray, rhs: jnp.ndarray,
-                 group_sizes: jnp.ndarray) -> jnp.ndarray:
-    """[M, K] x [G, K, N] with per-group row counts -> [M, N] fp32."""
+def quantize_experts(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Stacked expert weights [E, K, N] -> int8 + per-(expert, out-col)
+    fp32 scales — the ops.quant weight-only scheme, stacked. Decode is
+    weight-bandwidth-bound and experts are ~all of a MoE's bytes
+    (qwen3-moe-mini: 3.6B of 4.2B params), so halving expert HBM traffic
+    is the whole int8 win for MoE serving."""
+    from .quant import quantize_int8
+    return jax.vmap(quantize_int8)(w)
+
+
+def _n_experts(w) -> int:
+    return (w["w_q"] if isinstance(w, dict) else w).shape[0]
+
+
+def _grouped_dot(lhs: jnp.ndarray, rhs, group_sizes: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """[M, K] x [G, K, N] with per-group row counts -> [M, N] fp32.
+
+    rhs may be a quantize_experts dict: the int8->storage-dtype convert
+    rides the dot's operand load (same XLA-fusion bet the dense int8
+    decode path measured and won, ops/quant.py:74-83), and the
+    per-(expert, out-col) scale is applied to the fp32 product rows via
+    the row->group map (scale factors out of the contraction exactly)."""
+    if isinstance(rhs, dict):
+        w_q, scale = rhs["w_q"], rhs["scale"]
+        y = _grouped_dot(lhs, w_q.astype(lhs.dtype), group_sizes)
+        eid = jnp.repeat(jnp.arange(w_q.shape[0]), group_sizes,
+                         total_repeat_length=lhs.shape[0])
+        return y * jnp.take(scale, eid, axis=0).astype(y.dtype)
     acc = jnp.promote_types(jnp.float32, lhs.dtype)  # f64 parity tests
     if _MOE_IMPL == "gmm":
         from jax.experimental.pallas.ops.tpu.megablox import gmm
@@ -92,10 +118,11 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
     w_down [E, I, H] -> (out [T, H] in x.dtype, aux-loss dict).
 
     Operands stay in storage dtype for the grouped GEMMs (bf16 MXU rate)
-    with fp32 accumulation, same convention as ops.lce._mm.
+    with fp32 accumulation, same convention as ops.lce._mm. w_gate/w_up/
+    w_down may be quantize_experts dicts (int8 serving path).
     """
     T, H = x.shape
-    E = w_gate.shape[0]
+    E = _n_experts(w_gate)
     k = num_experts_per_tok
     topw, topi, probs, logits = router_topk(x, router_w, k, norm_topk_prob)
 
@@ -165,7 +192,7 @@ def moe_mlp_expert_sharded(
     from jax.sharding import PartitionSpec as P
 
     T, H = x.shape
-    E = w_gate.shape[0]
+    E = _n_experts(w_gate)
     k = num_experts_per_tok
     assert E % n_dev == 0, (E, n_dev)
     C = max(-(-T * k * capacity_factor // n_dev), 1)
@@ -186,7 +213,7 @@ def moe_mlp_expert_sharded(
         # sum for topw/x (wrong router grads; values unaffected)
         x, topw, topi = (jax.lax.pcast(v, (axis_name,), to="varying")
                          for v in (x, topw, topi))
-        E_l = wg.shape[0]
+        E_l = _n_experts(wg)
         e_lo = jax.lax.axis_index(axis_name) * E_l
         flat_e = topi.reshape(T * k) - e_lo
         flat_w = topw.reshape(T * k)

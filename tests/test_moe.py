@@ -375,3 +375,88 @@ def test_moe_hf_import_export_roundtrip():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6),
         params, back)
+
+
+def test_moe_int8_experts_matches_explicit_dequant():
+    """Quantized grouped dot (scale applied to the fp32 product rows via
+    the row->expert map) == moe_mlp on explicitly dequantized weights —
+    the per-out-column scale factors out of the contraction exactly."""
+    from molly_tpu.ops.moe import quantize_experts
+
+    w = _mlp_weights(jax.random.key(20), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(21), (24, 16), jnp.float32)
+    q = {name: quantize_experts(w[name]) for name in ("gate", "up", "down")}
+    out_q, aux_q = moe_mlp(x, w["router"], q["gate"], q["up"], q["down"],
+                           num_experts_per_tok=2)
+    deq = {name: (q[name]["w_q"].astype(jnp.float32)
+                  * q[name]["scale"][:, None, :]) for name in q}
+    out_d, aux_d = moe_mlp(x, w["router"], deq["gate"], deq["up"],
+                           deq["down"], num_experts_per_tok=2)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-6)
+    # routing is quantization-independent (router stays fp32)
+    np.testing.assert_allclose(float(aux_q["load_balance"]),
+                               float(aux_d["load_balance"]), rtol=1e-6)
+
+
+def test_moe_int8_experts_quality():
+    """Per-channel int8 expert noise stays small vs the fp32 experts."""
+    from molly_tpu.ops.moe import quantize_experts
+
+    w = _mlp_weights(jax.random.key(22), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(23), (32, 16), jnp.float32)
+    ref, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                     num_experts_per_tok=2)
+    q = {name: quantize_experts(w[name]) for name in ("gate", "up", "down")}
+    got, _ = moe_mlp(x, w["router"], q["gate"], q["up"], q["down"],
+                     num_experts_per_tok=2)
+    ref, got = np.asarray(ref), np.asarray(got)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_moe_expert_sharded_int8_matches_dropless_int8():
+    """EP shard_map path accepts quantized expert stacks (both leaves
+    shard over the expert axis) and matches the dropless quantized path."""
+    from molly_tpu.ops.moe import moe_mlp_expert_sharded, quantize_experts
+    from molly_tpu.parallel import make_mesh
+
+    w = _mlp_weights(jax.random.key(24), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(25), (32, 16), jnp.float32)
+    q = {name: quantize_experts(w[name]) for name in ("gate", "up", "down")}
+    ref, _ = moe_mlp(x, w["router"], q["gate"], q["up"], q["down"],
+                     num_experts_per_tok=2)
+    mesh = make_mesh(data=1, fsdp=4, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        got, aux = jax.jit(lambda x: moe_mlp_expert_sharded(
+            x, w["router"], q["gate"], q["up"], q["down"],
+            num_experts_per_tok=2, capacity_factor=4.0))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert float(aux["ep_dropped_frac"]) == 0.0
+
+
+def test_moe_decode_int8_experts_cache_consistent():
+    """quantize_for_decode(moe_experts=True) quantizes the expert stacks
+    and the cached decode still matches the no-cache forward exactly."""
+    cfg = tiny_moe()
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    qp = qwen3.quantize_for_decode(params, cfg, moe_experts=True)
+    assert "w_q" in qp["layers"]["expert_gate"]
+    assert qp["layers"]["expert_gate"]["w_q"].dtype == jnp.int8
+    # stacked dims survive: [L, E, K, N] / [L, E, N]
+    assert qp["layers"]["expert_down"]["w_q"].ndim == 4
+    assert qp["layers"]["expert_down"]["scale"].ndim == 3
+
+    B, S = 2, 10
+    ids = jax.random.randint(jax.random.key(1), (B, S), 0, cfg.vocab_size)
+    logits_full = qwen3.forward_logits(qp, cfg, input_ids=ids)
+    cache = qwen3.init_cache(cfg, B, S)
+    hidden, cache = qwen3.forward_hidden(qp, cfg, input_ids=ids[:, :-1],
+                                         cache=cache, cache_index=0)
+    hidden, _ = qwen3.forward_hidden(qp, cfg, input_ids=ids[:, -1:],
+                                     cache=cache, cache_index=S - 1)
+    last = qwen3.logits_from_hidden(qp, cfg, hidden)
+    np.testing.assert_allclose(np.asarray(last[:, 0]),
+                               np.asarray(logits_full[:, -1]),
+                               rtol=2e-4, atol=2e-4)
