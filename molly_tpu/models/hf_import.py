@@ -296,6 +296,23 @@ def peft_lora_from_hf(state: Mapping[str, Any], cfg: Qwen3Config,
             "a": _stack(state, a_fmt, L, transpose=True).astype(dtype),
             "b": _stack(state, b_fmt, L, transpose=True).astype(dtype),
         }
+    if cfg.num_experts:
+        # PEFT on HF Qwen3Moe adapts every expert's gate/up/down Linear:
+        # mlp.experts.{j}.{target}.lora_A — stack [L, E, in, r]/[L, E, r, out]
+        for hf_t, ours in (("gate_proj", "expert_gate"),
+                           ("up_proj", "expert_up"),
+                           ("down_proj", "expert_down")):
+            fmt = (prefix + "layers.{i}.mlp.experts.{j}." + hf_t
+                   + ".lora_{ab}.weight")
+            if fmt.format(i=0, j=0, ab="A") not in state:
+                continue
+            def stack_e(ab):
+                return np.stack([
+                    np.stack([_np(state[fmt.format(i=i, j=j, ab=ab)]).T
+                              for j in range(cfg.num_experts)])
+                    for i in range(L)])
+            layers[ours] = {"a": stack_e("A").astype(dtype),
+                            "b": stack_e("B").astype(dtype)}
     if not layers:
         raise KeyError("no recognized LoRA targets in adapter state dict")
     return _to_jnp({"layers": layers})

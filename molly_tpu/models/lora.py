@@ -24,6 +24,12 @@ from .configs import Qwen3Config
 
 LORA_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
                 "gate_proj", "up_proj", "down_proj")
+# MoE expert stacks: adapters are stacked per expert ([L, E, d_in, r] /
+# [L, E, r, d_out]) and applied as grouped low-rank bypasses inside the
+# sparse dispatch (ops.moe) — the PEFT-on-HF-Qwen3Moe equivalent, where
+# every expert's gate/up/down is an nn.Linear the reference recipe's
+# all-Linear discovery would adapt (tools.py:352-377).
+EXPERT_TARGETS = ("expert_gate", "expert_up", "expert_down")
 
 
 @dataclass(frozen=True)
@@ -48,6 +54,9 @@ def target_dims(cfg: Qwen3Config) -> Dict[str, tuple]:
         "gate_proj": (H, I),
         "up_proj": (H, I),
         "down_proj": (I, H),
+        "expert_gate": (H, I),
+        "expert_up": (H, I),
+        "expert_down": (I, H),
     }
 
 
@@ -57,19 +66,25 @@ def init_lora(cfg: Qwen3Config, lora_cfg: LoraConfig,
     dims = target_dims(cfg)
     targets = lora_cfg.targets
     if cfg.num_experts:
-        # MoE layers have no dense gate/up/down Linears; adapt attention
-        # projections only (expert-weight LoRA is a future seam)
+        # MoE layers have no dense gate/up/down Linears; the MLP targets
+        # map onto the per-expert stacks instead (all-Linear discovery)
         targets = tuple(t for t in targets
                         if t in ("q_proj", "k_proj", "v_proj", "o_proj"))
+        targets += tuple(t for t in EXPERT_TARGETS
+                         if t in lora_cfg.targets
+                         or t.replace("expert_", "") + "_proj"
+                         in lora_cfg.targets)
     L, r = cfg.num_hidden_layers, lora_cfg.r
     keys = jax.random.split(key, len(targets))
     layers = {}
     for k, name in zip(keys, targets):
         d_in, d_out = dims[name]
+        lead = ((L, cfg.num_experts) if name in EXPERT_TARGETS
+                else (L,))
         layers[name] = {
-            "a": (jax.random.normal(k, (L, d_in, r), jnp.float32)
+            "a": (jax.random.normal(k, (*lead, d_in, r), jnp.float32)
                   / r).astype(dtype),
-            "b": jnp.zeros((L, r, d_out), dtype),
+            "b": jnp.zeros((*lead, r, d_out), dtype),
         }
     return {"layers": layers}
 
@@ -97,7 +112,9 @@ def merge_lora(params: Dict[str, Any], lora: Dict[str, Any],
     out = jax.tree.map(lambda x: x, params)  # shallow copy
     new_layers = dict(out["layers"])
     for name, ab in lora["layers"].items():
-        delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32),
+        eq = ("leir,lero->leio" if ab["a"].ndim == 4  # expert stacks
+              else "lir,lro->lio")
+        delta = jnp.einsum(eq, ab["a"].astype(jnp.float32),
                            ab["b"].astype(jnp.float32)) * lora_cfg.scale
         new_layers[name] = (new_layers[name].astype(jnp.float32)
                            + delta).astype(new_layers[name].dtype)

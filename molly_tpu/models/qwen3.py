@@ -228,6 +228,13 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
     x = rms_norm(hidden, p["post_attn_norm"], cfg.rms_norm_eps)
     moe_aux = None
     if "router" in p:  # sparse MoE FFN (dropless top-k, ops.moe)
+        moe_lora = None
+        if lora_layer is not None:
+            moe_lora = {k: lora_layer[k]
+                        for k in ("expert_gate", "expert_up", "expert_down")
+                        if k in lora_layer} or None
+        lkw = dict(lora=moe_lora, lora_scale=lora_scale,
+                   lora_dropout=lora_dropout, dropout_rng=dropout_rng)
         if cfg.expert_parallel:
             from ..ops.moe import moe_mlp_expert_sharded
             out2d, moe_aux = moe_mlp_expert_sharded(
@@ -235,14 +242,14 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
                 p["expert_up"], p["expert_down"],
                 num_experts_per_tok=cfg.num_experts_per_tok,
                 norm_topk_prob=cfg.norm_topk_prob,
-                capacity_factor=cfg.ep_capacity_factor)
+                capacity_factor=cfg.ep_capacity_factor, **lkw)
         else:
             from ..ops.moe import moe_mlp
             out2d, moe_aux = moe_mlp(
                 x.reshape(B * S, H), p["router"], p["expert_gate"],
                 p["expert_up"], p["expert_down"],
                 num_experts_per_tok=cfg.num_experts_per_tok,
-                norm_topk_prob=cfg.norm_topk_prob)
+                norm_topk_prob=cfg.norm_topk_prob, **lkw)
         down = out2d.reshape(B, S, H)
     elif "gateup_proj" in p:  # fused decode weights
         gu = quant.linear(x, p["gateup_proj"])

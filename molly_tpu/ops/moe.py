@@ -110,16 +110,35 @@ def router_topk(x: jnp.ndarray, router_w: jnp.ndarray, k: int,
     return topw, topi, probs, logits
 
 
+def _lora_grouped(xs: jnp.ndarray, ab, group_sizes: jnp.ndarray,
+                  scale: float, dropout_rate: float = 0.0,
+                  dropout_rng=None) -> jnp.ndarray:
+    """Grouped low-rank bypass: scale * (drop(xs) @ a_e) @ b_e with each
+    row's own expert's adapter — two more ragged dots over the SAME
+    groups as the base GEMM (models.lora, expert-stacked adapters)."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    xs.shape)
+        xs = jnp.where(keep, xs / (1.0 - dropout_rate), 0.0).astype(xs.dtype)
+    t = _grouped_dot(xs, ab["a"], group_sizes)        # [M, r] fp32
+    return scale * _grouped_dot(t.astype(xs.dtype), ab["b"], group_sizes)
+
+
 def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
             w_up: jnp.ndarray, w_down: jnp.ndarray, *,
             num_experts_per_tok: int, norm_topk_prob: bool = True,
+            lora: Dict[str, Dict[str, jnp.ndarray]] | None = None,
+            lora_scale: float = 1.0, lora_dropout: float = 0.0,
+            dropout_rng=None,
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sparse SwiGLU FFN. x [T, H]; router_w [H, E]; w_gate/w_up [E, H, I];
     w_down [E, I, H] -> (out [T, H] in x.dtype, aux-loss dict).
 
     Operands stay in storage dtype for the grouped GEMMs (bf16 MXU rate)
     with fp32 accumulation, same convention as ops.lce._mm. w_gate/w_up/
-    w_down may be quantize_experts dicts (int8 serving path).
+    w_down may be quantize_experts dicts (int8 serving path). lora is an
+    optional {"expert_gate"/"expert_up"/"expert_down": {"a" [E, d, r],
+    "b" [E, r, d]}} adapter dict (models.lora expert targets).
     """
     T, H = x.shape
     E = _n_experts(w_gate)
@@ -132,10 +151,20 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
     xs = jnp.take(x, tok, axis=0)              # [T*k, H] gathered operands
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
-    g = _grouped_dot(xs, w_gate, group_sizes)  # [T*k, I] fp32
-    u = _grouped_dot(xs, w_up, group_sizes)
+    lora = lora or {}
+
+    def bypass(base, inp, name):
+        if name not in lora:
+            return base
+        return base + _lora_grouped(inp, lora[name], group_sizes,
+                                    lora_scale, lora_dropout, dropout_rng)
+
+    g = bypass(_grouped_dot(xs, w_gate, group_sizes), xs,
+               "expert_gate")                  # [T*k, I] fp32
+    u = bypass(_grouped_dot(xs, w_up, group_sizes), xs, "expert_up")
     h = (jax.nn.silu(g) * u).astype(x.dtype)
-    y = _grouped_dot(h, w_down, group_sizes)   # [T*k, H] fp32
+    y = bypass(_grouped_dot(h, w_down, group_sizes), h,
+               "expert_down")                  # [T*k, H] fp32
 
     # combine: inverse permutation (gather) back to (token, choice) order,
     # weight, and sum the k choices
@@ -159,6 +188,9 @@ def moe_mlp_expert_sharded(
         w_up: jnp.ndarray, w_down: jnp.ndarray, *,
         num_experts_per_tok: int, norm_topk_prob: bool = True,
         capacity_factor: float = 2.0, axis_name: str = "expert",
+        lora: Dict[str, Dict[str, jnp.ndarray]] | None = None,
+        lora_scale: float = 1.0, lora_dropout: float = 0.0,
+        dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Expert-parallel MoE MLP: weights sharded over ``axis_name``, NEVER
     gathered (the GSPMD fallback around data-dependent dispatch gathers
@@ -183,7 +215,10 @@ def moe_mlp_expert_sharded(
     if n_dev <= 1:
         out, aux = moe_mlp(x, router_w, w_gate, w_up, w_down,
                            num_experts_per_tok=num_experts_per_tok,
-                           norm_topk_prob=norm_topk_prob)
+                           norm_topk_prob=norm_topk_prob, lora=lora,
+                           lora_scale=lora_scale,
+                           lora_dropout=lora_dropout,
+                           dropout_rng=dropout_rng)
         # keep the aux pytree identical to the sharded path (the layer
         # scan and the trainer's accum carry need consistent keys)
         return out, {**aux, "ep_dropped_frac": jnp.zeros((), jnp.float32)}
@@ -205,7 +240,12 @@ def moe_mlp_expert_sharded(
            "router_z": jnp.mean(jnp.square(
                jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)))}
 
-    def local_fn(x, topw, topi, wg, wu, wd):
+    lora = lora or {}
+    # fixed arg order for the shard_map positional signature
+    lora_keys = tuple(sorted(lora))
+    lora_vals = tuple(lora[k] for k in lora_keys)
+
+    def local_fn(x, topw, topi, wg, wu, wd, *lvals):
         # mark the replicated operands device-varying BEFORE the
         # data-dependent gathers: the device-local sel/tok indices make
         # every downstream value varying, and without the explicit pcast
@@ -230,10 +270,18 @@ def moe_mlp_expert_sharded(
         sizes = jnp.diff(jnp.concatenate(
             [jnp.zeros((1,), cum.dtype), cum])).astype(jnp.int32)
         xs = jnp.take(x, tok, axis=0) * valid[:, None].astype(x.dtype)
-        g = _grouped_dot(xs, wg, sizes)
-        u = _grouped_dot(xs, wu, sizes)
+        ll = dict(zip(lora_keys, lvals))
+
+        def bypass(base, inp, name):
+            if name not in ll:
+                return base
+            return base + _lora_grouped(inp, ll[name], sizes, lora_scale,
+                                        lora_dropout, dropout_rng)
+
+        g = bypass(_grouped_dot(xs, wg, sizes), xs, "expert_gate")
+        u = bypass(_grouped_dot(xs, wu, sizes), xs, "expert_up")
         h = (jax.nn.silu(g) * u).astype(x.dtype)
-        y = _grouped_dot(h, wd, sizes)
+        y = bypass(_grouped_dot(h, wd, sizes), h, "expert_down")
         w_sel = jnp.take(flat_w, sel) * valid
         out = jnp.zeros((T, H), y.dtype).at[tok].add(
             y * w_sel[:, None].astype(y.dtype))
@@ -246,11 +294,11 @@ def moe_mlp_expert_sharded(
     fn = jax.shard_map(
         local_fn,
         in_specs=(P(), P(), P(), P(axis_name), P(axis_name),
-                  P(axis_name)),
+                  P(axis_name)) + (P(axis_name),) * len(lora_vals),
         out_specs=(P(), P()),
         axis_names=frozenset({axis_name}),
     )
-    out, dropped = fn(x, topw, topi, w_gate, w_up, w_down)
+    out, dropped = fn(x, topw, topi, w_gate, w_up, w_down, *lora_vals)
     aux["ep_dropped_frac"] = dropped.astype(jnp.float32) / (T * k)
     return out.astype(x.dtype), aux
 

@@ -86,7 +86,11 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"(dna_rna|protein)/", P()),  # biases, layernorms
     # --- projectors (tiny) ---
     (r"(dna_rna|protein)_projector/", P()),
-    # --- LoRA adapters: factor A input-sharded, B output-sharded ---
+    # --- LoRA adapters: factor A input-sharded, B output-sharded;
+    #     expert-stacked adapters [L, E, ...] ride the expert axis like
+    #     their base weights ---
+    (r"lora/.*expert_[a-z]+/(a)$", P(None, EXPERT_AXIS, FSDP_AXIS, None)),
+    (r"lora/.*expert_[a-z]+/(b)$", P(None, EXPERT_AXIS, None, TENSOR_AXIS)),
     (r"lora/.*/(a)$", P(None, FSDP_AXIS, None)),
     (r"lora/.*/(b)$", P(None, None, TENSOR_AXIS)),
 )

@@ -460,3 +460,159 @@ def test_moe_decode_int8_experts_cache_consistent():
     np.testing.assert_allclose(np.asarray(last[:, 0]),
                                np.asarray(logits_full[:, -1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_moe_expert_lora_matches_merged():
+    """Grouped low-rank bypass inside the sparse dispatch == running the
+    base moe_mlp on merge_lora-style folded expert weights."""
+    from molly_tpu.ops.moe import quantize_experts  # noqa: F401 (adjacent)
+
+    w = _mlp_weights(jax.random.key(30), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(31), (24, 16), jnp.float32)
+    r, scale = 4, 1.5
+    ks = jax.random.split(jax.random.key(32), 6)
+    lora = {}
+    for n, (d_in, d_out), ka, kb in (
+            ("expert_gate", (16, 32), ks[0], ks[1]),
+            ("expert_up", (16, 32), ks[2], ks[3]),
+            ("expert_down", (32, 16), ks[4], ks[5])):
+        lora[n] = {"a": jax.random.normal(ka, (4, d_in, r)) / r,
+                   "b": 0.1 * jax.random.normal(kb, (4, r, d_out))}
+    out, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                     num_experts_per_tok=2, lora=lora, lora_scale=scale)
+    merged = {
+        "gate": w["gate"] + scale * jnp.einsum(
+            "eir,ero->eio", lora["expert_gate"]["a"],
+            lora["expert_gate"]["b"]),
+        "up": w["up"] + scale * jnp.einsum(
+            "eir,ero->eio", lora["expert_up"]["a"], lora["expert_up"]["b"]),
+        "down": w["down"] + scale * jnp.einsum(
+            "eir,ero->eio", lora["expert_down"]["a"],
+            lora["expert_down"]["b"]),
+    }
+    ref, _ = moe_mlp(x, w["router"], merged["gate"], merged["up"],
+                     merged["down"], num_experts_per_tok=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moe_expert_lora_ep_matches_dropless():
+    """EP shard_map path applies expert-sharded adapters identically."""
+    from molly_tpu.ops.moe import moe_mlp_expert_sharded
+    from molly_tpu.parallel import make_mesh
+
+    w = _mlp_weights(jax.random.key(33), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(34), (32, 16), jnp.float32)
+    r = 4
+    lora = {"expert_gate": {
+        "a": jax.random.normal(jax.random.key(35), (4, 16, r)) / r,
+        "b": 0.1 * jax.random.normal(jax.random.key(36), (4, r, 32))}}
+    ref, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                     num_experts_per_tok=2, lora=lora, lora_scale=2.0)
+    mesh = make_mesh(data=1, fsdp=4, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        got, _ = jax.jit(lambda x: moe_mlp_expert_sharded(
+            x, w["router"], w["gate"], w["up"], w["down"],
+            num_experts_per_tok=2, capacity_factor=4.0, lora=lora,
+            lora_scale=2.0))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_moe_lora_train_step_adapts_experts():
+    """LoRA fine-tune of a MoE fusion model: expert adapters exist, get
+    gradient signal, and the loss decreases."""
+    from molly_tpu.models import fusion, tiny_esm
+    from molly_tpu.models.fusion import FusionConfig
+    from molly_tpu.models.lora import LoraConfig
+    from molly_tpu.training import (TrainConfig, attach_lora,
+                                    init_train_state, make_train_step)
+
+    cfg = FusionConfig(text=tiny_moe(), dna_rna=tiny_esm(),
+                       protein=tiny_esm(), dna_rna_k_tokens=4,
+                       protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    lcfg = LoraConfig(r=4, dropout=0.0)
+    params = attach_lora(params, cfg, lcfg, jax.random.key(1))
+    for t in ("expert_gate", "expert_up", "expert_down"):
+        assert t in params["lora"]["layers"], t
+        assert params["lora"]["layers"][t]["a"].ndim == 4  # [L, E, d, r]
+    tc = TrainConfig(learning_rate=1e-2, total_steps=20, warmup_ratio=0.0,
+                     lora=lcfg)
+    state = init_train_state(params, tc)
+    step = jax.jit(make_train_step(cfg, tc))
+    B, S = 4, 16
+    rng = np.random.default_rng(0)
+    labels = np.full((B, S), -100, np.int32)
+    labels[:, S // 2:] = rng.integers(1, cfg.text.vocab_size, (B, S // 2))
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, cfg.text.vocab_size, (B, S)), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "dna_rna_tokens": jnp.full((B, 1, 4), 3, jnp.int32),
+        "dna_rna_pos": jnp.asarray([[1]] * B, jnp.int32),
+        "protein_tokens": jnp.full((B, 1, 4), 1, jnp.int32),
+        "protein_pos": jnp.full((B, 1), -1, jnp.int32),
+        "task_label": jnp.zeros((B,), jnp.int32),
+    }
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    # the adapters actually moved (b starts at zero)
+    b = np.asarray(state.params["lora"]["layers"]["expert_gate"]["b"])
+    assert np.abs(b).sum() > 0
+
+
+def test_moe_expert_lora_merge_and_peft_import():
+    """merge_lora folds expert adapters; peft_lora_from_hf stacks the
+    per-expert PEFT keys into [L, E, ...] adapters."""
+    from molly_tpu.models.hf_import import peft_lora_from_hf
+    from molly_tpu.models.lora import LoraConfig, init_lora, merge_lora
+
+    cfg = tiny_moe()
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    lcfg = LoraConfig(r=4, dropout=0.0)
+    lora = init_lora(cfg, lcfg, jax.random.key(1))
+    # give b nonzero values so the merge is observable
+    lora["layers"] = jax.tree.map(
+        lambda v: v if v.ndim < 2 else v + 0.01, lora["layers"])
+    merged = merge_lora(params, lora, lcfg)
+    ids = jax.random.randint(jax.random.key(2), (2, 8), 0, cfg.vocab_size)
+    out_l = qwen3.forward_logits(params, cfg, input_ids=ids,
+                                 lora=lora, lora_scale=lcfg.scale)
+    out_m = qwen3.forward_logits(merged, cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_m),
+                               rtol=2e-4, atol=2e-4)
+
+    # PEFT roundtrip: build an adapter state dict in HF Qwen3Moe naming
+    L, E, r = cfg.num_hidden_layers, cfg.num_experts, lcfg.r
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    rng = np.random.default_rng(3)
+    state = {}
+    pre = "base_model.model.model.layers.{i}."
+    for i in range(L):
+        for t, din, dout in (("q_proj", H, cfg.q_dim),):
+            state[pre.format(i=i) + f"self_attn.{t}.lora_A.weight"] = \
+                rng.normal(size=(r, din)).astype(np.float32)
+            state[pre.format(i=i) + f"self_attn.{t}.lora_B.weight"] = \
+                rng.normal(size=(dout, r)).astype(np.float32)
+        for j in range(E):
+            for t, din, dout in (("gate_proj", H, I), ("up_proj", H, I),
+                                 ("down_proj", I, H)):
+                k = pre.format(i=i) + f"mlp.experts.{j}.{t}"
+                state[k + ".lora_A.weight"] = \
+                    rng.normal(size=(r, din)).astype(np.float32)
+                state[k + ".lora_B.weight"] = \
+                    rng.normal(size=(dout, r)).astype(np.float32)
+    tree = peft_lora_from_hf(state, cfg, lora_r=r)
+    assert tree["layers"]["expert_up"]["a"].shape == (L, E, H, r)
+    assert tree["layers"]["expert_down"]["b"].shape == (L, E, r, H)
+    # spot-check one expert slice against its source key
+    src = state["base_model.model.model.layers.1.mlp.experts.2."
+                "gate_proj.lora_A.weight"].T
+    np.testing.assert_allclose(
+        np.asarray(tree["layers"]["expert_gate"]["a"][1, 2]), src,
+        rtol=1e-6)
