@@ -465,8 +465,6 @@ def test_moe_decode_int8_experts_cache_consistent():
 def test_moe_expert_lora_matches_merged():
     """Grouped low-rank bypass inside the sparse dispatch == running the
     base moe_mlp on merge_lora-style folded expert weights."""
-    from molly_tpu.ops.moe import quantize_experts  # noqa: F401 (adjacent)
-
     w = _mlp_weights(jax.random.key(30), E=4, H=16, I=32)
     x = jax.random.normal(jax.random.key(31), (24, 16), jnp.float32)
     r, scale = 4, 1.5

@@ -404,3 +404,34 @@ def test_offline_spec_near_full_acceptance_trained_copy():
     assert spec["decode_ticks"] <= 14, (spec["decode_ticks"],
                                         spec["accepted"])
     assert spec["accepted"] >= 0.75 * (n * 24 - n), spec["accepted"]
+
+
+def test_offline_moe_int8_experts_matches_online():
+    """MoE decoder with int8 expert weights through the one-dispatch
+    admission ring: token-exact vs the online engine on the same
+    quantized params (f32 activations — no argmax near-ties)."""
+    from molly_tpu.models import qwen3, tiny_moe
+
+    cfg = FusionConfig(
+        text=tiny_moe(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=8),
+        dna_rna=tiny_esm(vocab_size=16), protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(5))
+    params = {**params,
+              "text": qwen3.quantize_for_decode(params["text"], cfg.text,
+                                                moe_experts=True)}
+    assert "w_q" in params["text"]["layers"]["expert_gate"]
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 6, 2
+    ids, mask = _queue(n, bucket, seed=7)
+    ref = _server_reference(params, cfg, gen, ids, mask, None, n_slots,
+                            48, bucket)
+    out = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                      max_len=48, admit_group=2)
+    for i in range(n):
+        got = out["tokens"][i, :out["lengths"][i]]
+        np.testing.assert_array_equal(got, ref[i])
