@@ -403,7 +403,14 @@ def bench_serve(args):
             args.prompt_len + long_t, (args.prompt_len,)
     cfg = FusionConfig(text=tcfg, dna_rna=tiny_esm(), protein=tiny_esm())
     if args.int8:
-        text = _random_int8_params(tcfg)
+        if tcfg.num_experts:
+            # MoE: quantize a real init (experts via --int8-experts); the
+            # dense-shaped _random_int8_params shortcut doesn't apply
+            text = qwen3.quantize_for_decode(
+                qwen3.init_params(tcfg, jax.random.key(0)), tcfg,
+                moe_experts=args.int8_experts)
+        else:
+            text = _random_int8_params(tcfg)
     else:
         text = qwen3.init_params(tcfg, jax.random.key(0))
         if not args.smoke:

@@ -57,6 +57,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random model matching the train CLI's --tiny")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="make the text decoder a sparse MoE with this many "
+                        "experts (matches the train CLI flag; needed to "
+                        "load a checkpoint trained with --moe-experts)")
+    p.add_argument("--moe-topk", type=int, default=2,
+                   help="experts per token under --moe-experts")
     p.add_argument("--serve", action="store_true",
                    help="continuous batching (inference.server): slots free "
                         "at EOS and backfill from the queue instead of "
@@ -143,11 +149,18 @@ def main(argv=None) -> None:
             protein=ESM_PRESETS[args.protein_preset],
             dna_rna_k_tokens=args.dna_rna_k_tokens,
             protein_k_tokens=args.protein_k_tokens)
+    if args.moe_experts:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, text=dataclasses.replace(
+            cfg.text, num_experts=args.moe_experts,
+            num_experts_per_tok=args.moe_topk))
 
     params = _load_params(args, cfg)
     if args.int8:
         from ..models import qwen3 as _q
-        params["text"] = _q.quantize_for_decode(params["text"], cfg.text)
+        params["text"] = _q.quantize_for_decode(
+            params["text"], cfg.text,
+            moe_experts=bool(cfg.text.num_experts))
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens,
         do_sample=not args.greedy,

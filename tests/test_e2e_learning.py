@@ -213,3 +213,62 @@ def test_trained_model_through_offline_ring(trained):
     assert convert_inference_jsonl(ring_jsonl, eval_jsonl) == 64
     scores = evaluate_file(eval_jsonl, scale=False)
     assert scores["DNA"]["pd"]["MCC"] >= 0.5, scores
+
+
+@pytest.mark.slow
+def test_synthetic_gc_learning_moe_end_to_end(tmp_path):
+    """Same learning proof for the Qwen3-MoE family: the sparse-FFN
+    decoder (--moe-experts) trains through the real CLI on the GC task,
+    the router stays balanced, and the real inference CLI + evalsuite
+    score well above chance. Closes the loop for the round-3 model
+    family the way round 2's test did for the dense decoder."""
+    from molly_tpu.evalsuite.harness import evaluate_file
+    from molly_tpu.inference.cli import main as infer_main
+    from molly_tpu.tools.data_tools import convert_inference_jsonl
+    from molly_tpu.training.cli import build_argparser, run_training
+
+    train_p = str(tmp_path / "train.parquet")
+    test_p = str(tmp_path / "test.parquet")
+    pd.DataFrame(_gc_rows(256, seed=1)).to_parquet(train_p)
+    pd.DataFrame(_gc_rows(64, seed=98)).to_parquet(test_p)
+    out_dir = str(tmp_path / "run_moe")
+
+    args = build_argparser().parse_args([
+        "--train-dataset-path", train_p,
+        "--output-dir", out_dir,
+        "--tiny", "--dtype", "float32",
+        "--moe-experts", "4", "--moe-topk", "2",
+        "--max-len", "256",
+        "--dna-rna-k-tokens", "8", "--protein-k-tokens", "8",
+        "--batch-size-per-gpu", "8",
+        "--epochs", "12", "--train-iters", "384",
+        "--log-interval", "32", "--save-interval", "384",
+        "--lr", "3e-3", "--warmup", "0.05",
+        "--train-bio", "true",
+        "--prefetch-depth", "2", "--cache-dataset", "true",
+    ])
+    result = run_training(args)
+    assert result["steps"] == 384
+    ckpt = os.path.join(out_dir, "ckpt_384")
+
+    # router balance was logged and stayed near 1 (collapse would push
+    # the Switch loss toward E)
+    log = [json.loads(l)
+           for l in open(os.path.join(out_dir, "molly_tpu.jsonl"))]
+    lbs = [r["moe_load_balance"] for r in log if "moe_load_balance" in r]
+    assert lbs, "train log must carry the MoE balance metric"
+    assert lbs[-1] < 2.0, lbs[-3:]
+
+    raw_jsonl = str(tmp_path / "infer_moe.jsonl")
+    infer_main([
+        "--input-file", test_p, "--output-file", raw_jsonl,
+        "--tiny", "--moe-experts", "4", "--moe-topk", "2",
+        "--checkpoint", ckpt, "--greedy",
+        "--max-length", "256", "--max-new-tokens", "4",
+        "--dna-rna-k-tokens", "8", "--protein-k-tokens", "8",
+        "--batch-size", "16",
+    ])
+    eval_jsonl = str(tmp_path / "eval_moe.jsonl")
+    assert convert_inference_jsonl(raw_jsonl, eval_jsonl) == 64
+    scores = evaluate_file(eval_jsonl, scale=False)
+    assert scores["DNA"]["pd"]["MCC"] >= 0.5, scores
