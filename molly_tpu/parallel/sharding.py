@@ -36,19 +36,43 @@ EXPERT_AXIS = "expert"  # MoE expert parallelism — beyond reference
 
 
 def make_mesh(data: int = 1, fsdp: int = -1, tensor: int = 1,
-              seq: int = 1, expert: int = 1, devices=None) -> Mesh:
-    """Build a 5-axis mesh. fsdp=-1 means "all remaining devices"."""
+              seq: int = 1, expert: int = 1, devices=None,
+              dcn_data: int = 1) -> Mesh:
+    """Build a 5-axis mesh. fsdp=-1 means "all remaining devices".
+
+    dcn_data > 1 is the multi-slice recipe (scaling-book layout): pure
+    data parallelism ACROSS slices rides the slow DCN links while
+    fsdp/tensor/seq/expert stay inside a slice on ICI — the resulting
+    data axis has size ``dcn_data * data`` (slice-major), so the only
+    DCN-crossing collective is the gradient reduction. Uses
+    ``mesh_utils.create_hybrid_device_mesh`` for the slice-aware device
+    order; on hosts without slice topology info (CPU meshes, tests) it
+    falls back to the process-major order of ``jax.devices()``, which is
+    already slice-major on multi-host TPU pods.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if fsdp == -1:
-        assert n % (data * tensor * seq * expert) == 0, (
-            n, data, tensor, seq, expert)
-        fsdp = n // (data * tensor * seq * expert)
-    assert data * fsdp * tensor * seq * expert == n, (
-        data, fsdp, tensor, seq, expert, n)
+        assert n % (dcn_data * data * tensor * seq * expert) == 0, (
+            n, dcn_data, data, tensor, seq, expert)
+        fsdp = n // (dcn_data * data * tensor * seq * expert)
+    assert dcn_data * data * fsdp * tensor * seq * expert == n, (
+        dcn_data, data, fsdp, tensor, seq, expert, n)
+    axes = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS, EXPERT_AXIS)
+    if dcn_data > 1:
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data, fsdp, tensor, seq, expert),
+                (dcn_data, 1, 1, 1, 1), devices=devices)
+            return Mesh(arr, axes)
+        except Exception:
+            pass  # no slice topology info — fall through
+        arr = np.asarray(devices).reshape(
+            dcn_data * data, fsdp, tensor, seq, expert)
+        return Mesh(arr, axes)
     arr = np.asarray(devices).reshape(data, fsdp, tensor, seq, expert)
-    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, SEQ_AXIS,
-                      EXPERT_AXIS))
+    return Mesh(arr, axes)
 
 
 # ---------------------------------------------------------------------------

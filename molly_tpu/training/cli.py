@@ -124,6 +124,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="orbax checkpoint dir to resume train state from")
     # parallelism
     p.add_argument("--mesh-data", type=int, default=1)
+    p.add_argument("--mesh-dcn-data", type=int, default=1,
+                   help="multi-slice: extra data-parallel factor ACROSS "
+                        "slices over DCN (slice-aware device order via "
+                        "mesh_utils.create_hybrid_device_mesh); "
+                        "fsdp/tensor/seq/expert stay on ICI inside a "
+                        "slice")
     p.add_argument("--mesh-fsdp", type=int, default=-1)
     p.add_argument("--mesh-tensor", type=int, default=1)
     p.add_argument("--mesh-seq", type=int, default=1,
@@ -310,7 +316,8 @@ def run_training(args) -> dict:
                 "(cfg.text.num_experts > 0)")
         mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
                          tensor=args.mesh_tensor, seq=args.mesh_seq,
-                         expert=args.mesh_expert)
+                         expert=args.mesh_expert,
+                         dcn_data=args.mesh_dcn_data)
     print_rank_0(f"mesh: {dict(mesh.shape)}")
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -128,3 +128,43 @@ def test_decode_engine_tp_sharded():
         got = np.asarray(_generate_from_embeds(sp, cfg, embeds, mask, gen,
                                                jax.random.key(1)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_make_mesh_dcn_data_axis():
+    """Multi-slice recipe: dcn_data folds into the data axis (slice-major
+    order) so only the gradient reduction crosses DCN; on hosts without
+    slice topology (this CPU mesh) the documented fallback applies and
+    the mesh is still a valid data2 x fsdp4 layout that runs a step."""
+    from molly_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    mesh = make_mesh(data=1, fsdp=4, dcn_data=2)
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 4, "tensor": 1,
+                                "seq": 1, "expert": 1}
+    # fsdp=-1 accounts for the dcn factor
+    mesh2 = make_mesh(dcn_data=2)
+    assert mesh2.shape["fsdp"] == 4
+
+    cfg = FusionConfig(text=tiny_qwen3(), dna_rna=tiny_esm(),
+                       protein=tiny_esm(), dna_rna_k_tokens=4,
+                       protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    B, S = 8, 16
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(0, cfg.text.vocab_size, (B, S))
+            .astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "labels": rng.integers(0, cfg.text.vocab_size, (B, S))
+            .astype(np.int32),
+        "dna_rna_tokens": np.full((B, 1, 4), 3, np.int32),
+        "dna_rna_pos": np.full((B, 1), 1, np.int32),
+        "protein_tokens": np.full((B, 1, 4), 1, np.int32),
+        "protein_pos": np.full((B, 1), -1, np.int32),
+        "task_label": np.zeros((B,), np.int32),
+    }
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                         mesh)
+        loss = jax.jit(lambda p, b: fusion.loss_fn(p, cfg, b)[0])(sp, sb)
+    assert np.isfinite(float(loss))
