@@ -570,6 +570,11 @@ def train_flops_per_token(tcfg, S: int, *, full_ft: bool) -> float:
     n_qkvo = (tcfg.num_attention_heads * dh * d * 2        # q + o
               + 2 * tcfg.num_key_value_heads * dh * d)     # k + v
     n_mlp = 3 * d * tcfg.intermediate_size
+    if tcfg.num_experts:
+        # sparse MoE: each token touches only its top-k experts (MFU
+        # counts ACTIVE params) + the [H, E] router
+        n_mlp = (tcfg.num_experts_per_tok * n_mlp
+                 + d * tcfg.num_experts)
     n_body = L * (n_qkvo + n_mlp)
     n_head = d * tcfg.vocab_size
     attn_quad = 4 * S * tcfg.num_attention_heads * dh * L  # qk^T + a@v

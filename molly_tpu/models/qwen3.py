@@ -235,19 +235,24 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
                         if k in lora_layer} or None
         lkw = dict(lora=moe_lora, lora_scale=lora_scale,
                    lora_dropout=lora_dropout, dropout_rng=dropout_rng)
+        if "expert_gateup" in p:  # fused decode stack (w_up=None)
+            wg, wu = p["expert_gateup"], None
+            lkw["lora"] = None  # serving weights are post-merge
+        else:
+            wg, wu = p["expert_gate"], p["expert_up"]
         if cfg.expert_parallel:
             from ..ops.moe import moe_mlp_expert_sharded
             out2d, moe_aux = moe_mlp_expert_sharded(
-                x.reshape(B * S, H), p["router"], p["expert_gate"],
-                p["expert_up"], p["expert_down"],
+                x.reshape(B * S, H), p["router"], wg, wu,
+                p["expert_down"],
                 num_experts_per_tok=cfg.num_experts_per_tok,
                 norm_topk_prob=cfg.norm_topk_prob,
                 capacity_factor=cfg.ep_capacity_factor, **lkw)
         else:
             from ..ops.moe import moe_mlp
             out2d, moe_aux = moe_mlp(
-                x.reshape(B * S, H), p["router"], p["expert_gate"],
-                p["expert_up"], p["expert_down"],
+                x.reshape(B * S, H), p["router"], wg, wu,
+                p["expert_down"],
                 num_experts_per_tok=cfg.num_experts_per_tok,
                 norm_topk_prob=cfg.norm_topk_prob, **lkw)
         down = out2d.reshape(B, S, H)
@@ -414,10 +419,16 @@ def fuse_for_decode(params: Params, cfg: Qwen3Config) -> Params:
     new_layers = dict(lp)
     new_layers["qkv_proj"] = jnp.concatenate(
         [lp["q_proj"], lp["k_proj"], lp["v_proj"]], axis=-1)
-    if "gate_proj" in lp:  # dense MLP (MoE experts are already grouped)
+    if "gate_proj" in lp:  # dense MLP
         new_layers["gateup_proj"] = jnp.concatenate(
             [lp["gate_proj"], lp["up_proj"]], axis=-1)
         del new_layers["gate_proj"], new_layers["up_proj"]
+    if "expert_gate" in lp:  # MoE: fuse the gate/up stacks the same way
+        # ([L, E, H, I] x2 -> [L, E, H, 2I]): one grouped GEMM per layer
+        # fewer, same bytes
+        new_layers["expert_gateup"] = jnp.concatenate(
+            [lp["expert_gate"], lp["expert_up"]], axis=-1)
+        del new_layers["expert_gate"], new_layers["expert_up"]
     new_layers["qk_norm"] = _stacked_qk_norm(cfg, lp)
     for name in ("q_proj", "k_proj", "v_proj", "q_norm", "k_norm"):
         del new_layers[name]
@@ -442,12 +453,21 @@ def quantize_for_decode(params: Params, cfg: Qwen3Config,
     sensitive)."""
     new_layers = dict(params["layers"])
     moe = "router" in new_layers
-    if moe and moe_experts:
-        from ..ops.moe import quantize_experts
-        for name in ("expert_gate", "expert_up", "expert_down"):
-            # leading axis is the stacked layer dim: [L, E, K, N]
-            new_layers[name] = jax.vmap(quantize_experts)(
-                params["layers"][name])
+    if moe:
+        lp = params["layers"]
+        if fuse:  # fused [L, E, H, 2I] gate-and-up stack
+            gu = jnp.concatenate([lp["expert_gate"], lp["expert_up"]],
+                                 axis=-1)
+            del new_layers["expert_gate"], new_layers["expert_up"]
+            new_layers["expert_gateup"] = gu
+        if moe_experts:
+            from ..ops.moe import quantize_experts
+            targets = (("expert_gateup", "expert_down") if fuse else
+                       ("expert_gate", "expert_up", "expert_down"))
+            for name in targets:
+                # leading axis is the stacked layer dim: [L, E, K, N]
+                new_layers[name] = jax.vmap(quantize_experts)(
+                    new_layers[name])
     if fuse:
         lp = params["layers"]
         qkv = jnp.concatenate([lp["q_proj"], lp["k_proj"], lp["v_proj"]],

@@ -139,6 +139,11 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
     w_down may be quantize_experts dicts (int8 serving path). lora is an
     optional {"expert_gate"/"expert_up"/"expert_down": {"a" [E, d, r],
     "b" [E, r, d]}} adapter dict (models.lora expert targets).
+
+    w_up=None means w_gate is a FUSED [E, H, 2I] gate-and-up stack
+    (decode prep, qwen3.fuse_for_decode): one grouped GEMM instead of
+    two — fewer dispatches, better weight streaming. Fused stacks are
+    post-merge serving weights; adapters are not applied.
     """
     T, H = x.shape
     E = _n_experts(w_gate)
@@ -159,9 +164,14 @@ def moe_mlp(x: jnp.ndarray, router_w: jnp.ndarray, w_gate: jnp.ndarray,
         return base + _lora_grouped(inp, lora[name], group_sizes,
                                     lora_scale, lora_dropout, dropout_rng)
 
-    g = bypass(_grouped_dot(xs, w_gate, group_sizes), xs,
-               "expert_gate")                  # [T*k, I] fp32
-    u = bypass(_grouped_dot(xs, w_up, group_sizes), xs, "expert_up")
+    if w_up is None:  # fused gate-and-up stack
+        assert not lora, "fused expert stacks are post-merge (no adapters)"
+        gu = _grouped_dot(xs, w_gate, group_sizes)  # [T*k, 2I] fp32
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = bypass(_grouped_dot(xs, w_gate, group_sizes), xs,
+                   "expert_gate")              # [T*k, I] fp32
+        u = bypass(_grouped_dot(xs, w_up, group_sizes), xs, "expert_up")
     h = (jax.nn.silu(g) * u).astype(x.dtype)
     y = bypass(_grouped_dot(h, w_down, group_sizes), h,
                "expert_down")                  # [T*k, H] fp32
@@ -210,6 +220,17 @@ def moe_mlp_expert_sharded(
       - one psum of the [T, H] partial outputs per layer (the only
         collective; comm = activations, not weights)
     """
+    if w_up is None and jax.sharding.get_abstract_mesh() is not None \
+            and jax.sharding.get_abstract_mesh().shape.get(axis_name, 1) > 1:
+        # fused gate-and-up stack under real EP: split back (the fusion
+        # win is single-device dispatch count; EP correctness first)
+        if isinstance(w_gate, dict):
+            wq = jnp.split(w_gate["w_q"], 2, axis=-1)
+            sc = jnp.split(w_gate["scale"], 2, axis=-1)
+            w_gate = {"w_q": wq[0], "scale": sc[0]}
+            w_up = {"w_q": wq[1], "scale": sc[1]}
+        else:
+            w_gate, w_up = jnp.split(w_gate, 2, axis=-1)
     mesh = jax.sharding.get_abstract_mesh()
     n_dev = mesh.shape.get(axis_name, 1) if mesh is not None else 1
     if n_dev <= 1:

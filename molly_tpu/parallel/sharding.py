@@ -92,7 +92,7 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # MoE: experts [L, E, H, I] shard over the expert axis (EP); the
     # per-expert matmul dims additionally shard over fsdp/tensor
     (r"text/layers/router$", P()),
-    (r"text/layers/expert_(gate|up)$",
+    (r"text/layers/expert_(gate|up|gateup)$",
      P(None, EXPERT_AXIS, FSDP_AXIS, TENSOR_AXIS)),
     (r"text/layers/expert_down$",
      P(None, EXPERT_AXIS, TENSOR_AXIS, FSDP_AXIS)),

@@ -442,8 +442,11 @@ def test_moe_decode_int8_experts_cache_consistent():
     cfg = tiny_moe()
     params = qwen3.init_params(cfg, jax.random.key(0))
     qp = qwen3.quantize_for_decode(params, cfg, moe_experts=True)
-    assert "w_q" in qp["layers"]["expert_gate"]
-    assert qp["layers"]["expert_gate"]["w_q"].dtype == jnp.int8
+    # gate/up are fused for decode ([L, E, H, 2I]) and quantized
+    assert "w_q" in qp["layers"]["expert_gateup"]
+    assert qp["layers"]["expert_gateup"]["w_q"].dtype == jnp.int8
+    assert qp["layers"]["expert_gateup"]["w_q"].shape[-1] == \
+        2 * cfg.intermediate_size
     # stacked dims survive: [L, E, K, N] / [L, E, N]
     assert qp["layers"]["expert_down"]["w_q"].ndim == 4
     assert qp["layers"]["expert_down"]["scale"].ndim == 3
@@ -614,3 +617,28 @@ def test_moe_expert_lora_merge_and_peft_import():
     np.testing.assert_allclose(
         np.asarray(tree["layers"]["expert_gate"]["a"][1, 2]), src,
         rtol=1e-6)
+
+
+def test_moe_fused_gateup_matches_unfused():
+    """w_up=None fused [E, H, 2I] stack (decode prep) == two separate
+    grouped GEMMs; also through fuse_for_decode at the model level."""
+    w = _mlp_weights(jax.random.key(40), E=4, H=16, I=32)
+    x = jax.random.normal(jax.random.key(41), (24, 16), jnp.float32)
+    ref, _ = moe_mlp(x, w["router"], w["gate"], w["up"], w["down"],
+                     num_experts_per_tok=2)
+    fused = jnp.concatenate([w["gate"], w["up"]], axis=-1)
+    got, _ = moe_mlp(x, w["router"], fused, None, w["down"],
+                     num_experts_per_tok=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+    cfg = tiny_moe()
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    fp = qwen3.fuse_for_decode(params, cfg)
+    assert "expert_gateup" in fp["layers"]
+    assert "expert_gate" not in fp["layers"]
+    ids = jax.random.randint(jax.random.key(1), (2, 8), 0, cfg.vocab_size)
+    ref_l = qwen3.forward_logits(params, cfg, input_ids=ids)
+    got_l = qwen3.forward_logits(fp, cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
+                               rtol=2e-5, atol=2e-5)

@@ -422,7 +422,7 @@ def test_offline_moe_int8_experts_matches_online():
     params = {**params,
               "text": qwen3.quantize_for_decode(params["text"], cfg.text,
                                                 moe_experts=True)}
-    assert "w_q" in params["text"]["layers"]["expert_gate"]
+    assert "w_q" in params["text"]["layers"]["expert_gateup"]
     gen = GenerationConfig(max_new_tokens=6, do_sample=False,
                            repetition_penalty=1.1, eos_token_id=-1,
                            pad_token_id=0)
