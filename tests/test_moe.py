@@ -642,3 +642,39 @@ def test_moe_fused_gateup_matches_unfused():
     got_l = qwen3.forward_logits(fp, cfg, input_ids=ids)
     np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_moe_ep_decode_with_cache_matches_unsharded():
+    """Multi-chip MoE SERVING correctness: KV-cache decode with experts
+    sharded over the expert axis (shard_map EP path at decode shapes)
+    reproduces the unsharded no-cache forward."""
+    from molly_tpu.parallel import make_mesh, shard_params
+
+    cfg = dataclasses.replace(tiny_moe(), dtype="float32")
+    params = qwen3.init_params(cfg, jax.random.key(0))
+    B, S = 2, 10
+    ids = jax.random.randint(jax.random.key(1), (B, S), 0, cfg.vocab_size)
+    ref = qwen3.forward_logits(params, cfg, input_ids=ids)
+
+    cfg_ep = dataclasses.replace(cfg, expert_parallel=True,
+                                 ep_capacity_factor=4.0)  # no drops
+    mesh = make_mesh(data=1, fsdp=4, expert=2)
+    with jax.sharding.set_mesh(mesh):
+        sp = shard_params({"text": params}, mesh)["text"]
+
+        @jax.jit
+        def decode_last(p):
+            cache = qwen3.init_cache(cfg_ep, B, S)
+            _, cache = qwen3.forward_hidden(p, cfg_ep,
+                                            input_ids=ids[:, :-1],
+                                            cache=cache, cache_index=0)
+            hidden, _ = qwen3.forward_hidden(p, cfg_ep,
+                                             input_ids=ids[:, -1:],
+                                             cache=cache,
+                                             cache_index=S - 1)
+            return qwen3.logits_from_hidden(p, cfg_ep, hidden)
+
+        last = decode_last(sp)
+    np.testing.assert_allclose(np.asarray(last[:, 0]),
+                               np.asarray(ref[:, -1]),
+                               rtol=2e-4, atol=2e-4)
