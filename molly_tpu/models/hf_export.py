@@ -71,6 +71,37 @@ def qwen3_to_hf_state(params: Dict[str, Any],
     return state
 
 
+def peft_lora_to_hf_state(lora: Dict[str, Any],
+                          cfg: Qwen3Config) -> Dict[str, np.ndarray]:
+    """models.lora pytree -> PEFT adapter state-dict keys (inverse of
+    hf_import.peft_lora_from_hf): adapters trained here load into the
+    reference's GPU PEFT stack (/root/reference/src/inference_lora.py:
+    214-234 reads exactly this layout). a [L, in, r] -> per-layer
+    ``lora_A.weight`` [r, in]; expert-stacked [L, E, in, r] unstacks to
+    ``mlp.experts.{j}.*`` keys."""
+    from .hf_import import _peft_target_path
+
+    pre = "base_model.model.model.layers.{i}."
+    state: Dict[str, np.ndarray] = {}
+    for target, ab in lora["layers"].items():
+        a, b = _np32(ab["a"]), _np32(ab["b"])
+        if target.startswith("expert_"):
+            hf_t = target.replace("expert_", "") + "_proj"
+            for i in range(a.shape[0]):
+                for j in range(a.shape[1]):
+                    k = pre.format(i=i) + f"mlp.experts.{j}.{hf_t}"
+                    state[k + ".lora_A.weight"] = np.ascontiguousarray(
+                        a[i, j].T)
+                    state[k + ".lora_B.weight"] = np.ascontiguousarray(
+                        b[i, j].T)
+        else:
+            for i in range(a.shape[0]):
+                k = pre.format(i=i) + _peft_target_path(target)
+                state[k + ".lora_A.weight"] = np.ascontiguousarray(a[i].T)
+                state[k + ".lora_B.weight"] = np.ascontiguousarray(b[i].T)
+    return state
+
+
 def save_hf_checkpoint(path: str, params: Dict[str, Any],
                        cfg: Qwen3Config) -> None:
     """Write model.safetensors + a minimal config.json HF can read."""

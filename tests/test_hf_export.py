@@ -137,3 +137,29 @@ def test_peft_adapter_import():
                               "bias": torch.tensor(b)})
     np.testing.assert_allclose(np.asarray(proj["kernel"]), w.T)
     np.testing.assert_allclose(np.asarray(proj["bias"]), b)
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_peft_adapter_export_import_roundtrip(moe):
+    """peft_lora_to_hf_state -> peft_lora_from_hf reproduces the adapter
+    tree exactly (dense targets and expert-stacked MoE targets)."""
+    from molly_tpu.models import tiny_moe
+    from molly_tpu.models.hf_export import peft_lora_to_hf_state
+    from molly_tpu.models.hf_import import peft_lora_from_hf
+    from molly_tpu.models.lora import LoraConfig, init_lora
+
+    cfg = tiny_moe() if moe else tiny_qwen3()
+    lcfg = LoraConfig(r=4, dropout=0.0)
+    lora = init_lora(cfg, lcfg, jax.random.key(0))
+    # nonzero b so the roundtrip is observable
+    lora["layers"] = jax.tree.map(lambda v: v + 0.01, lora["layers"])
+    state = peft_lora_to_hf_state(lora, cfg)
+    if moe:
+        assert ("base_model.model.model.layers.0.mlp.experts.1."
+                "up_proj.lora_A.weight") in state
+    back = peft_lora_from_hf(state, cfg, lora_r=lcfg.r)
+    assert set(back["layers"]) == set(lora["layers"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6),
+        lora["layers"], back["layers"])
