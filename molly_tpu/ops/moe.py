@@ -72,7 +72,11 @@ def _grouped_dot(lhs: jnp.ndarray, rhs, group_sizes: jnp.ndarray
     rides the dot's operand load (same XLA-fusion bet the dense int8
     decode path measured and won, ops/quant.py:74-83), and the
     per-(expert, out-col) scale is applied to the fp32 product rows via
-    the row->group map (scale factors out of the contraction exactly)."""
+    the row->group map (scale factors out of the contraction exactly).
+    NOTE: under the gmm backend the convert sits before a custom-call
+    boundary and MATERIALIZES the bf16 copy — the int8 bandwidth win
+    needs the default ragged (XLA) backend; an int8-native gmm kernel is
+    the follow-up if gmm wins the bf16 measurement."""
     if isinstance(rhs, dict):
         w_q, scale = rhs["w_q"], rhs["scale"]
         y = _grouped_dot(lhs, w_q.astype(lhs.dtype), group_sizes)
