@@ -398,6 +398,29 @@ QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj")
 
 
+def quantize_for_training(params: Params, cfg: Qwen3Config) -> Params:
+    """QLoRA-style base quantization: int8 the frozen decoder linears
+    (incl. MoE expert stacks) IN PLACE of their bf16 storage, keeping
+    names, embedding, lm head, and norms untouched — so LoRA adapters
+    (models.lora) apply on top and the trainer's loss path (fused LCE on
+    the bf16 head) is unchanged. The reference gestures at exactly this
+    with prepare_model_for_kbit_training
+    (/root/reference/src/utils/tools.py:389). Halves frozen-weight HBM
+    in LoRA fine-tunes (fwd AND the bwd re-read stream through int8);
+    only the bf16 adapters/projectors train."""
+    new_layers = dict(params["layers"])
+    for name in QUANT_TARGETS:
+        if name in new_layers:
+            new_layers[name] = jax.vmap(quant.quantize_int8)(
+                new_layers[name])
+    if "router" in new_layers:  # MoE: quantize the expert stacks too
+        from ..ops.moe import quantize_experts
+        for name in ("expert_gate", "expert_up", "expert_down"):
+            new_layers[name] = jax.vmap(quantize_experts)(
+                new_layers[name])
+    return {**params, "layers": new_layers}
+
+
 def _stacked_qk_norm(cfg: Qwen3Config, lp: Params) -> jnp.ndarray:
     """q_norm/k_norm [L, Dh] -> [L, Nq+Nkv, Dh] so the fused-decode branch
     norms q‖k in one op."""

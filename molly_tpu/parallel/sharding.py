@@ -89,6 +89,22 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"text/layers/o_proj$", P(None, TENSOR_AXIS, FSDP_AXIS)),
     (r"text/layers/(gate_proj|up_proj)$", P(None, FSDP_AXIS, TENSOR_AXIS)),
     (r"text/layers/down_proj$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    # QLoRA int8 base (quantize_for_training): {w_q, scale} dicts keep
+    # the base-weight layout; scale is per-out-column [L, N]
+    (r"text/layers/(q_proj|k_proj|v_proj|gate_proj|up_proj)/w_q$",
+     P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"text/layers/(q_proj|k_proj|v_proj|gate_proj|up_proj)/scale$",
+     P(None, TENSOR_AXIS)),
+    (r"text/layers/(o_proj|down_proj)/w_q$",
+     P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"text/layers/(o_proj|down_proj)/scale$", P(None, FSDP_AXIS)),
+    (r"text/layers/expert_(gate|up)/w_q$",
+     P(None, EXPERT_AXIS, FSDP_AXIS, TENSOR_AXIS)),
+    (r"text/layers/expert_(gate|up)/scale$",
+     P(None, EXPERT_AXIS, TENSOR_AXIS)),
+    (r"text/layers/expert_down/w_q$",
+     P(None, EXPERT_AXIS, TENSOR_AXIS, FSDP_AXIS)),
+    (r"text/layers/expert_down/scale$", P(None, EXPERT_AXIS, FSDP_AXIS)),
     # MoE: experts [L, E, H, I] shard over the expert axis (EP); the
     # per-expert matmul dims additionally shard over fsdp/tensor
     (r"text/layers/router$", P()),

@@ -112,6 +112,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lora-r", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=64.0)
     p.add_argument("--lora-dropout", type=float, default=0.05)
+    p.add_argument("--qlora", type=str2bool, default=False,
+                   help="with --use-lora: int8-quantize the FROZEN text "
+                        "base (qwen3.quantize_for_training) — halves its "
+                        "HBM footprint/stream; adapters stay bf16 (the "
+                        "reference's prepare_model_for_kbit_training)")
     # eval / save
     p.add_argument("--eval-interval", type=int, default=200)
     p.add_argument("--save-interval", type=int, default=500)
@@ -299,6 +304,15 @@ def run_training(args) -> dict:
     if lora_cfg:
         assert not use_pp, "--use-lora is unsupported under --mesh-pipe"
         params = attach_lora(params, cfg, lora_cfg, jax.random.key(1))
+        if args.qlora:
+            # int8 frozen base under the bf16 adapters (QLoRA): the
+            # layer linears/expert stacks swap to quantized storage,
+            # embedding/head/norms stay bf16 for the fused-LCE loss
+            from ..models import qwen3 as _q
+            params["text"] = _q.quantize_for_training(params["text"],
+                                                      cfg.text)
+    else:
+        assert not args.qlora, "--qlora requires --use-lora"
 
     # ---- mesh + sharding (replaces NCCL/ZeRO init, train.py:606-620) ----
     if use_pp:

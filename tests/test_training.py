@@ -256,3 +256,56 @@ def test_offload_opt_state_matches_default(setup):
     # second step runs from the offloaded state (steady-state shape)
     st2, _ = step(st_off, batch, jax.random.key(4))
     assert int(st2.step) == 2
+
+
+def test_qlora_int8_base_lora_training(setup):
+    """QLoRA regime: int8-quantized frozen text base
+    (qwen3.quantize_for_training) under bf16 adapters — the step runs,
+    the loss falls, only adapters/projectors move, and the quantized
+    leaves keep int8 storage. Dense and MoE variants."""
+    from molly_tpu.models import tiny_moe
+
+    cfg, params, batch = setup
+    for moe in (False, True):
+        if moe:
+            import dataclasses
+            mcfg = dataclasses.replace(
+                setup[0],
+                text=tiny_moe(vocab_size=64, num_hidden_layers=2))
+            mparams = fusion.init_params(mcfg, jax.random.key(7))
+        else:
+            mcfg, mparams = cfg, params
+        lcfg = LoraConfig(r=4, dropout=0.0)
+        lp = attach_lora(mparams, mcfg, lcfg, jax.random.key(2))
+        lp = {**lp, "text": qwen3.quantize_for_training(lp["text"],
+                                                        mcfg.text)}
+        assert lp["text"]["layers"][
+            "expert_gate" if moe else "q_proj"]["w_q"].dtype == jnp.int8
+        tc = TrainConfig(learning_rate=5e-3, total_steps=10,
+                         warmup_ratio=0.0, lora=lcfg)
+        state = init_train_state(lp, tc)
+        step = jax.jit(make_train_step(mcfg, tc))
+        losses = []
+        for i in range(4):
+            state, m = step(state, batch, jax.random.key(i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], (moe, losses)
+        assert not _changed(lp["text"], state.params["text"])
+        assert _changed(lp["lora"], state.params["lora"])
+
+
+def test_qlora_sharded_specs_cover_quantized_leaves():
+    """param_specs must shard the int8 {w_q, scale} leaves (a replicated
+    int8 base would forfeit the fsdp memory win)."""
+    from molly_tpu.parallel import param_specs
+
+    cfg = FusionConfig(text=tiny_qwen3(vocab_size=64, num_hidden_layers=2),
+                       dna_rna=tiny_esm(vocab_size=16),
+                       protein=tiny_esm(vocab_size=20),
+                       dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    params["text"] = qwen3.quantize_for_training(params["text"], cfg.text)
+    specs = param_specs(params)
+    sq = specs["text"]["layers"]["q_proj"]
+    assert "fsdp" in str(sq["w_q"]), sq
+    assert str(sq["scale"]) != "PartitionSpec()", sq
