@@ -92,6 +92,10 @@ def main():
     ap.add_argument("--full-ft", action="store_true",
                     help="train mode: full fine-tune (all decoder params) "
                          "instead of LoRA; qwen3-0.6b fits one chip")
+    ap.add_argument("--qlora", action="store_true",
+                    help="train mode: int8-quantize the frozen base under "
+                         "the LoRA adapters (quantize_for_training) — "
+                         "8B LoRA fits one 16 GB chip")
     ap.add_argument("--n-req", type=int, default=None,
                     help="serve mode: workload depth (default 4x slots — "
                          "a deep queue keeps backfill going; the static "
@@ -636,6 +640,13 @@ def bench_train(args):
         params = attach_lora(params, cfg, lcfg, jax.random.key(3),
                              dtype="bfloat16")
         recipe = "LoRA fine-tune"
+        if args.qlora:
+            # int8 frozen base (QLoRA): 8B LoRA fits ONE 16 GB chip —
+            # the reference needs 8 GPUs + ZeRO-2 for this model class
+            from molly_tpu.models import qwen3 as _q
+            params["text"] = _q.quantize_for_training(params["text"],
+                                                      cfg.text)
+            recipe = "QLoRA (int8 base) fine-tune"
     state = init_train_state(params, tc)
     step = jax.jit(make_train_step(cfg, tc), donate_argnums=0)
     state, m = step(state, batch, jax.random.key(1))

@@ -20,6 +20,13 @@ timeout 1200 python bench.py --mode train --preset qwen3-0.6b \
 timeout 1200 python bench.py --mode train --preset qwen3-1.7b \
     --remat dots --train-batch 8 || true
 
+echo "=== 2b. QLoRA headline: 8B LoRA fine-tune on ONE 16 GB chip ==="
+# the reference needs 8 GPUs + ZeRO-2 for this model class
+timeout 1800 python bench.py --mode train --preset qwen3-8b --qlora \
+    --remat full --train-batch 1 || true
+timeout 1200 python bench.py --mode train --preset qwen3-1.7b --qlora \
+    --remat dots --train-batch 8 || true
+
 echo "=== 3. MoE decode: attention-only int8 vs +experts vs bf16 ==="
 timeout 1800 python bench.py --preset qwen3-moe-mini --no-int8 || true
 timeout 1800 python bench.py --preset qwen3-moe-mini --int8 || true
