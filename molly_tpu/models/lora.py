@@ -116,7 +116,17 @@ def merge_lora(params: Dict[str, Any], lora: Dict[str, Any],
               else "lir,lro->lio")
         delta = jnp.einsum(eq, ab["a"].astype(jnp.float32),
                            ab["b"].astype(jnp.float32)) * lora_cfg.scale
-        new_layers[name] = (new_layers[name].astype(jnp.float32)
-                           + delta).astype(new_layers[name].dtype)
+        base = new_layers[name]
+        if isinstance(base, dict) and "w_q" in base:
+            # QLoRA int8 base (qwen3.quantize_for_training): dequantize,
+            # merge, and hand back a dense weight in the model dtype
+            # (re-quantize for serving with quantize_for_decode)
+            base = (base["w_q"].astype(jnp.float32)
+                    * base["scale"][..., None, :])
+            new_layers[name] = (base + delta).astype(
+                params["embed"].dtype)
+        else:
+            new_layers[name] = (base.astype(jnp.float32)
+                                + delta).astype(base.dtype)
     out["layers"] = new_layers
     return out

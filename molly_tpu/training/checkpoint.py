@@ -40,6 +40,28 @@ def _checkpointer():
     return _ASYNC_CKPTR
 
 
+def _serializable_tree(tree):
+    """Orbax writes a ``_sharding`` manifest next to the arrays; leaves
+    carrying shardings it cannot serialize (e.g. GSPMDSharding, which
+    jit sometimes assigns to outputs under a mesh) are silently OMITTED
+    from the manifest ("Conversion ... has not been implemented"
+    warnings), producing checkpoints that cannot be restored or even
+    metadata-read without an exact target tree (NOT_FOUND on the
+    manifest member). Normalize such leaves to host numpy before saving
+    — single-process only; such leaves are rare (observed: LoRA
+    optimizer moments) and small."""
+    if jax.process_count() > 1:
+        return tree
+
+    def fix(x):
+        if isinstance(x, jax.Array) and \
+                type(x.sharding).__name__ == "GSPMDSharding":
+            return np.asarray(x)
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
 def save_train_state(path: str, state, *, force: bool = True,
                      wait: bool = False) -> None:
     """Asynchronous save: returns as soon as the arrays are snapshotted;
@@ -49,8 +71,9 @@ def save_train_state(path: str, state, *, force: bool = True,
     it for preemption checkpoints, where the process is about to die."""
     ckptr = _checkpointer()
     ckptr.save(os.path.abspath(path),
-               {"params": state.params, "opt_state": state.opt_state,
-                "step": state.step}, force=force)
+               _serializable_tree(
+                   {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}), force=force)
     if wait:
         ckptr.wait_until_finished()
 

@@ -435,3 +435,31 @@ def test_offline_moe_int8_experts_matches_online():
     for i in range(n):
         got = out["tokens"][i, :out["lengths"][i]]
         np.testing.assert_array_equal(got, ref[i])
+
+
+def test_offline_moe_spec_lookup_token_exact():
+    """In-ring prompt-lookup speculation on a MoE decoder (the k+1-wide
+    verify runs the sparse FFN at S>1 with per-row cache columns):
+    greedy output must equal the plain ring's."""
+    from molly_tpu.models import tiny_moe
+
+    cfg = FusionConfig(
+        text=tiny_moe(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=8),
+        dna_rna=tiny_esm(vocab_size=16), protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(6))
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 6, 2
+    ids, mask = _queue(n, bucket, seed=11)
+    plain = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                        max_len=64, admit_group=2)
+    spec = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                       max_len=64, admit_group=2, spec_lookup=3)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            spec["tokens"][i, :spec["lengths"][i]],
+            plain["tokens"][i, :plain["lengths"][i]])

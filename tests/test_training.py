@@ -309,3 +309,35 @@ def test_qlora_sharded_specs_cover_quantized_leaves():
     sq = specs["text"]["layers"]["q_proj"]
     assert "fsdp" in str(sq["w_q"]), sq
     assert str(sq["scale"]) != "PartitionSpec()", sq
+
+
+def test_qlora_merge_dequantizes_base(setup):
+    """merge_lora on an int8 QLoRA base dequantizes, folds the adapters,
+    and reproduces the unmerged (int8 base + bypass) forward."""
+    cfg, params, batch = setup
+    lcfg = LoraConfig(r=4, dropout=0.0)
+    lp = attach_lora(params, cfg, lcfg, jax.random.key(3))
+    lp = {**lp, "text": qwen3.quantize_for_training(lp["text"], cfg.text)}
+    lora = jax.tree.map(lambda v: v + 0.01, lp["lora"])  # nonzero b
+    ids = batch["input_ids"]
+    merged = merge_lora(lp["text"], lora, lcfg)
+    assert not isinstance(merged["layers"]["q_proj"], dict)
+    got = qwen3.forward_logits(merged, cfg.text, input_ids=ids)
+
+    # tight: merged == explicitly-dequantized base + adapters (both f32)
+    deq_layers = {
+        k: (v["w_q"].astype(jnp.float32) * v["scale"][..., None, :]
+            if isinstance(v, dict) and "w_q" in v else v)
+        for k, v in lp["text"]["layers"].items()}
+    deq = {**lp["text"], "layers": deq_layers}
+    ref = qwen3.forward_logits(deq, cfg.text, input_ids=ids,
+                               lora=lora, lora_scale=lcfg.scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # loose: the live int8 path computes its matmuls in bf16 (ops.quant
+    # XLA fallback), so it may differ by bf16 noise only
+    unmerged = qwen3.forward_logits(lp["text"], cfg.text, input_ids=ids,
+                                    lora=lora, lora_scale=lcfg.scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(unmerged),
+                               rtol=0.2, atol=0.05)
