@@ -27,8 +27,25 @@ import time
 import numpy as np
 
 # persistent executable cache: identical shapes/configs across bench runs
-# reuse compiles instead of paying 20-240 s each per process
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/molly_jax_cache")
+# reuse compiles instead of paying 20-240 s each per process. Salted with
+# the host CPU fingerprint: XLA:CPU AOT results deserialized under
+# different machine features SEGFAULT (observed; the cpu_aot_loader
+# SIGILL warning is real) — this VM's CPU flags change across sessions.
+
+
+def _host_tag():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.processor() or "unknown"
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/molly_jax_cache_{_host_tag()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 # estimated reference-stack decode throughput on one A100 (HF generate +

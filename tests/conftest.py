@@ -26,6 +26,24 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Single-core CPU compiles are slow; cache compiled executables across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/molly_jax_cache")
+# The cache dir is SALTED with the host CPU-feature fingerprint: XLA:CPU
+# AOT results compiled under different machine features (this VM's CPU
+# flags change across sessions) SEGFAULT when deserialized — the
+# cpu_aot_loader "could lead to SIGILL" warning is not hypothetical.
+import hashlib  # noqa: E402
+
+
+def _host_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.processor() or "unknown"
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/molly_jax_cache_{_host_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
