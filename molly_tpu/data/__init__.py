@@ -10,13 +10,15 @@ from .omics_dataset import (
     DataConfig,
     OmicsDataset,
     OmicsSampleEncoder,
+    StreamingOmicsDataset,
     task_name_to_id,
     LABEL_IGNORE,
     ENCODER_PAD_ID,
     NUM_DOMAIN_TASKS,
     UNKNOWN_TASK_ID,
 )
-from .collate import collate_train, collate_test, iterate_batches
+from .collate import (collate_train, collate_test, iterate_batches,
+                      iterate_stream_batches)
 
 
 def default_modality_tokenizers():

@@ -38,6 +38,26 @@ def collate_test(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return batch
 
 
+def iterate_stream_batches(
+    dataset,
+    batch_size: int,
+    *,
+    epoch: int = 0,
+    drop_last: bool = True,
+    collate_fn=collate_train,
+) -> Iterator[Dict[str, Any]]:
+    """Chunk a StreamingOmicsDataset epoch into collated batches
+    (shuffling lives inside the dataset's row-group/reservoir logic)."""
+    buf = []
+    for s in dataset.iter_epoch(epoch):
+        buf.append(s)
+        if len(buf) == batch_size:
+            yield collate_fn(buf)
+            buf = []
+    if buf and not drop_last:
+        yield collate_fn(buf)
+
+
 def iterate_batches(
     dataset,
     batch_size: int,

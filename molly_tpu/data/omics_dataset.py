@@ -396,3 +396,78 @@ class OmicsDataset:
         if self.mode == "test":
             return self.encoder.encode_test(row)
         return self.encoder.encode_train(row)
+
+
+class StreamingOmicsDataset:
+    """Row-group-streaming dataset for corpora larger than host RAM.
+
+    The reference (and OmicsDataset above) load the ENTIRE parquet into
+    pandas before training (/root/reference/src/dataset/omics_dataset.py
+    reads the file up front) — fine at SFT scale, a hard cap at
+    production pretraining scale. This variant reads pyarrow ROW GROUPS
+    lazily:
+
+      - per-host sharding: row groups round-robin over
+        ``shard_index::shard_count`` (the multi-host input contract of
+        OmicsDataset, at row-group granularity)
+      - approximate global shuffle (train mode): the row-group ORDER is
+        permuted per epoch (seed + epoch) and samples additionally mix
+        through a ``shuffle_buffer``-deep reservoir
+      - samples are tokenized on the fly; compose with
+        ``data.pipeline.prefetch`` for host/device overlap
+        (``CachingDataset`` deliberately does not apply — the point is
+        NOT holding the corpus in memory)
+    """
+
+    def __init__(self, path: str, text_tokenizer, dna_rna_tokenizer,
+                 protein_tokenizer, config: DataConfig,
+                 mode: str = "train", shard_index: int = 0,
+                 shard_count: int = 1, shuffle_buffer: int = 2048,
+                 seed: int = 42):
+        import pyarrow.parquet as pq
+
+        self._path = path
+        md = pq.ParquetFile(path).metadata
+        self._groups = list(range(md.num_row_groups))[
+            shard_index::shard_count]
+        self._rows = sum(md.row_group(g).num_rows for g in self._groups)
+        self.mode = mode
+        self._buffer = shuffle_buffer if mode == "train" else 0
+        self._seed = seed
+        self.encoder = OmicsSampleEncoder(
+            text_tokenizer, dna_rna_tokenizer, protein_tokenizer, config)
+
+    def __len__(self) -> int:
+        return self._rows
+
+    def iter_epoch(self, epoch: int = 0):
+        """Yield encoded samples for one pass (a fresh file handle per
+        epoch: safe under the background prefetch thread)."""
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(self._seed + epoch)
+        order = list(rng.permutation(len(self._groups))
+                     if self.mode == "train" else range(len(self._groups)))
+        encode = (self.encoder.encode_test if self.mode == "test"
+                  else self.encoder.encode_train)
+        pf = pq.ParquetFile(self._path)
+        try:
+            buf = []
+            for gi in order:
+                rows = pf.read_row_group(self._groups[gi]).to_pylist()
+                if self.mode == "train":
+                    rng.shuffle(rows)
+                for row in rows:
+                    if self._buffer <= 1:
+                        yield encode(row)
+                        continue
+                    buf.append(row)
+                    if len(buf) >= self._buffer:
+                        j = int(rng.integers(len(buf)))
+                        buf[j], buf[-1] = buf[-1], buf[j]
+                        yield encode(buf.pop())
+            rng.shuffle(buf)
+            for row in buf:
+                yield encode(row)
+        finally:
+            pf.close()

@@ -117,12 +117,19 @@ def input_pipeline(dataset, batch_size: int, *, shuffle: bool = False,
                    depth: int = 2, drop_last: bool = True):
     """The composed pipeline the train CLI uses: epoch iterator ->
     background prefetch -> (optional) one-ahead device transfer."""
-    from .collate import collate_train, iterate_batches
+    from .collate import (collate_train, iterate_batches,
+                          iterate_stream_batches)
 
-    it = iterate_batches(dataset, batch_size, shuffle=shuffle, seed=seed,
-                         drop_last=drop_last,
-                         collate_fn=collate_fn or collate_train,
-                         epoch=epoch)
+    if hasattr(dataset, "iter_epoch"):  # StreamingOmicsDataset: shuffle
+        # lives in its row-group/reservoir logic, not in an index permute
+        it = iterate_stream_batches(dataset, batch_size, epoch=epoch,
+                                    drop_last=drop_last,
+                                    collate_fn=collate_fn or collate_train)
+    else:
+        it = iterate_batches(dataset, batch_size, shuffle=shuffle,
+                             seed=seed, drop_last=drop_last,
+                             collate_fn=collate_fn or collate_train,
+                             epoch=epoch)
     out = prefetch(it, depth=depth)
     if put is not None:
         out = device_put_prefetch(out, put)

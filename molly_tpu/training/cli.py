@@ -86,6 +86,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="background-thread batch prefetch depth "
                         "(0 disables; 2 double-buffers)")
+    p.add_argument("--streaming", type=str2bool, default=False,
+                   help="stream the train parquet by row group instead of "
+                        "loading it into memory (corpora larger than host "
+                        "RAM; approximate shuffle via row-group permute + "
+                        "reservoir; per-host sharding by row group)")
     p.add_argument("--cache-dataset", type=str2bool, default=True,
                    help="tokenize each sample once and replay from memory "
                         "across epochs")
@@ -260,10 +265,17 @@ def run_training(args) -> dict:
     # per-host input sharding (multi-host GSPMD: each host reads only its
     # slice, batches reassemble globally via make_global_batch below)
     pi, pc = jax.process_index(), jax.process_count()
-    train_ds = OmicsDataset(args.train_dataset_path, text_tok, dna_tok,
-                            prot_tok, dconf, read_nums=args.read_nums,
-                            shuffle=True, seed=args.seed,
-                            shard_index=pi, shard_count=pc)
+    if args.streaming:
+        from ..data import StreamingOmicsDataset
+        assert not args.read_nums, "--read-nums unsupported with --streaming"
+        train_ds = StreamingOmicsDataset(
+            args.train_dataset_path, text_tok, dna_tok, prot_tok, dconf,
+            seed=args.seed, shard_index=pi, shard_count=pc)
+    else:
+        train_ds = OmicsDataset(args.train_dataset_path, text_tok, dna_tok,
+                                prot_tok, dconf, read_nums=args.read_nums,
+                                shuffle=True, seed=args.seed,
+                                shard_index=pi, shard_count=pc)
     eval_ds = None
     if args.eval_dataset_path:
         econf = dataclasses.replace(dconf, max_len=args.eval_max_len)
@@ -271,7 +283,7 @@ def run_training(args) -> dict:
                                prot_tok, econf,
                                read_nums=args.eval_read_nums,
                                shard_index=pi, shard_count=pc)
-    if args.cache_dataset:
+    if args.cache_dataset and not args.streaming:
         from ..data.pipeline import CachingDataset
         train_ds = CachingDataset(train_ds)
         if eval_ds is not None:

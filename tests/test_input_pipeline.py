@@ -105,3 +105,81 @@ def test_input_pipeline_matches_plain_iteration():
     assert len(plain) == len(piped)
     for a, b in zip(plain, piped):
         np.testing.assert_array_equal(a, b)
+
+
+def _gc_parquet(path, n=40, row_group_size=8):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [{"task": "pd-prom_300_all",
+             "input": f"Is <dna>{'ACGT' * 4}</dna> sample {i}?",
+             "output": "Yes" if i % 2 else "No", "think": "",
+             "label": "positive" if i % 2 else "negative",
+             "kind": "dna"} for i in range(n)]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path,
+                   row_group_size=row_group_size)
+    return rows
+
+
+def _stream_ds(path, **kw):
+    from molly_tpu.data import (DataConfig, StreamingOmicsDataset,
+                                default_modality_tokenizers,
+                                load_text_tokenizer)
+    dna, prot = default_modality_tokenizers()
+    return StreamingOmicsDataset(
+        str(path), load_text_tokenizer(None), dna, prot,
+        DataConfig(max_len=256, dna_rna_k_tokens=4, protein_k_tokens=4),
+        **kw)
+
+
+def test_streaming_dataset_covers_all_rows_and_matches_mapstyle(tmp_path):
+    """One streaming epoch yields exactly the map-style dataset's samples
+    (as a multiset over input_ids), across row-group boundaries."""
+    from molly_tpu.data import (DataConfig, OmicsDataset,
+                                default_modality_tokenizers,
+                                load_text_tokenizer)
+
+    p = tmp_path / "d.parquet"
+    _gc_parquet(p, n=40, row_group_size=8)
+    ds = _stream_ds(p, shuffle_buffer=16)
+    assert len(ds) == 40
+    got = sorted(tuple(s["input_ids"].tolist())
+                 for s in ds.iter_epoch(0))
+    dna, prot = default_modality_tokenizers()
+    ref_ds = OmicsDataset(str(p), load_text_tokenizer(None), dna, prot,
+                          DataConfig(max_len=256, dna_rna_k_tokens=4,
+                                     protein_k_tokens=4))
+    ref = sorted(tuple(ref_ds[i]["input_ids"].tolist())
+                 for i in range(len(ref_ds)))
+    assert got == ref
+
+
+def test_streaming_dataset_shards_partition(tmp_path):
+    """Two host shards cover disjoint row groups whose union is the file;
+    epochs reshuffle but keep the multiset."""
+    p = tmp_path / "d.parquet"
+    _gc_parquet(p, n=40, row_group_size=8)  # 5 row groups
+    a = _stream_ds(p, shard_index=0, shard_count=2, shuffle_buffer=4)
+    b = _stream_ds(p, shard_index=1, shard_count=2, shuffle_buffer=4)
+    assert len(a) + len(b) == 40
+    sa = {tuple(s["input_ids"].tolist()) for s in a.iter_epoch(0)}
+    sb = {tuple(s["input_ids"].tolist()) for s in b.iter_epoch(0)}
+    assert not (sa & sb)
+    # epoch 1 yields the same multiset in a different order
+    e0 = [tuple(s["input_ids"].tolist()) for s in a.iter_epoch(0)]
+    e1 = [tuple(s["input_ids"].tolist()) for s in a.iter_epoch(1)]
+    assert sorted(e0) == sorted(e1) and e0 != e1
+
+
+def test_streaming_through_input_pipeline(tmp_path):
+    """input_pipeline consumes a streaming dataset (iterate_stream_batches
+    under the prefetch thread) and yields full static-shape batches."""
+    p = tmp_path / "d.parquet"
+    _gc_parquet(p, n=40, row_group_size=8)
+    ds = _stream_ds(p, shuffle_buffer=8)
+    batches = list(input_pipeline(ds, 8, epoch=0))
+    assert len(batches) == 5
+    for b in batches:
+        assert b["input_ids"].shape[0] == 8
+        assert b["labels"].shape == b["input_ids"].shape
