@@ -1,0 +1,314 @@
+"""OpenAI-compatible HTTP serving front-end over the continuous-batching
+engine.
+
+The reference has no online serving at all — its only inference mode is a
+batch script over a fixed parquet (/root/reference/src/inference_lora.py).
+This module puts an HTTP API (stdlib-only: http.server) in front of
+``inference.server.ServingEngine`` so molly can be queried interactively:
+
+  POST /v1/completions        {"prompt": ..., "max_tokens": ..., "stream": ...}
+  POST /v1/chat/completions   {"messages": [...], ...}
+  GET  /v1/models, GET /health
+
+Prompts go through the SAME dataset encoder as training/batch inference
+(chat template + <dna>/<rna>/<protein> tag splicing + placeholder blocks,
+/root/reference/src/dataset/omics_dataset.py:87-92,265-293), so omics tags
+work in API prompts exactly as they do in parquet rows.
+
+Scheduling: one background thread drives ``engine.step()``; HTTP handler
+threads submit requests and block on (or stream from) per-request state.
+Sampling parameters are SERVER-level (compiled into the decode program);
+a request asking for different ones gets them echoed back in a
+``"molly_sampling"`` field rather than silently honored. Per-request
+``max_tokens`` IS honored (slot caps).
+
+Run: ``python -m molly_tpu.inference.cli --api-serve --port 8000 ...``
+(same model/adapter/quantization flags as batch inference).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+_ARR_KEYS = ("input_ids", "attention_mask", "dna_rna_tokens",
+             "dna_rna_pos", "protein_tokens", "protein_pos")
+
+
+@dataclass
+class _Pending:
+    done: threading.Event = field(default_factory=threading.Event)
+    tokens: Optional[np.ndarray] = None
+    stream: Optional["queue.Queue[Optional[str]]"] = None
+    sent_text: str = ""  # already-delivered decoded prefix (stream mode)
+
+
+class OnlineServer:
+    """Thread-safe online wrapper around ServingEngine.
+
+    ``enqueue`` encodes a prompt and submits it; ``wait``/``stream_iter``
+    deliver the result. A daemon scheduler thread runs engine rounds only
+    while there is work (no idle device polling)."""
+
+    def __init__(self, params, cfg, gen, encoder, text_tok, *,
+                 n_slots: int = 8, decode_chunk: int = 16,
+                 admit_batch: int = 4, kv_quant: Optional[str] = None,
+                 rng=None):
+        import jax
+
+        from .server import ServingEngine
+
+        self.encoder = encoder
+        self.tok = text_tok
+        self.gen = gen
+        prefix_ids = encoder.system_prompt_ids
+        s_pre = len(prefix_ids)
+        # mirror inference.cli._run_serve: encode_test pads prompts to the
+        # dataset window; the engine sees suffixes of one fixed bucket
+        self.engine = ServingEngine(
+            params, cfg, gen, n_slots=n_slots,
+            max_len=encoder.cfg.max_len + gen.max_new_tokens,
+            prefill_buckets=(encoder.cfg.max_len - s_pre,),
+            decode_chunk=decode_chunk, admit_batch=admit_batch,
+            kv_quant=kv_quant, prefix_ids=prefix_ids,
+            stream_cb=self._on_stream,
+            rng=rng if rng is not None else jax.random.key(0))
+        self._uid = itertools.count()
+        self._mu = threading.Lock()          # guards engine state
+        self._cv = threading.Condition()     # work-arrival signal
+        self._reqs: Dict[int, _Pending] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- scheduler thread ---------------------------------------------------
+
+    def _loop(self) -> None:
+        while not self._stop:
+            with self._mu:
+                busy = self.engine.step()
+                self._harvest()
+            if not busy:
+                with self._cv:
+                    if not self._stop and not self.engine._pending:
+                        self._cv.wait(timeout=0.1)
+
+    def _harvest(self) -> None:
+        """Materialize finished results and resolve waiters (mu held)."""
+        res = self.engine._results
+        for uid in list(res):
+            v = res.pop(uid)
+            if isinstance(v, tuple):
+                rows, j, n = v
+                v = np.asarray(rows)[j, :n]
+            p = self._reqs.get(uid)
+            if p is None:
+                continue
+            p.tokens = np.asarray(v)
+            if p.stream is not None:
+                delta = self._decode(p.tokens)[len(p.sent_text):]
+                if delta:
+                    p.stream.put(delta)
+                p.stream.put(None)  # sentinel
+            p.done.set()
+
+    def _on_stream(self, uid, toks: np.ndarray) -> None:
+        """engine stream_cb (called inside step, mu held by scheduler)."""
+        p = self._reqs.get(uid)
+        if p is None or p.stream is None or p.done.is_set():
+            return
+        text = self._decode(toks)
+        # never emit a partial final token's replacement char mid-stream
+        if text.endswith("�"):
+            return
+        if len(text) > len(p.sent_text):
+            p.stream.put(text[len(p.sent_text):])
+            p.sent_text = text
+
+    # -- request API ----------------------------------------------------
+
+    def _decode(self, toks: np.ndarray) -> str:
+        ids = toks[toks != self.gen.pad_token_id]
+        return self.tok.decode(ids.tolist(), skip_special_tokens=True)
+
+    def enqueue(self, prompt: str, max_tokens: Optional[int] = None,
+                stream: bool = False) -> int:
+        from .server import Request
+
+        sample = self.encoder.encode_test({"input": prompt})
+        batch = {k: np.asarray(sample[k])[None] for k in _ARR_KEYS
+                 if k in sample}
+        uid = next(self._uid)
+        cap = (min(int(max_tokens), self.gen.max_new_tokens)
+               if max_tokens else None)
+        p = _Pending(stream=queue.Queue() if stream else None)
+        with self._mu:
+            self._reqs[uid] = p
+            self.engine.submit(Request(uid=uid, batch=batch,
+                                       max_new_tokens=cap))
+        with self._cv:
+            self._cv.notify_all()
+        return uid
+
+    def wait(self, uid: int, timeout: float = 600.0):
+        """Block until finished; returns (text, finish_reason, n_tokens)."""
+        p = self._reqs[uid]
+        if not p.done.wait(timeout):
+            raise TimeoutError(f"request {uid} timed out")
+        toks = p.tokens
+        del self._reqs[uid]
+        stopped = bool(np.any(toks == self.gen.eos_token_id))
+        return (self._decode(toks), "stop" if stopped else "length",
+                int((toks != self.gen.pad_token_id).sum()))
+
+    def stream_iter(self, uid: int, timeout: float = 600.0):
+        """Yield text deltas until the request finishes."""
+        p = self._reqs[uid]
+        while True:
+            delta = p.stream.get(timeout=timeout)
+            if delta is None:
+                break
+            yield delta
+        del self._reqs[uid]
+
+    def close(self) -> None:
+        self._stop = True
+        with self._cv:
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+
+# -- HTTP layer -----------------------------------------------------------
+
+
+def _chat_to_prompt(messages: List[Dict[str, str]]) -> str:
+    """Map OpenAI chat messages onto molly's single-turn contract: the
+    system prompt is FIXED by the dataset chat template (the reference
+    hard-codes it, omics_dataset.py:87-92), so user turns concatenate into
+    the `input` field and non-user roles are ignored."""
+    return "\n".join(m.get("content", "") for m in messages
+                     if m.get("role") == "user").strip()
+
+
+def make_http_server(online: OnlineServer, host: str, port: int,
+                     model_name: str = "molly-tpu") -> ThreadingHTTPServer:
+    gen = online.gen
+    sampling = {"temperature": gen.temperature, "top_p": gen.top_p,
+                "top_k": gen.top_k,
+                "repetition_penalty": gen.repetition_penalty,
+                "do_sample": gen.do_sample}
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: Dict[str, Any]) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": model_name, "object": "model",
+                     "owned_by": "molly_tpu"}]})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json(400, {"error": "bad json"})
+            chat = self.path == "/v1/chat/completions"
+            if self.path not in ("/v1/completions", "/v1/chat/completions"):
+                return self._json(404, {"error": "not found"})
+            if chat:
+                prompt = _chat_to_prompt(body.get("messages", []))
+            else:
+                prompt = body.get("prompt", "")
+                if isinstance(prompt, list):
+                    prompt = prompt[0] if prompt else ""
+            if not prompt:
+                return self._json(400, {"error": "empty prompt"})
+            uid = online.enqueue(prompt, body.get("max_tokens"),
+                                 stream=bool(body.get("stream")))
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uid}"
+            if body.get("stream"):
+                return self._sse(uid, rid, chat)
+            text, reason, n_tok = online.wait(uid)
+            choice = ({"index": 0, "message": {"role": "assistant",
+                                               "content": text},
+                       "finish_reason": reason} if chat else
+                      {"index": 0, "text": text, "finish_reason": reason})
+            self._json(200, {
+                "id": rid,
+                "object": "chat.completion" if chat else "text_completion",
+                "created": int(time.time()), "model": model_name,
+                "choices": [choice],
+                "usage": {"completion_tokens": n_tok},
+                "molly_sampling": sampling,
+            })
+
+        def _sse(self, uid: int, rid: str, chat: bool) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            obj = "chat.completion.chunk" if chat else "text_completion"
+            for delta in online.stream_iter(uid):
+                choice = ({"index": 0, "delta": {"content": delta},
+                           "finish_reason": None} if chat else
+                          {"index": 0, "text": delta,
+                           "finish_reason": None})
+                chunk = {"id": rid, "object": obj,
+                         "created": int(time.time()), "choices": [choice]}
+                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.daemon_threads = True
+    return httpd
+
+
+def run_api_server(args, params, cfg, gen, text_tok, dna_tok, prot_tok,
+                   dcfg) -> None:
+    """Entry used by ``inference.cli --api-serve``."""
+    from ..data.omics_dataset import OmicsSampleEncoder
+
+    encoder = OmicsSampleEncoder(text_tok, dna_tok, prot_tok, dcfg)
+    online = OnlineServer(
+        params, cfg, gen, encoder, text_tok,
+        n_slots=args.batch_size, decode_chunk=args.serve_chunk,
+        admit_batch=args.serve_admit,
+        kv_quant="int8" if args.serve_kv_int8 else None)
+    httpd = make_http_server(online, args.host, args.port)
+    print(f"[api-serve] listening on http://{args.host}:{args.port} "
+          f"(slots={args.batch_size}, sampling fixed at compile time)",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        online.close()

@@ -21,8 +21,11 @@ import numpy as np
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("molly_tpu batch inference")
-    p.add_argument("--input-file", required=True)
-    p.add_argument("--output-file", required=True)
+    p.add_argument("--input-file", default=None,
+                   help="parquet/jsonl of prompts (required unless "
+                        "--api-serve)")
+    p.add_argument("--output-file", default=None,
+                   help="JSONL sink (required unless --api-serve)")
     p.add_argument("--text-model-path", default=None,
                    help="local HF dir for tokenizer + base Qwen3 weights")
     p.add_argument("--checkpoint", default=None,
@@ -46,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max-new-tokens", type=int, default=3072)
     p.add_argument("--dna-rna-k-tokens", type=int, default=1024)
     p.add_argument("--protein-k-tokens", type=int, default=1024)
+    p.add_argument("--max-dna-rna-segments", type=int, default=4)
+    p.add_argument("--max-protein-segments", type=int, default=4)
+    p.add_argument("--strict-segments", action="store_true",
+                   help="error on segment-slot overflow instead of "
+                   "degrading loudly")
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--top-p", type=float, default=0.95)
     p.add_argument("--top-k", type=int, default=20)
@@ -97,11 +105,22 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="with --offline-ring: prompt-lookup speculation, "
                         "N draft tokens per round (greedy token-exact, "
                         "sampled distribution-exact)")
+    p.add_argument("--api-serve", action="store_true",
+                   help="serve an OpenAI-compatible HTTP API "
+                        "(/v1/completions, /v1/chat/completions) over the "
+                        "continuous-batching engine instead of reading "
+                        "--input-file; --batch-size sets the slot count")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
     return p
 
 
 def main(argv=None) -> None:
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if not args.api_serve and not (args.input_file and args.output_file):
+        parser.error("--input-file and --output-file are required "
+                     "(unless --api-serve)")
 
     import jax
     import jax.numpy as jnp
@@ -116,10 +135,15 @@ def main(argv=None) -> None:
     text_tok = load_text_tokenizer(args.text_model_path)
     dcfg = DataConfig(max_len=args.max_length,
                       dna_rna_k_tokens=args.dna_rna_k_tokens,
-                      protein_k_tokens=args.protein_k_tokens)
+                      protein_k_tokens=args.protein_k_tokens,
+                      max_dna_rna_segments=args.max_dna_rna_segments,
+                      max_protein_segments=args.max_protein_segments,
+                      strict_segments=args.strict_segments)
     dna_tok, prot_tok = default_modality_tokenizers()
-    ds = OmicsDataset(args.input_file, text_tok, dna_tok, prot_tok, dcfg,
-                      mode="test", read_nums=args.read_nums)
+    ds = None
+    if args.input_file:
+        ds = OmicsDataset(args.input_file, text_tok, dna_tok, prot_tok,
+                          dcfg, mode="test", read_nums=args.read_nums)
 
     if args.tiny:
         from ..models import tiny_esm, tiny_qwen3
@@ -170,6 +194,10 @@ def main(argv=None) -> None:
         pad_token_id=text_tok.pad_token_id or 0)
 
     rng = jax.random.key(args.seed)
+    if args.api_serve:
+        from .api_server import run_api_server
+        return run_api_server(args, params, cfg, gen, text_tok, dna_tok,
+                              prot_tok, dcfg)
     if args.offline_ring:
         return _run_offline_ring(args, ds, params, cfg, gen, text_tok, rng)
     if args.serve:

@@ -79,6 +79,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--protein-k-tokens", type=int, default=128)
     p.add_argument("--max-dna-rna-segments", type=int, default=4)
     p.add_argument("--max-protein-segments", type=int, default=4)
+    p.add_argument("--strict-segments", type=str2bool, default=False,
+                   help="error on segment-slot overflow / truncation "
+                   "straddle instead of degrading loudly (the reference "
+                   "hard-errors, omics_one.py:167-170)")
     p.add_argument("--read-nums", type=int, default=None)
     p.add_argument("--eval-read-nums", type=int, default=None)
     p.add_argument("--mode", default="sft", choices=["sft", "pretrain"])
@@ -261,7 +265,8 @@ def run_training(args) -> dict:
                        dna_rna_k_tokens=args.dna_rna_k_tokens,
                        protein_k_tokens=args.protein_k_tokens,
                        max_dna_rna_segments=args.max_dna_rna_segments,
-                       max_protein_segments=args.max_protein_segments)
+                       max_protein_segments=args.max_protein_segments,
+                       strict_segments=args.strict_segments)
     # per-host input sharding (multi-host GSPMD: each host reads only its
     # slice, batches reassemble globally via make_global_batch below)
     pi, pc = jax.process_index(), jax.process_count()

@@ -1,0 +1,150 @@
+"""OpenAI-compatible HTTP API over the continuous-batching engine:
+greedy parity with the batch engine, SSE streaming, chat endpoint,
+omics-tagged prompts, concurrency. (The reference has no online serving;
+its only inference mode is a batch script, inference_lora.py.)"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from molly_tpu.data import (DataConfig, collate_test,
+                            default_modality_tokenizers,
+                            load_text_tokenizer)
+from molly_tpu.data.omics_dataset import OmicsSampleEncoder
+from molly_tpu.inference.api_server import (OnlineServer, make_http_server)
+from molly_tpu.inference.engine import GenerationConfig, generate
+from molly_tpu.models import fusion, tiny_esm, tiny_qwen3
+from molly_tpu.models.fusion import FusionConfig
+
+PROMPTS = [
+    "What does this protein do? <protein>MKTAYIAKQR</protein>",
+    "Classify this sequence: <dna>ACGTACGTAACC</dna>",
+    "Is the sky blue?",
+]
+
+
+@pytest.fixture(scope="module")
+def api():
+    text_tok = load_text_tokenizer(None)
+    dna_tok, prot_tok = default_modality_tokenizers()
+    dcfg = DataConfig(max_len=256, dna_rna_k_tokens=4, protein_k_tokens=4)
+    encoder = OmicsSampleEncoder(text_tok, dna_tok, prot_tok, dcfg)
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=-(-text_tok.vocab_size // 128) * 128,
+                        dtype="float32"),
+        dna_rna=tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
+                         dtype="float32"),
+        protein=tiny_esm(vocab_size=prot_tok.vocab_size,
+                         mask_token_id=prot_tok.mask_id, dtype="float32"),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.1,
+                           eos_token_id=text_tok.eos_token_id,
+                           pad_token_id=text_tok.pad_token_id)
+    online = OnlineServer(params, cfg, gen, encoder, text_tok,
+                          n_slots=2, decode_chunk=2, admit_batch=1)
+    httpd = make_http_server(online, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+
+    def reference(prompt: str) -> str:
+        sample = encoder.encode_test({"input": prompt})
+        batch = collate_test([sample])
+        arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                if isinstance(v, np.ndarray)}
+        toks = np.asarray(generate(params, cfg, arrs, gen,
+                                   jax.random.key(0)))[0]
+        toks = toks[toks != gen.pad_token_id]
+        return text_tok.decode(toks.tolist(), skip_special_tokens=True)
+
+    yield port, reference
+    httpd.shutdown()
+    online.close()
+
+
+def _post(port: int, path: str, body: dict):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_completions_parity_concurrent(api):
+    port, reference = api
+    results: dict = {}
+
+    def hit(i, prompt):
+        with _post(port, "/v1/completions",
+                   {"prompt": prompt, "max_tokens": 8}) as r:
+            results[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=hit, args=(i, p))
+               for i, p in enumerate(PROMPTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {0, 1, 2}
+    for i, prompt in enumerate(PROMPTS):
+        body = results[i]
+        assert body["object"] == "text_completion"
+        choice = body["choices"][0]
+        assert choice["finish_reason"] in ("stop", "length")
+        assert choice["text"] == reference(prompt)
+        assert body["usage"]["completion_tokens"] > 0
+
+
+def test_streaming_sse_matches_nonstream(api):
+    port, reference = api
+    prompt = PROMPTS[2]
+    deltas = []
+    with _post(port, "/v1/completions",
+               {"prompt": prompt, "stream": True}) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            deltas.append(json.loads(payload)["choices"][0]["text"])
+    assert "".join(deltas) == reference(prompt)
+
+
+def test_chat_endpoint(api):
+    port, reference = api
+    with _post(port, "/v1/chat/completions", {"messages": [
+            {"role": "system", "content": "ignored (fixed template)"},
+            {"role": "user", "content": PROMPTS[0]}]}) as r:
+        body = json.loads(r.read())
+    assert body["object"] == "chat.completion"
+    msg = body["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert msg["content"] == reference(PROMPTS[0])
+
+
+def test_http_errors(api):
+    port, _ = api
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, "/v1/completions", {"prompt": ""})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, "/v1/nope", {"prompt": "x"})
+    assert ei.value.code == 404
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/models", timeout=30) as r:
+        assert json.loads(r.read())["data"][0]["id"]

@@ -95,3 +95,20 @@ def test_train_cli_resume(tmp_path):
     r2 = run_training(args)
     # resumed at step 2, ran up to total 3
     assert r2["steps"] >= 1
+
+
+def test_cli_segment_policy_flags():
+    """--strict-segments / --max-*-segments parse and reach DataConfig
+    defaults on both CLIs (plumbing regression, docs/MIGRATION.md)."""
+    from molly_tpu.inference.cli import build_argparser as infer_parser
+    from molly_tpu.training.cli import build_argparser as train_parser
+
+    t = train_parser().parse_args(
+        ["--train-dataset-path", "x.parquet", "--strict-segments", "true",
+         "--max-dna-rna-segments", "7"])
+    assert t.strict_segments is True and t.max_dna_rna_segments == 7
+
+    i = infer_parser().parse_args(
+        ["--input-file", "x.parquet", "--output-file", "y.jsonl",
+         "--strict-segments", "--max-protein-segments", "6"])
+    assert i.strict_segments is True and i.max_protein_segments == 6
