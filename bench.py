@@ -34,14 +34,19 @@ import numpy as np
 
 
 def _host_tag():
+    # CPU flags + model name: a same-flags host with a different
+    # microarchitecture must not reuse AOT entries (a stale entry
+    # segfaults on cache READ — observed twice; tests/conftest.py ditto)
     import hashlib
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(line for line in f if line.startswith("flags"))
-    except (OSError, StopIteration):
+            lines = f.readlines()
+        sig = "".join(line for line in lines[:30]
+                      if line.startswith(("flags", "model name")))
+    except OSError:
         import platform
-        flags = platform.processor() or "unknown"
-    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+        sig = platform.processor() or "unknown"
+    return hashlib.sha1(sig.encode()).hexdigest()[:8]
 
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",

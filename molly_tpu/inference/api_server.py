@@ -17,10 +17,11 @@ work in API prompts exactly as they do in parquet rows.
 
 Scheduling: one background thread drives ``engine.step()``; HTTP handler
 threads submit requests and block on (or stream from) per-request state.
-Sampling parameters are SERVER-level (compiled into the decode program);
-a request asking for different ones gets them echoed back in a
-``"molly_sampling"`` field rather than silently honored. Per-request
-``max_tokens`` IS honored (slot caps).
+Per-request ``max_tokens``, ``temperature`` (0 = greedy), ``top_k``,
+``top_p`` and ``repetition_penalty`` are honored: the engine's slots
+carry traced per-row sampling parameters (sample_tokens_rowwise), so one
+compiled decode program serves any parameter mix. Unset keys inherit the
+server's defaults, echoed in the ``"molly_sampling_defaults"`` field.
 
 Run: ``python -m molly_tpu.inference.cli --api-serve --port 8000 ...``
 (same model/adapter/quantization flags as batch inference).
@@ -140,7 +141,8 @@ class OnlineServer:
         return self.tok.decode(ids.tolist(), skip_special_tokens=True)
 
     def enqueue(self, prompt: str, max_tokens: Optional[int] = None,
-                stream: bool = False) -> int:
+                stream: bool = False,
+                sampling: Optional[Dict[str, Any]] = None) -> int:
         from .server import Request
 
         sample = self.encoder.encode_test({"input": prompt})
@@ -153,7 +155,8 @@ class OnlineServer:
         with self._mu:
             self._reqs[uid] = p
             self.engine.submit(Request(uid=uid, batch=batch,
-                                       max_new_tokens=cap))
+                                       max_new_tokens=cap,
+                                       sampling=sampling))
         with self._cv:
             self._cv.notify_all()
         return uid
@@ -247,8 +250,14 @@ def make_http_server(online: OnlineServer, host: str, port: int,
                     prompt = prompt[0] if prompt else ""
             if not prompt:
                 return self._json(400, {"error": "empty prompt"})
+            # per-request sampling overrides (engine slots carry traced
+            # per-row params — no recompile); unset keys inherit defaults
+            req_samp = {k: body[k] for k in
+                        ("temperature", "top_k", "top_p",
+                         "repetition_penalty") if k in body}
             uid = online.enqueue(prompt, body.get("max_tokens"),
-                                 stream=bool(body.get("stream")))
+                                 stream=bool(body.get("stream")),
+                                 sampling=req_samp or None)
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uid}"
             if body.get("stream"):
                 return self._sse(uid, rid, chat)
@@ -263,7 +272,7 @@ def make_http_server(online: OnlineServer, host: str, port: int,
                 "created": int(time.time()), "model": model_name,
                 "choices": [choice],
                 "usage": {"completion_tokens": n_tok},
-                "molly_sampling": sampling,
+                "molly_sampling_defaults": sampling,
             })
 
         def _sse(self, uid: int, rid: str, chat: bool) -> None:
@@ -303,7 +312,7 @@ def run_api_server(args, params, cfg, gen, text_tok, dna_tok, prot_tok,
         kv_quant="int8" if args.serve_kv_int8 else None)
     httpd = make_http_server(online, args.host, args.port)
     print(f"[api-serve] listening on http://{args.host}:{args.port} "
-          f"(slots={args.batch_size}, sampling fixed at compile time)",
+          f"(slots={args.batch_size}, per-request sampling enabled)",
           flush=True)
     try:
         httpd.serve_forever()

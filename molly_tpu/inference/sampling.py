@@ -47,6 +47,48 @@ def top_p_filter(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < threshold, NEG_INF, logits)
 
 
+def sample_tokens_rowwise(logits: jnp.ndarray, rng: jax.Array,
+                          samp: dict, presence: jnp.ndarray,
+                          *, max_top_k: int) -> jnp.ndarray:
+    """Per-ROW sampling parameters for mixed-request serving.
+
+    ``samp`` carries traced [B] arrays — ``greedy`` (bool),
+    ``temperature``, ``top_k`` (1..max_top_k), ``top_p``,
+    ``repetition_penalty`` — so ONE compiled decode program serves any
+    parameter mix (per-request sampling in the API server / engine).
+    Matches :func:`sample_tokens` exactly when every row carries the same
+    values: same processor order (penalty -> temperature -> top-k ->
+    top-p), same single categorical draw (identical rng stream when
+    ``max_top_k == top_k``). ``max_top_k`` is the STATIC candidate width;
+    0 = no top-k path (full-vocab nucleus), matching ``top_k=0``."""
+    logits = logits.astype(jnp.float32)
+    pen = samp["repetition_penalty"][:, None]
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    logits = jnp.where(presence, penalized, logits)
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.maximum(samp["temperature"], 1e-6)[:, None]
+    if max_top_k:
+        vals, idx = jax.lax.top_k(logits, max_top_k)  # [B, K] desc
+        pos = jnp.arange(max_top_k)[None, :]
+        vals = jnp.where(pos < samp["top_k"][:, None], vals, NEG_INF)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        vals = jnp.where((cum - probs) < samp["top_p"][:, None], vals,
+                         NEG_INF)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    else:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < samp["top_p"][:, None]
+        thr = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                      keepdims=True)
+        sampled = jax.random.categorical(
+            rng, jnp.where(logits < thr, NEG_INF, logits), axis=-1)
+    return jnp.where(samp["greedy"], greedy_tok, sampled)
+
+
 def sample_tokens(
     logits: jnp.ndarray,  # [B, V]
     rng: jax.Array,

@@ -45,7 +45,7 @@ import numpy as np
 from ..models import qwen3
 from ..models.fusion import FusionConfig
 from .engine import GenerationConfig
-from .sampling import sample_tokens
+from .sampling import sample_tokens_rowwise
 
 
 @dataclass
@@ -55,6 +55,11 @@ class Request:
     #                               attention_mask [1, S], optional
     #                               {dna_rna,protein}_{tokens,pos}
     max_new_tokens: Optional[int] = None  # per-request cap (<= engine cap)
+    # per-request sampling overrides (any of "greedy", "temperature",
+    # "top_k", "top_p", "repetition_penalty"); unset keys inherit the
+    # engine's GenerationConfig. top_k is bounded by the engine's
+    # compiled candidate width (gen.top_k); temperature <= 0 means greedy.
+    sampling: Optional[Dict[str, Any]] = None
 
 
 def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
@@ -97,8 +102,14 @@ def _split_state(s):
             {k: v for k, v in s.items() if k not in _HOT_KEYS})
 
 
-def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng,
-                         kv_pre, *, cfg: FusionConfig,
+def _samp_from_state(s) -> dict:
+    return {"greedy": s["samp_greedy"], "temperature": s["samp_temp"],
+            "top_k": s["samp_top_k"], "top_p": s["samp_top_p"],
+            "repetition_penalty": s["samp_pen"]}
+
+
+def _prefill_insert_impl(params, hot, cold, batch, slots, caps, samp,
+                         rng, kv_pre, *, cfg: FusionConfig,
                          gen: GenerationConfig, s_pre: int = 0):
     """Embed (with omics injection) + prefill + sample first tokens +
     insert for a GROUP of k same-bucket requests — ONE dispatch per
@@ -136,10 +147,8 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng,
         cache_index=s_pre)
     logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, -1])
     presence = jnp.zeros((k, tcfg.vocab_size), bool)
-    tok0 = sample_tokens(
-        logits, rng, do_sample=gen.do_sample, temperature=gen.temperature,
-        top_k=gen.top_k, top_p=gen.top_p,
-        repetition_penalty=gen.repetition_penalty, presence=presence)
+    tok0 = sample_tokens_rowwise(logits, rng, samp, presence,
+                                 max_top_k=gen.top_k)
     presence = presence.at[jnp.arange(k), tok0].set(True)
 
     s = dict(state)
@@ -164,6 +173,12 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, rng,
     s["out_buf"] = s["out_buf"].at[slots].set(out_rows)
     s["out_len"] = s["out_len"].at[slots].set(1)
     s["cap"] = s["cap"].at[slots].set(caps)
+    s["samp_greedy"] = s["samp_greedy"].at[slots].set(samp["greedy"])
+    s["samp_temp"] = s["samp_temp"].at[slots].set(samp["temperature"])
+    s["samp_top_k"] = s["samp_top_k"].at[slots].set(samp["top_k"])
+    s["samp_top_p"] = s["samp_top_p"].at[slots].set(samp["top_p"])
+    s["samp_pen"] = s["samp_pen"].at[slots].set(
+        samp["repetition_penalty"])
     done0 = jnp.logical_or(tok0 == gen.eos_token_id, caps <= 1)
     s["active"] = s["active"].at[slots].set(~done0)
     s["finished"] = s["finished"].at[slots].set(done0)
@@ -195,10 +210,8 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     s["valid"] = valid2
     s["head"] = s["head"] + 1
     logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, 0])
-    nxt = sample_tokens(
-        logits, rng, do_sample=gen.do_sample, temperature=gen.temperature,
-        top_k=gen.top_k, top_p=gen.top_p,
-        repetition_penalty=gen.repetition_penalty, presence=s["presence"])
+    nxt = sample_tokens_rowwise(logits, rng, _samp_from_state(s),
+                                s["presence"], max_top_k=gen.top_k)
     nxt = jnp.where(s["active"], nxt, gen.pad_token_id)
     safe = jnp.minimum(s["out_len"], s["out_buf"].shape[1] - 1)
     s["out_buf"] = s["out_buf"].at[rows, safe].set(
@@ -215,8 +228,8 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     return s
 
 
-def _prefill_decode_impl(params, hot, cold, batch, slots, caps, rng,
-                         kv_pre, stop_free, *, cfg, gen, s_pre,
+def _prefill_decode_impl(params, hot, cold, batch, slots, caps, samp,
+                         rng, kv_pre, stop_free, *, cfg, gen, s_pre,
                          prompt_cols, ring_cols, n_steps):
     """Admission group prefill + decode chunk in ONE dispatch. The
     scheduler's steady state is admit-then-decode every round; dispatching
@@ -225,8 +238,8 @@ def _prefill_decode_impl(params, hot, cold, batch, slots, caps, rng,
     slots one dispatch is worth ~440 slot-ticks of decode throughput."""
     r1, r2 = jax.random.split(rng)
     hot, cold = _prefill_insert_impl(params, hot, cold, batch, slots,
-                                     caps, r1, kv_pre, cfg=cfg, gen=gen,
-                                     s_pre=s_pre)
+                                     caps, samp, r1, kv_pre, cfg=cfg,
+                                     gen=gen, s_pre=s_pre)
     return _decode_chunk_impl(params, hot, cold, r2, stop_free, cfg=cfg,
                               gen=gen, prompt_cols=prompt_cols,
                               ring_cols=ring_cols, n_steps=n_steps)
@@ -394,6 +407,16 @@ class ServingEngine:
                 "cap": jnp.full((B,), T, jnp.int32),
                 "active": jnp.zeros((B,), bool),
                 "finished": jnp.zeros((B,), bool),
+                # per-slot sampling params (cold [B] rows, written at
+                # admission) — one compiled program serves any mix
+                "samp_greedy": jnp.full((B,), not gen.do_sample),
+                "samp_temp": jnp.full((B,), gen.temperature,
+                                      jnp.float32),
+                "samp_top_k": jnp.full((B,), max(gen.top_k, 1),
+                                       jnp.int32),
+                "samp_top_p": jnp.full((B,), gen.top_p, jnp.float32),
+                "samp_pen": jnp.full((B,), gen.repetition_penalty,
+                                     jnp.float32),
             }
 
         self._init_state = init_state
@@ -432,10 +455,12 @@ class ServingEngine:
                          "attention_mask": jnp.ones((k, b), jnp.int32)}
                 slots = jnp.arange(k, dtype=jnp.int32) % self.n_slots
                 caps = jnp.full((k,), 2, jnp.int32)
+                samp = self._samp_arrays([Request(uid=None, batch={})
+                                          for _ in range(k)])
                 self.rng, r = jax.random.split(self.rng)
                 self.hot, self.cold = self._prefill_decode(
                     self.params, self.hot, self.cold, batch, slots, caps,
-                    r, self._kv_pre, jnp.int32(1))
+                    samp, r, self._kv_pre, jnp.int32(1))
         if with_decode:
             for stop in (0, 1):  # same executable; proves arg is dynamic
                 self.rng, r = jax.random.split(self.rng)
@@ -541,7 +566,35 @@ class ServingEngine:
                            self.gen.max_new_tokens, self.ring_cols))
                 for r in reqs]
         return (jb, jnp.asarray(slots, jnp.int32),
-                jnp.asarray(caps, jnp.int32))
+                jnp.asarray(caps, jnp.int32), self._samp_arrays(reqs))
+
+    def _samp_arrays(self, reqs: List[Request]) -> Dict[str, jnp.ndarray]:
+        """Per-request sampling params -> [k] device arrays (unset keys
+        inherit the engine GenerationConfig; temperature <= 0 = greedy;
+        top_k clamps to the compiled candidate width)."""
+        g = self.gen
+        rows = {"greedy": [], "temperature": [], "top_k": [], "top_p": [],
+                "repetition_penalty": []}
+        for r in reqs:
+            s = r.sampling or {}
+            temp = float(s.get("temperature", g.temperature))
+            greedy = bool(s.get("greedy", not g.do_sample)) or temp <= 0.0
+            top_k = int(s.get("top_k", g.top_k))
+            if g.top_k:
+                top_k = min(max(top_k, 1), g.top_k)
+            rows["greedy"].append(greedy)
+            rows["temperature"].append(max(temp, 1e-6))
+            rows["top_k"].append(top_k)
+            rows["top_p"].append(float(s.get("top_p", g.top_p)))
+            rows["repetition_penalty"].append(
+                float(s.get("repetition_penalty", g.repetition_penalty)))
+        return {"greedy": jnp.asarray(rows["greedy"], bool),
+                "temperature": jnp.asarray(rows["temperature"],
+                                           jnp.float32),
+                "top_k": jnp.asarray(rows["top_k"], jnp.int32),
+                "top_p": jnp.asarray(rows["top_p"], jnp.float32),
+                "repetition_penalty": jnp.asarray(
+                    rows["repetition_penalty"], jnp.float32)}
 
     def _bind_slots(self, reqs: List[Request], slots: List[int]) -> None:
         for r, slot in zip(reqs, slots):
@@ -553,10 +606,10 @@ class ServingEngine:
         """Admit k same-bucket requests in one prefill-only dispatch
         (used for all but the last group of a multi-group round; the last
         group rides the decode dispatch via _start_group_fused)."""
-        jb, slots_arr, caps = self._assemble(reqs, slots)
+        jb, slots_arr, caps, samp = self._assemble(reqs, slots)
         self.rng, r1 = jax.random.split(self.rng)
         self.hot, self.cold = self._prefill_insert(
-            self.params, self.hot, self.cold, jb, slots_arr, caps,
+            self.params, self.hot, self.cold, jb, slots_arr, caps, samp,
             r1, self._kv_pre)
         self.stats["prefill_dispatches"] += 1
         self.stats["prefill_rows"] += len(reqs)
@@ -567,10 +620,10 @@ class ServingEngine:
         """Admit a group AND run the round's decode chunk in ONE dispatch
         — the steady-state round is admit-then-decode, and each dispatch
         over the tunnel costs ~38 ms that does not pipeline."""
-        jb, slots_arr, caps = self._assemble(reqs, slots)
+        jb, slots_arr, caps, samp = self._assemble(reqs, slots)
         self.rng, r1 = jax.random.split(self.rng)
         self.hot, self.cold = self._prefill_decode(
-            self.params, self.hot, self.cold, jb, slots_arr, caps,
+            self.params, self.hot, self.cold, jb, slots_arr, caps, samp,
             r1, self._kv_pre, jnp.int32(stop_free))
         self.stats["fused_dispatches"] += 1
         self.stats["prefill_rows"] += len(reqs)

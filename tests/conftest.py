@@ -34,13 +34,20 @@ import hashlib  # noqa: E402
 
 
 def _host_tag() -> str:
+    # hash CPU flags + model name + jaxlib version: a same-flags host with
+    # a different microarchitecture (or a jax upgrade) must not reuse AOT
+    # entries either — one such stale entry segfaulted two suite runs
+    # (cache READ crash in get_executable_and_time) before this widening
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(l for l in f if l.startswith("flags"))
-    except (OSError, StopIteration):
+            lines = f.readlines()
+        sig = "".join(l for l in lines[:30]
+                      if l.startswith(("flags", "model name")))
+    except OSError:
         import platform
-        flags = platform.processor() or "unknown"
-    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+        sig = platform.processor() or "unknown"
+    sig += jax.__version__
+    return hashlib.sha1(sig.encode()).hexdigest()[:8]
 
 
 jax.config.update("jax_compilation_cache_dir",

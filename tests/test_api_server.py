@@ -45,10 +45,18 @@ def api():
                          mask_token_id=prot_tok.mask_id, dtype="float32"),
         dna_rna_k_tokens=4, protein_k_tokens=4)
     params = fusion.init_params(cfg, jax.random.key(0))
-    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+    # the SERVER defaults to sampling; every parity request below pins
+    # itself greedy via per-request temperature=0 — this exercises the
+    # per-row sampling path end-to-end
+    gen = GenerationConfig(max_new_tokens=8, do_sample=True,
+                           temperature=0.8, top_k=20, top_p=0.95,
                            repetition_penalty=1.1,
                            eos_token_id=text_tok.eos_token_id,
                            pad_token_id=text_tok.pad_token_id)
+    greedy_gen = GenerationConfig(
+        max_new_tokens=8, do_sample=False, repetition_penalty=1.1,
+        eos_token_id=text_tok.eos_token_id,
+        pad_token_id=text_tok.pad_token_id)
     online = OnlineServer(params, cfg, gen, encoder, text_tok,
                           n_slots=2, decode_chunk=2, admit_batch=1)
     httpd = make_http_server(online, "127.0.0.1", 0)
@@ -61,9 +69,9 @@ def api():
         batch = collate_test([sample])
         arrs = {k: jnp.asarray(v) for k, v in batch.items()
                 if isinstance(v, np.ndarray)}
-        toks = np.asarray(generate(params, cfg, arrs, gen,
+        toks = np.asarray(generate(params, cfg, arrs, greedy_gen,
                                    jax.random.key(0)))[0]
-        toks = toks[toks != gen.pad_token_id]
+        toks = toks[toks != greedy_gen.pad_token_id]
         return text_tok.decode(toks.tolist(), skip_special_tokens=True)
 
     yield port, reference
@@ -85,7 +93,8 @@ def test_completions_parity_concurrent(api):
 
     def hit(i, prompt):
         with _post(port, "/v1/completions",
-                   {"prompt": prompt, "max_tokens": 8}) as r:
+                   {"prompt": prompt, "max_tokens": 8,
+                    "temperature": 0}) as r:
             results[i] = json.loads(r.read())
 
     threads = [threading.Thread(target=hit, args=(i, p))
@@ -109,7 +118,7 @@ def test_streaming_sse_matches_nonstream(api):
     prompt = PROMPTS[2]
     deltas = []
     with _post(port, "/v1/completions",
-               {"prompt": prompt, "stream": True}) as r:
+               {"prompt": prompt, "stream": True, "temperature": 0}) as r:
         assert r.headers["Content-Type"].startswith("text/event-stream")
         for raw in r:
             line = raw.decode().strip()
@@ -124,7 +133,8 @@ def test_streaming_sse_matches_nonstream(api):
 
 def test_chat_endpoint(api):
     port, reference = api
-    with _post(port, "/v1/chat/completions", {"messages": [
+    with _post(port, "/v1/chat/completions", {"temperature": 0,
+            "messages": [
             {"role": "system", "content": "ignored (fixed template)"},
             {"role": "user", "content": PROMPTS[0]}]}) as r:
         body = json.loads(r.read())

@@ -328,3 +328,71 @@ def test_int8_kv_forward_logits_close():
     denom = np.maximum(np.abs(ref).max(), 1e-3)
     assert np.max(np.abs(ref - got)) / denom < 0.05, (
         np.max(np.abs(ref - got)), denom)
+
+
+def test_rowwise_sampler_matches_static():
+    """sample_tokens_rowwise with uniform rows reproduces sample_tokens
+    exactly (same processor order, same rng stream) across greedy,
+    top-k sampled, and full-vocab nucleus modes."""
+    from molly_tpu.inference.sampling import (sample_tokens,
+                                              sample_tokens_rowwise)
+    rng = np.random.default_rng(3)
+    B, V = 5, 97
+    logits = jnp.asarray(rng.normal(size=(B, V)).astype(np.float32))
+    presence = jnp.asarray(rng.random((B, V)) < 0.1)
+    key = jax.random.key(7)
+
+    def uniform(greedy, temp, k, p, pen):
+        return {"greedy": jnp.full((B,), greedy),
+                "temperature": jnp.full((B,), temp, jnp.float32),
+                "top_k": jnp.full((B,), max(k, 1), jnp.int32),
+                "top_p": jnp.full((B,), p, jnp.float32),
+                "repetition_penalty": jnp.full((B,), pen, jnp.float32)}
+
+    a = sample_tokens(logits, key, do_sample=False,
+                      repetition_penalty=1.1, presence=presence)
+    b = sample_tokens_rowwise(logits, key,
+                              uniform(True, 0.8, 20, 0.95, 1.1),
+                              presence, max_top_k=20)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    a = sample_tokens(logits, key, do_sample=True, temperature=0.7,
+                      top_k=8, top_p=0.9, repetition_penalty=1.1,
+                      presence=presence)
+    b = sample_tokens_rowwise(logits, key,
+                              uniform(False, 0.7, 8, 0.9, 1.1),
+                              presence, max_top_k=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    a = sample_tokens(logits, key, do_sample=True, temperature=1.3,
+                      top_k=0, top_p=0.8, presence=presence)
+    b = sample_tokens_rowwise(logits, key,
+                              uniform(False, 1.3, 1, 0.8, 1.0),
+                              presence, max_top_k=0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_request_sampling_mixed(setup):
+    """A sampling-default engine honors per-request greedy overrides
+    (temperature=0 or greedy=True): those rows must match the batch
+    engine's greedy decode exactly while a sampled row rides along in
+    the same slot pool / compiled program."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=True,
+                           temperature=0.8, top_k=8, top_p=0.95,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    greedy_gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                                  repetition_penalty=1.1, eos_token_id=-1,
+                                  pad_token_id=0)
+    reqs = [_text_request(i, 6 + i, seed=40 + i) for i in range(3)]
+    reqs[0].sampling = {"temperature": 0}
+    reqs[1].sampling = {"greedy": True}
+    eng = ServingEngine(params, cfg, gen, n_slots=3, max_len=48,
+                        prefill_buckets=(16,))
+    results = eng.run(list(reqs))
+    assert set(results) == {0, 1, 2}
+    for i in (0, 1):
+        ref = _engine_reference(params, cfg, reqs[i], greedy_gen, 16)
+        np.testing.assert_array_equal(results[i], ref[:len(results[i])])
+    assert len(results[2]) == 6
