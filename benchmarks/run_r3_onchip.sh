@@ -39,3 +39,7 @@ timeout 1800 env MOLLY_MOE_GEMM=gmm python bench.py \
 
 echo "=== 5. flagship regression check (int8 1.7B serve ring) ==="
 timeout 1800 python bench.py --mode serve --offline || true
+
+echo "=== 5b. in-ring prompt-lookup speculation (greedy, no-match floor"
+echo "        on random weights; real speedup needs span-quoting ckpt) ==="
+timeout 1800 python bench.py --mode serve --offline --spec-lookup 8 || true

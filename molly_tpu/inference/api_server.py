@@ -44,12 +44,24 @@ _ARR_KEYS = ("input_ids", "attention_mask", "dna_rna_tokens",
              "dna_rna_pos", "protein_tokens", "protein_pos")
 
 
+def _cut_at_stop(text: str, stops) -> tuple:
+    """Truncate at the earliest stop sequence (OpenAI semantics: the stop
+    string itself is not returned). -> (text, hit)."""
+    cut = min((i for i in (text.find(s) for s in stops) if i >= 0),
+              default=-1)
+    return (text[:cut], True) if cut >= 0 else (text, False)
+
+
 @dataclass
 class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     tokens: Optional[np.ndarray] = None
     stream: Optional["queue.Queue[Optional[str]]"] = None
     sent_text: str = ""  # already-delivered decoded prefix (stream mode)
+    stop: tuple = ()     # stop sequences (OpenAI "stop")
+    final_text: Optional[str] = None  # set when a stop sequence hit
+    hit_stop: bool = False
+    n_prompt: int = 0    # prompt tokens (usage reporting)
 
 
 class OnlineServer:
@@ -114,8 +126,15 @@ class OnlineServer:
             if p is None:
                 continue
             p.tokens = np.asarray(v)
+            if p.final_text is None and p.stop:
+                # stop sequence may land inside the final harvested span
+                # (non-stream requests, or a hit within one decode chunk)
+                p.final_text, p.hit_stop = _cut_at_stop(
+                    self._decode(p.tokens), p.stop)
             if p.stream is not None:
-                delta = self._decode(p.tokens)[len(p.sent_text):]
+                text = (p.final_text if p.final_text is not None
+                        else self._decode(p.tokens))
+                delta = text[len(p.sent_text):]
                 if delta:
                     p.stream.put(delta)
                 p.stream.put(None)  # sentinel
@@ -124,9 +143,20 @@ class OnlineServer:
     def _on_stream(self, uid, toks: np.ndarray) -> None:
         """engine stream_cb (called inside step, mu held by scheduler)."""
         p = self._reqs.get(uid)
-        if p is None or p.stream is None or p.done.is_set():
+        if p is None or p.done.is_set():
             return
         text = self._decode(toks)
+        if p.stop and p.final_text is None:
+            cut, hit = _cut_at_stop(text, p.stop)
+            if hit:
+                p.final_text, p.hit_stop = cut, True
+                self.engine.cancel(uid)  # free the slot; harvest follows
+        if p.final_text is not None:
+            # stop already hit: never stream past it (the slot may decode
+            # a few more tokens until the cancel lands)
+            text = p.final_text
+        if p.stream is None:
+            return
         # never emit a partial final token's replacement char mid-stream
         if text.endswith("�"):
             return
@@ -142,7 +172,8 @@ class OnlineServer:
 
     def enqueue(self, prompt: str, max_tokens: Optional[int] = None,
                 stream: bool = False,
-                sampling: Optional[Dict[str, Any]] = None) -> int:
+                sampling: Optional[Dict[str, Any]] = None,
+                stop=()) -> int:
         from .server import Request
 
         sample = self.encoder.encode_test({"input": prompt})
@@ -151,7 +182,10 @@ class OnlineServer:
         uid = next(self._uid)
         cap = (min(int(max_tokens), self.gen.max_new_tokens)
                if max_tokens else None)
-        p = _Pending(stream=queue.Queue() if stream else None)
+        p = _Pending(stream=queue.Queue() if stream else None,
+                     stop=tuple(s for s in stop if s),
+                     n_prompt=int(np.asarray(
+                         batch["attention_mask"]).sum()))
         with self._mu:
             self._reqs[uid] = p
             self.engine.submit(Request(uid=uid, batch=batch,
@@ -168,9 +202,11 @@ class OnlineServer:
             raise TimeoutError(f"request {uid} timed out")
         toks = p.tokens
         del self._reqs[uid]
-        stopped = bool(np.any(toks == self.gen.eos_token_id))
-        return (self._decode(toks), "stop" if stopped else "length",
-                int((toks != self.gen.pad_token_id).sum()))
+        text = (p.final_text if p.final_text is not None
+                else self._decode(toks))
+        stopped = p.hit_stop or bool(np.any(toks == self.gen.eos_token_id))
+        return (text, "stop" if stopped else "length",
+                int((toks != self.gen.pad_token_id).sum()), p.n_prompt)
 
     def stream_iter(self, uid: int, timeout: float = 600.0):
         """Yield text deltas until the request finishes."""
@@ -255,13 +291,17 @@ def make_http_server(online: OnlineServer, host: str, port: int,
             req_samp = {k: body[k] for k in
                         ("temperature", "top_k", "top_p",
                          "repetition_penalty") if k in body}
+            stop = body.get("stop") or ()
+            if isinstance(stop, str):
+                stop = (stop,)
             uid = online.enqueue(prompt, body.get("max_tokens"),
                                  stream=bool(body.get("stream")),
-                                 sampling=req_samp or None)
+                                 sampling=req_samp or None,
+                                 stop=stop)
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uid}"
             if body.get("stream"):
                 return self._sse(uid, rid, chat)
-            text, reason, n_tok = online.wait(uid)
+            text, reason, n_tok, n_prompt = online.wait(uid)
             choice = ({"index": 0, "message": {"role": "assistant",
                                                "content": text},
                        "finish_reason": reason} if chat else
@@ -271,7 +311,9 @@ def make_http_server(online: OnlineServer, host: str, port: int,
                 "object": "chat.completion" if chat else "text_completion",
                 "created": int(time.time()), "model": model_name,
                 "choices": [choice],
-                "usage": {"completion_tokens": n_tok},
+                "usage": {"prompt_tokens": n_prompt,
+                          "completion_tokens": n_tok,
+                          "total_tokens": n_prompt + n_tok},
                 "molly_sampling_defaults": sampling,
             })
 

@@ -423,6 +423,7 @@ class ServingEngine:
         self.hot, self.cold = _split_state(init_state())
         self._slot_uid: List[Any] = [None] * n_slots
         self._pending: List[Request] = []
+        self._cancel: set = set()
         self._results: Dict[Any, np.ndarray] = {}
         self._stale = None        # last host-known (active, finished,
         self._stale_cold = None   # out_len) + the cold dict they came from
@@ -468,6 +469,7 @@ class ServingEngine:
                     self.params, self.hot, self.cold, r, jnp.int32(stop))
         self.hot, self.cold = _split_state(self._init_state())
         self._slot_uid = [None] * self.n_slots
+        self._cancel = set()
         self._streamed = [0] * self.n_slots
         self._stale = None
         self._stale_cold = None
@@ -685,6 +687,29 @@ class ServingEngine:
     def submit(self, req: Request) -> None:
         self._pending.append(req)
 
+    def cancel(self, uid: Any) -> None:
+        """Best-effort cancellation (client disconnect, stop-sequence hit):
+        a queued request is dropped with an empty result; an in-flight one
+        is force-finished at the next scheduling round and its PARTIAL
+        output is harvested as the result. A chunk already running on
+        device may decode a few more tokens first — callers truncate."""
+        for i, r in enumerate(self._pending):
+            if r.uid == uid:
+                del self._pending[i]
+                self._results[uid] = np.zeros((0,), np.int32)
+                return
+        self._cancel.add(uid)
+
+    def _apply_cancels(self) -> None:
+        slots = [i for i in range(self.n_slots)
+                 if self._slot_uid[i] in self._cancel]
+        if not slots:
+            return
+        idx = jnp.asarray(slots, jnp.int32)
+        self.cold["active"] = self.cold["active"].at[idx].set(False)
+        self.cold["finished"] = self.cold["finished"].at[idx].set(True)
+        self._cancel -= {self._slot_uid[i] for i in slots}
+
     def step(self) -> bool:
         """One scheduling round, pipelined: harvest completions and admit
         using the last host-known status (one chunk stale), dispatch the
@@ -692,6 +717,7 @@ class ServingEngine:
         chunk runs. Returns False when idle (nothing pending or active)."""
         self.stats["rounds"] += 1
         self._round_admitted = []
+        self._apply_cancels()
         if self._stale is None:
             self._refresh_status(self.cold)
         act, fin, olen = self._stale

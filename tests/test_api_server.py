@@ -158,3 +158,35 @@ def test_http_errors(api):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/v1/models", timeout=30) as r:
         assert json.loads(r.read())["data"][0]["id"]
+
+
+def test_stop_sequences(api):
+    """OpenAI "stop": generation truncates BEFORE the stop string, the
+    finish_reason is "stop", and the engine slot is freed early
+    (best-effort cancel)."""
+    port, reference = api
+    ref = reference(PROMPTS[2])
+    assert len(ref) >= 3
+    stop = ref[1:3]
+    with _post(port, "/v1/completions",
+               {"prompt": PROMPTS[2], "temperature": 0,
+                "stop": stop}) as r:
+        body = json.loads(r.read())
+    choice = body["choices"][0]
+    assert choice["text"] == ref[:ref.find(stop)]
+    assert choice["finish_reason"] == "stop"
+
+    # streamed variant delivers the same truncated text
+    deltas = []
+    with _post(port, "/v1/completions",
+               {"prompt": PROMPTS[2], "temperature": 0, "stream": True,
+                "stop": [stop, "zzz-never"]}) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            deltas.append(json.loads(payload)["choices"][0]["text"])
+    assert "".join(deltas) == ref[:ref.find(stop)]

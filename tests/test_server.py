@@ -396,3 +396,36 @@ def test_per_request_sampling_mixed(setup):
         ref = _engine_reference(params, cfg, reqs[i], greedy_gen, 16)
         np.testing.assert_array_equal(results[i], ref[:len(results[i])])
     assert len(results[2]) == 6
+
+
+def test_cancel_frees_slot_and_returns_partial(setup):
+    """cancel() on an in-flight request force-finishes its slot (partial
+    output harvested, prefix-exact vs uncanceled decode) and the freed
+    slot backfills the queue; cancel() on a QUEUED request drops it with
+    an empty result."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    canceled = []
+
+    def cb(uid, toks):
+        if uid == 0 and len(toks) >= 2 and not canceled:
+            canceled.append(uid)
+            eng.cancel(0)
+
+    eng = ServingEngine(params, cfg, gen, n_slots=1, max_len=48,
+                        prefill_buckets=(16,), decode_chunk=2,
+                        stream_cb=cb)
+    reqs = [_text_request(0, 6, seed=1), _text_request(1, 7, seed=2),
+            _text_request(2, 8, seed=3)]
+    for r in reqs:
+        eng.submit(r)
+    eng.cancel(2)  # still queued -> dropped, empty result
+    results = eng.run([])
+    assert set(results) == {0, 1, 2}
+    assert 2 <= len(results[0]) < 12
+    ref = _engine_reference(params, cfg, reqs[0], gen, 16)
+    np.testing.assert_array_equal(results[0], ref[:len(results[0])])
+    assert len(results[1]) == 12  # backfilled into the freed slot
+    assert len(results[2]) == 0
