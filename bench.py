@@ -148,6 +148,10 @@ def main():
                          "draft tokens per ring round (greedy stays "
                          "token-exact, sampled distribution-exact; "
                          "0 = plain one-token ticks)")
+    ap.add_argument("--lora-bank", type=int, default=0,
+                    help="serve mode: stack N random adapters and route "
+                         "requests round-robin (multi-LoRA overhead "
+                         "measurement)")
     ap.add_argument("--prefix-len", type=int, default=0,
                     help="serve mode: length of a prompt prefix shared by "
                          "every request (prefilled once via the engine's "
@@ -429,19 +433,34 @@ def bench_serve(args):
             args.prompt_len + long_t, (args.prompt_len,)
     cfg = FusionConfig(text=tcfg, dna_rna=tiny_esm(), protein=tiny_esm())
     if args.int8:
-        if tcfg.num_experts:
+        if tcfg.num_experts or args.lora_bank:
             # MoE: quantize a real init (experts via --int8-experts); the
-            # dense-shaped _random_int8_params shortcut doesn't apply
+            # dense-shaped _random_int8_params shortcut doesn't apply.
+            # multi-LoRA: the bypass needs UNFUSED projections
             text = qwen3.quantize_for_decode(
                 qwen3.init_params(tcfg, jax.random.key(0)), tcfg,
+                fuse=not args.lora_bank,
                 moe_experts=args.int8_experts)
         else:
             text = _random_int8_params(tcfg)
     else:
         text = qwen3.init_params(tcfg, jax.random.key(0))
-        if not args.smoke:
+        if not args.smoke and not args.lora_bank:
             text = qwen3.fuse_for_decode(text, tcfg)
     params = {"text": text}
+    bank = None
+    if args.lora_bank:
+        # N random-A/zero-B adapters: identical bytes + FLOPs to real
+        # ones — measures the multi-LoRA serving overhead
+        assert not args.offline and not args.prefix_len, (
+            "--lora-bank: online engine only, no shared prefix")
+        from molly_tpu.models.lora import (LoraConfig, init_lora,
+                                           stack_adapters)
+        lb_cfg = LoraConfig(r=16, dropout=0.0)
+        bank = stack_adapters(
+            [init_lora(tcfg, lb_cfg, jax.random.key(100 + i))
+             for i in range(args.lora_bank)],
+            scales=[lb_cfg.scale] * args.lora_bank)
     gen = GenerationConfig(max_new_tokens=long_t, do_sample=True,
                            temperature=0.8, top_p=0.95, top_k=20,
                            repetition_penalty=1.1, eos_token_id=-1,
@@ -465,7 +484,9 @@ def bench_serve(args):
                 uid=i,
                 batch={"input_ids": ids,
                        "attention_mask": np.ones((1, prompt), np.int32)},
-                max_new_tokens=int(caps[i])))
+                max_new_tokens=int(caps[i]),
+                adapter=(i % (args.lora_bank + 1)) if args.lora_bank
+                else 0))
         # longest-processing-time-first admission: per-request caps are
         # known here, so start the long generations early and backfill
         # freed slots with the short ones (shrinks the tail)
@@ -479,7 +500,8 @@ def bench_serve(args):
             decode_chunk=1 if args.smoke else args.decode_chunk,
             admit_batch=args.admit_batch,
             kv_quant="int8" if args.kv_int8 else None,
-            prefix_ids=prefix if use_prefix else None)
+            prefix_ids=prefix if use_prefix else None,
+            lora_bank=bank)
         eng.precompile()  # timed pass must never hit a cold compile
         t0 = time.perf_counter()
         results = eng.run(mk_reqs())
@@ -570,6 +592,7 @@ def bench_serve(args):
                   f"({'int8' if args.int8 else 'bf16'}"
                   f"{', int8 KV' if args.kv_int8 else ''}"
                   f"{f', lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
+                  f"{f', multi-LoRA bank of {args.lora_bank} (r=16)' if args.lora_bank else ''}"
                   f", {n_slots} slots, "
                   f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "
                   f"prompt {prompt}{prefix_note}; baseline = MEASURED "

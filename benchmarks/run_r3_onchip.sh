@@ -43,3 +43,8 @@ timeout 1800 python bench.py --mode serve --offline || true
 echo "=== 5b. in-ring prompt-lookup speculation (greedy, no-match floor"
 echo "        on random weights; real speedup needs span-quoting ckpt) ==="
 timeout 1800 python bench.py --mode serve --offline --spec-lookup 8 || true
+
+echo "=== 5c. multi-LoRA serving overhead (4 adapters r=16, round-robin"
+echo "        routing; vs the same engine unfused no-bank) ==="
+timeout 1800 python bench.py --mode serve --lora-bank 4 || true
+timeout 1800 python bench.py --mode serve --lora-bank 1 || true

@@ -62,6 +62,7 @@ class _Pending:
     final_text: Optional[str] = None  # set when a stop sequence hit
     hit_stop: bool = False
     n_prompt: int = 0    # prompt tokens (usage reporting)
+    logps: Optional[np.ndarray] = None  # chosen-token logprobs
 
 
 class OnlineServer:
@@ -74,7 +75,7 @@ class OnlineServer:
     def __init__(self, params, cfg, gen, encoder, text_tok, *,
                  n_slots: int = 8, decode_chunk: int = 16,
                  admit_batch: int = 4, kv_quant: Optional[str] = None,
-                 rng=None):
+                 lora_bank=None, adapter_names=None, rng=None):
         import jax
 
         from .server import ServingEngine
@@ -82,8 +83,16 @@ class OnlineServer:
         self.encoder = encoder
         self.tok = text_tok
         self.gen = gen
-        prefix_ids = encoder.system_prompt_ids
-        s_pre = len(prefix_ids)
+        # multi-LoRA: OpenAI "model" -> bank index (0 = base). The shared
+        # system-prompt prefix KV would differ per adapter, so prefix
+        # caching is off when a bank is loaded.
+        self.adapters = {n: i + 1 for i, n in
+                         enumerate(adapter_names or [])}
+        if lora_bank is None:
+            prefix_ids = encoder.system_prompt_ids
+            s_pre = len(prefix_ids)
+        else:
+            prefix_ids, s_pre = None, 0
         # mirror inference.cli._run_serve: encode_test pads prompts to the
         # dataset window; the engine sees suffixes of one fixed bucket
         self.engine = ServingEngine(
@@ -92,7 +101,8 @@ class OnlineServer:
             prefill_buckets=(encoder.cfg.max_len - s_pre,),
             decode_chunk=decode_chunk, admit_batch=admit_batch,
             kv_quant=kv_quant, prefix_ids=prefix_ids,
-            stream_cb=self._on_stream,
+            stream_cb=self._on_stream, logprobs=True,
+            lora_bank=lora_bank,
             rng=rng if rng is not None else jax.random.key(0))
         self._uid = itertools.count()
         self._mu = threading.Lock()          # guards engine state
@@ -122,10 +132,12 @@ class OnlineServer:
             if isinstance(v, tuple):
                 rows, j, n = v
                 v = np.asarray(rows)[j, :n]
+            lp = self.engine.pop_logprobs(uid)  # always pop (no leak)
             p = self._reqs.get(uid)
             if p is None:
                 continue
             p.tokens = np.asarray(v)
+            p.logps = lp
             if p.final_text is None and p.stop:
                 # stop sequence may land inside the final harvested span
                 # (non-stream requests, or a hit within one decode chunk)
@@ -145,6 +157,8 @@ class OnlineServer:
         p = self._reqs.get(uid)
         if p is None or p.done.is_set():
             return
+        if p.stream is None and not p.stop:
+            return  # nothing to deliver or watch for
         text = self._decode(toks)
         if p.stop and p.final_text is None:
             cut, hit = _cut_at_stop(text, p.stop)
@@ -170,10 +184,15 @@ class OnlineServer:
         ids = toks[toks != self.gen.pad_token_id]
         return self.tok.decode(ids.tolist(), skip_special_tokens=True)
 
+    def resolve_adapter(self, model: Optional[str]) -> int:
+        """OpenAI "model" -> bank index; unknown/absent names serve the
+        base model (index 0)."""
+        return self.adapters.get(model or "", 0)
+
     def enqueue(self, prompt: str, max_tokens: Optional[int] = None,
                 stream: bool = False,
                 sampling: Optional[Dict[str, Any]] = None,
-                stop=()) -> int:
+                stop=(), adapter: int = 0) -> int:
         from .server import Request
 
         sample = self.encoder.encode_test({"input": prompt})
@@ -190,13 +209,16 @@ class OnlineServer:
             self._reqs[uid] = p
             self.engine.submit(Request(uid=uid, batch=batch,
                                        max_new_tokens=cap,
-                                       sampling=sampling))
+                                       sampling=sampling,
+                                       adapter=adapter))
         with self._cv:
             self._cv.notify_all()
         return uid
 
     def wait(self, uid: int, timeout: float = 600.0):
-        """Block until finished; returns (text, finish_reason, n_tokens)."""
+        """Block until finished; returns
+        (text, finish_reason, n_completion_tokens, n_prompt_tokens,
+        logprobs-or-None)."""
         p = self._reqs[uid]
         if not p.done.wait(timeout):
             raise TimeoutError(f"request {uid} timed out")
@@ -205,8 +227,16 @@ class OnlineServer:
         text = (p.final_text if p.final_text is not None
                 else self._decode(toks))
         stopped = p.hit_stop or bool(np.any(toks == self.gen.eos_token_id))
-        return (text, "stop" if stopped else "length",
-                int((toks != self.gen.pad_token_id).sum()), p.n_prompt)
+        real = toks[toks != self.gen.pad_token_id]
+        logprobs = None
+        if p.logps is not None:
+            n = min(real.size, p.logps.size)
+            logprobs = {"tokens": [self.tok.decode([int(t)])
+                                   for t in real[:n]],
+                        "token_logprobs": [round(float(x), 6)
+                                           for x in p.logps[:n]]}
+        return (text, "stop" if stopped else "length", int(real.size),
+                p.n_prompt, logprobs)
 
     def stream_iter(self, uid: int, timeout: float = 600.0):
         """Yield text deltas until the request finishes."""
@@ -263,9 +293,10 @@ def make_http_server(online: OnlineServer, host: str, port: int,
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
             elif self.path == "/v1/models":
+                ids = [model_name] + sorted(online.adapters)
                 self._json(200, {"object": "list", "data": [
-                    {"id": model_name, "object": "model",
-                     "owned_by": "molly_tpu"}]})
+                    {"id": mid, "object": "model",
+                     "owned_by": "molly_tpu"} for mid in ids]})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -297,19 +328,26 @@ def make_http_server(online: OnlineServer, host: str, port: int,
             uid = online.enqueue(prompt, body.get("max_tokens"),
                                  stream=bool(body.get("stream")),
                                  sampling=req_samp or None,
-                                 stop=stop)
+                                 stop=stop,
+                                 adapter=online.resolve_adapter(
+                                     body.get("model")))
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uid}"
             if body.get("stream"):
                 return self._sse(uid, rid, chat)
-            text, reason, n_tok, n_prompt = online.wait(uid)
+            text, reason, n_tok, n_prompt, logprobs = online.wait(uid)
             choice = ({"index": 0, "message": {"role": "assistant",
                                                "content": text},
                        "finish_reason": reason} if chat else
                       {"index": 0, "text": text, "finish_reason": reason})
+            if body.get("logprobs") and logprobs is not None:
+                choice["logprobs"] = logprobs
             self._json(200, {
                 "id": rid,
                 "object": "chat.completion" if chat else "text_completion",
-                "created": int(time.time()), "model": model_name,
+                "created": int(time.time()),
+                "model": (body.get("model")
+                          if body.get("model") in online.adapters
+                          else model_name),
                 "choices": [choice],
                 "usage": {"prompt_tokens": n_prompt,
                           "completion_tokens": n_tok,
@@ -342,7 +380,7 @@ def make_http_server(online: OnlineServer, host: str, port: int,
 
 
 def run_api_server(args, params, cfg, gen, text_tok, dna_tok, prot_tok,
-                   dcfg) -> None:
+                   dcfg, lora_bank=None, adapter_names=None) -> None:
     """Entry used by ``inference.cli --api-serve``."""
     from ..data.omics_dataset import OmicsSampleEncoder
 
@@ -351,11 +389,13 @@ def run_api_server(args, params, cfg, gen, text_tok, dna_tok, prot_tok,
         params, cfg, gen, encoder, text_tok,
         n_slots=args.batch_size, decode_chunk=args.serve_chunk,
         admit_batch=args.serve_admit,
-        kv_quant="int8" if args.serve_kv_int8 else None)
+        kv_quant="int8" if args.serve_kv_int8 else None,
+        lora_bank=lora_bank, adapter_names=adapter_names)
     httpd = make_http_server(online, args.host, args.port)
+    extra = (f", adapters: {adapter_names}" if adapter_names else "")
     print(f"[api-serve] listening on http://{args.host}:{args.port} "
-          f"(slots={args.batch_size}, per-request sampling enabled)",
-          flush=True)
+          f"(slots={args.batch_size}, per-request sampling enabled"
+          f"{extra})", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -105,6 +105,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="with --offline-ring: prompt-lookup speculation, "
                         "N draft tokens per round (greedy token-exact, "
                         "sampled distribution-exact)")
+    p.add_argument("--serve-adapter", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="multi-LoRA serving under --api-serve: load a "
+                        "PEFT adapter dir as OpenAI model NAME "
+                        "(repeatable); requests select it via the "
+                        "'model' field; the base model serves when no "
+                        "adapter name matches")
     p.add_argument("--api-serve", action="store_true",
                    help="serve an OpenAI-compatible HTTP API "
                         "(/v1/completions, /v1/chat/completions) over the "
@@ -184,6 +191,9 @@ def main(argv=None) -> None:
         from ..models import qwen3 as _q
         params["text"] = _q.quantize_for_decode(
             params["text"], cfg.text,
+            # multi-LoRA needs unfused projections (the fused decode
+            # branch skips the low-rank bypass); int8 still applies
+            fuse=not (args.api_serve and args.serve_adapter),
             moe_experts=bool(cfg.text.num_experts))
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens,
@@ -196,8 +206,24 @@ def main(argv=None) -> None:
     rng = jax.random.key(args.seed)
     if args.api_serve:
         from .api_server import run_api_server
+        lora_bank = adapter_names = None
+        if args.serve_adapter:
+            from ..models.lora import stack_adapters
+            adapters, scales, adapter_names = [], [], []
+            for spec in args.serve_adapter:
+                name, _, path = spec.partition("=")
+                assert name and path, (
+                    f"--serve-adapter expects NAME=PATH, got {spec!r}")
+                lora, alpha = _load_peft_lora(path, cfg.text, args.lora_r)
+                r = lora["layers"]["q_proj"]["a"].shape[-1]
+                adapters.append(lora)
+                scales.append(
+                    float(alpha if alpha is not None else 64.0) / r)
+                adapter_names.append(name)
+            lora_bank = stack_adapters(adapters, scales=scales)
         return run_api_server(args, params, cfg, gen, text_tok, dna_tok,
-                              prot_tok, dcfg)
+                              prot_tok, dcfg, lora_bank=lora_bank,
+                              adapter_names=adapter_names)
     if args.offline_ring:
         return _run_offline_ring(args, ds, params, cfg, gen, text_tok, rng)
     if args.serve:
@@ -357,6 +383,28 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
     print(f"[inference --serve] {len(results)}/{len(ds)} done", flush=True)
 
 
+def _load_peft_lora(adir, text_cfg, default_r=64):
+    """Load a reference-style PEFT adapter dir UNMERGED.
+    Returns (lora dict {"layers": ...}, lora_alpha or None)."""
+    import glob as _glob
+
+    import torch
+
+    from ..models.hf_import import load_hf_state, peft_lora_from_hf
+    try:
+        state = load_hf_state(adir)
+    except FileNotFoundError:
+        bins = _glob.glob(os.path.join(adir, "adapter_model*.bin"))
+        state = torch.load(bins[0], map_location="cpu", weights_only=True)
+    lora = peft_lora_from_hf(state, text_cfg, default_r)
+    alpha = None
+    acfg = os.path.join(adir, "adapter_config.json")
+    if os.path.exists(acfg):
+        with open(acfg) as f:
+            alpha = json.load(f).get("lora_alpha")
+    return lora, alpha
+
+
 def _load_params(args, cfg):
     import jax
 
@@ -387,24 +435,14 @@ def _load_params(args, cfg):
         if meta is not None and lora_alpha is None:
             lora_alpha = meta["alpha"]
     if args.peft_adapter:
-        import glob as _glob
-
         import torch
 
-        from ..models.hf_import import (load_hf_state, peft_lora_from_hf,
-                                        projector_from_hf)
+        from ..models.hf_import import projector_from_hf
         adir = args.peft_adapter
-        try:
-            state = load_hf_state(adir)
-        except FileNotFoundError:
-            bins = _glob.glob(os.path.join(adir, "adapter_model*.bin"))
-            state = torch.load(bins[0], map_location="cpu",
-                               weights_only=True)
-        params["lora"] = peft_lora_from_hf(state, cfg.text, args.lora_r)
-        acfg = os.path.join(adir, "adapter_config.json")
-        if os.path.exists(acfg) and lora_alpha is None:
-            with open(acfg) as f:
-                lora_alpha = json.load(f).get("lora_alpha")
+        params["lora"], peft_alpha = _load_peft_lora(adir, cfg.text,
+                                                     args.lora_r)
+        if lora_alpha is None:
+            lora_alpha = peft_alpha
         for name in ("dna_rna_projector", "protein_projector"):
             bp = os.path.join(adir, f"{name}.bin")
             if os.path.exists(bp):

@@ -60,6 +60,9 @@ class Request:
     # engine's GenerationConfig. top_k is bounded by the engine's
     # compiled candidate width (gen.top_k); temperature <= 0 means greedy.
     sampling: Optional[Dict[str, Any]] = None
+    # multi-LoRA serving: index into the engine's stacked adapter bank
+    # (lora.stack_adapters; 0 = base model, i+1 = adapter i)
+    adapter: int = 0
 
 
 def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
@@ -141,10 +144,12 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, samp,
             axis=1)
     else:
         full_mask = mask
+    bank = params.get("lora_bank")
     hidden, cache = qwen3.forward_hidden(
         params["text"], tcfg, inputs_embeds=embeds,
         attention_mask=full_mask, positions=positions, cache=cache,
-        cache_index=s_pre)
+        cache_index=s_pre, lora=bank,
+        lora_slots=samp.get("adapter") if bank is not None else None)
     logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, -1])
     presence = jnp.zeros((k, tcfg.vocab_size), bool)
     tok0 = sample_tokens_rowwise(logits, rng, samp, presence,
@@ -171,6 +176,12 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, samp,
     out_rows = jnp.full((k, s["out_buf"].shape[1]), gen.pad_token_id,
                         jnp.int32).at[:, 0].set(tok0)
     s["out_buf"] = s["out_buf"].at[slots].set(out_rows)
+    if "logp_buf" in s:
+        lp0 = jax.nn.log_softmax(logits.astype(jnp.float32))[
+            jnp.arange(k), tok0]
+        lrows = jnp.zeros((k, s["logp_buf"].shape[1]),
+                          jnp.float32).at[:, 0].set(lp0)
+        s["logp_buf"] = s["logp_buf"].at[slots].set(lrows)
     s["out_len"] = s["out_len"].at[slots].set(1)
     s["cap"] = s["cap"].at[slots].set(caps)
     s["samp_greedy"] = s["samp_greedy"].at[slots].set(samp["greedy"])
@@ -179,6 +190,8 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, samp,
     s["samp_top_p"] = s["samp_top_p"].at[slots].set(samp["top_p"])
     s["samp_pen"] = s["samp_pen"].at[slots].set(
         samp["repetition_penalty"])
+    if "adapter_id" in s:
+        s["adapter_id"] = s["adapter_id"].at[slots].set(samp["adapter"])
     done0 = jnp.logical_or(tok0 == gen.eos_token_id, caps <= 1)
     s["active"] = s["active"].at[slots].set(~done0)
     s["finished"] = s["finished"].at[slots].set(done0)
@@ -200,10 +213,12 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     cache_in = {"kv": s["cache"]}
     if "kv_scale" in s:
         cache_in["kv_scale"] = s["kv_scale"]
+    bank = params.get("lora_bank")
     hidden, cache = qwen3.forward_hidden(
         params["text"], tcfg, inputs_embeds=emb, attention_mask=valid2,
         positions=s["n_real"][:, None], cache=cache_in,
-        cache_index=col, causal=False)
+        cache_index=col, causal=False, lora=bank,
+        lora_slots=s.get("adapter_id") if bank is not None else None)
     s["cache"] = cache["kv"]
     if "kv_scale" in s:
         s["kv_scale"] = cache["kv_scale"]
@@ -216,6 +231,13 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
     safe = jnp.minimum(s["out_len"], s["out_buf"].shape[1] - 1)
     s["out_buf"] = s["out_buf"].at[rows, safe].set(
         jnp.where(s["active"], nxt, s["out_buf"][rows, safe]))
+    if "logp_buf" in s:
+        # chosen-token logprob under the RAW model distribution (pre
+        # penalty/temperature — the model's own confidence, not the
+        # sampler's); OpenAI "logprobs" surface
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))[rows, nxt]
+        s["logp_buf"] = s["logp_buf"].at[rows, safe].set(
+            jnp.where(s["active"], lp, s["logp_buf"][rows, safe]))
     s["presence"] = s["presence"].at[rows, nxt].set(
         s["presence"][rows, nxt] | s["active"])
     s["out_len"] = s["out_len"] + s["active"]
@@ -340,6 +362,8 @@ class ServingEngine:
                  kv_quant: Optional[str] = None,
                  prefix_ids=None,
                  stream_cb=None,
+                 logprobs: bool = False,
+                 lora_bank: Optional[Dict[str, Any]] = None,
                  rng: Optional[jax.Array] = None):
         """prefix_ids: token ids of a prompt prefix shared by EVERY request
         (molly's fixed system prompt — the dataset pre-encodes it,
@@ -351,8 +375,28 @@ class ServingEngine:
         per scheduler round for every request whose generation advanced,
         with the full prefix of tokens generated so far (np.int32). Tokens
         lag by up to one decode chunk (the scheduler runs on a one-chunk-
-        stale snapshot); delivery costs one extra host fetch per round."""
+        stale snapshot); delivery costs one extra host fetch per round.
+
+        lora_bank: stacked multi-LoRA adapters (lora.stack_adapters) —
+        each request picks its adapter via Request.adapter (0 = base);
+        one compiled program serves the whole mix. Requires UNFUSED
+        decode weights (the fused qkv/gateup paths skip the bypass) and
+        is mutually exclusive with shared-prefix caching (the prefix KV
+        would differ per adapter)."""
         assert params.get("lora") is None, "merge LoRA adapters first"
+        if lora_bank is not None:
+            layer_keys = params["text"]["layers"].keys()
+            assert "qkv_proj" not in layer_keys and \
+                "gateup_proj" not in layer_keys, (
+                    "multi-LoRA needs unfused decode weights "
+                    "(skip fuse_for_decode / use fuse=False)")
+            assert prefix_ids is None, (
+                "shared-prefix caching is per-adapter under multi-LoRA "
+                "— not supported; pass prefix_ids=None")
+            params = {**params, "lora_bank": lora_bank}
+        self._n_adapters = (
+            0 if lora_bank is None else
+            next(iter(lora_bank["layers"].values()))["a"].shape[1])
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -403,6 +447,8 @@ class ServingEngine:
                 "last_tok": jnp.zeros((B,), jnp.int32),
                 "presence": jnp.zeros((B, tcfg.vocab_size), bool),
                 "out_buf": jnp.full((B, T), gen.pad_token_id, jnp.int32),
+                **({"logp_buf": jnp.zeros((B, T), jnp.float32)}
+                   if logprobs else {}),
                 "out_len": jnp.zeros((B,), jnp.int32),
                 "cap": jnp.full((B,), T, jnp.int32),
                 "active": jnp.zeros((B,), bool),
@@ -417,6 +463,8 @@ class ServingEngine:
                 "samp_top_p": jnp.full((B,), gen.top_p, jnp.float32),
                 "samp_pen": jnp.full((B,), gen.repetition_penalty,
                                      jnp.float32),
+                **({"adapter_id": jnp.zeros((B,), jnp.int32)}
+                   if lora_bank is not None else {}),
             }
 
         self._init_state = init_state
@@ -425,6 +473,7 @@ class ServingEngine:
         self._pending: List[Request] = []
         self._cancel: set = set()
         self._results: Dict[Any, np.ndarray] = {}
+        self._logps: Dict[Any, Any] = {}
         self._stale = None        # last host-known (active, finished,
         self._stale_cold = None   # out_len) + the cold dict they came from
         self._stale_skip = frozenset()  # slots newer than the snapshot
@@ -576,7 +625,7 @@ class ServingEngine:
         top_k clamps to the compiled candidate width)."""
         g = self.gen
         rows = {"greedy": [], "temperature": [], "top_k": [], "top_p": [],
-                "repetition_penalty": []}
+                "repetition_penalty": [], "adapter": []}
         for r in reqs:
             s = r.sampling or {}
             temp = float(s.get("temperature", g.temperature))
@@ -584,19 +633,24 @@ class ServingEngine:
             top_k = int(s.get("top_k", g.top_k))
             if g.top_k:
                 top_k = min(max(top_k, 1), g.top_k)
+            if self._n_adapters:
+                assert 0 <= r.adapter < self._n_adapters, (
+                    r.adapter, self._n_adapters)
             rows["greedy"].append(greedy)
             rows["temperature"].append(max(temp, 1e-6))
             rows["top_k"].append(top_k)
             rows["top_p"].append(float(s.get("top_p", g.top_p)))
             rows["repetition_penalty"].append(
                 float(s.get("repetition_penalty", g.repetition_penalty)))
+            rows["adapter"].append(int(r.adapter))
         return {"greedy": jnp.asarray(rows["greedy"], bool),
                 "temperature": jnp.asarray(rows["temperature"],
                                            jnp.float32),
                 "top_k": jnp.asarray(rows["top_k"], jnp.int32),
                 "top_p": jnp.asarray(rows["top_p"], jnp.float32),
                 "repetition_penalty": jnp.asarray(
-                    rows["repetition_penalty"], jnp.float32)}
+                    rows["repetition_penalty"], jnp.float32),
+                "adapter": jnp.asarray(rows["adapter"], jnp.int32)}
 
     def _bind_slots(self, reqs: List[Request], slots: List[int]) -> None:
         for r, slot in zip(reqs, slots):
@@ -660,6 +714,8 @@ class ServingEngine:
         if not idxs:
             return []
         rows = cold_src["out_buf"][np.asarray(idxs)]  # async device slice
+        lrows = (cold_src["logp_buf"][np.asarray(idxs)]
+                 if "logp_buf" in cold_src else None)
         if self._stream_cb is not None:
             rows = np.asarray(rows)  # deliver final prefixes eagerly
             for j, i in enumerate(idxs):
@@ -669,6 +725,8 @@ class ServingEngine:
                     self._streamed[i] = n
         for j, i in enumerate(idxs):
             self._results[self._slot_uid[i]] = (rows, j, int(olen[i]))
+            if lrows is not None:
+                self._logps[self._slot_uid[i]] = (lrows, j, int(olen[i]))
             self._slot_uid[i] = None
         self.cold["finished"] = self.cold["finished"].at[
             jnp.asarray(idxs)].set(False)
@@ -686,6 +744,15 @@ class ServingEngine:
 
     def submit(self, req: Request) -> None:
         self._pending.append(req)
+
+    def pop_logprobs(self, uid: Any) -> Optional[np.ndarray]:
+        """Chosen-token logprobs for a harvested request (engine built
+        with logprobs=True), aligned with its result tokens."""
+        v = self._logps.pop(uid, None)
+        if v is None:
+            return None
+        lrows, j, n = v
+        return np.asarray(lrows)[j, :n]
 
     def cancel(self, uid: Any) -> None:
         """Best-effort cancellation (client disconnect, stop-sequence hit):

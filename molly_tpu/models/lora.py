@@ -93,15 +93,61 @@ def apply_lora(x: jnp.ndarray, base_out: jnp.ndarray,
                lora_layer: Optional[Dict[str, jnp.ndarray]],
                scale: float,
                dropout_rate: float = 0.0,
-               dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """base_out = x @ W already computed; adds the low-rank bypass."""
+               dropout_rng: Optional[jax.Array] = None,
+               lora_slots: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """base_out = x @ W already computed; adds the low-rank bypass.
+
+    lora_slots: [B] int32 per-ROW adapter index into a stacked bank
+    (multi-LoRA serving — ``lora_layer`` then holds ``a [N, d, r]``,
+    ``b [N, r, o]``; see :func:`stack_adapters`). Every adapter's delta
+    is computed for the whole batch (adapter weights stream once; the
+    N× extra FLOPs are negligible at rank<<d) and each row selects its
+    own — no [B, d, r] gather materializes."""
     if lora_layer is None:
         return base_out
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, x.shape)
         x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
-    delta = (x @ lora_layer["a"]) @ lora_layer["b"]
+    if lora_slots is not None:
+        t = jnp.einsum("bsd,ndr->nbsr", x, lora_layer["a"])
+        delta_all = jnp.einsum("nbsr,nro->nbso", t, lora_layer["b"])
+        delta = jnp.take_along_axis(
+            delta_all, lora_slots[None, :, None, None], axis=0)[0]
+    else:
+        delta = (x @ lora_layer["a"]) @ lora_layer["b"]
     return base_out + scale * delta.astype(base_out.dtype)
+
+
+def stack_adapters(adapters, scales=None) -> Dict[str, Any]:
+    """Stack N unmerged adapters into a multi-LoRA serving bank.
+
+    adapters: list of lora dicts ({"layers": {t: {"a": [L, d, r],
+    "b": [L, r, o]}}}). Returns {"layers": {t: {"a": [L, N+1, d, r],
+    "b": [L, N+1, r, o]}}} — index 0 is the BASE MODEL (zero delta),
+    adapter i lives at index i+1. Per-adapter scale (r, alpha) is folded
+    into the stacked ``b`` so the bank applies with scale 1.0 and mixed
+    (r, alpha) adapters still serve exactly. Adapters must share rank
+    and target set (pad externally if not)."""
+    assert adapters, "need at least one adapter"
+    targets = sorted(adapters[0]["layers"])
+    scales = scales or [1.0] * len(adapters)
+    layers: Dict[str, Any] = {}
+    for t in targets:
+        a0 = adapters[0]["layers"][t]["a"]
+        assert a0.ndim == 3, "multi-LoRA bank supports dense targets only"
+        ab_a = [jnp.zeros_like(a0)]
+        ab_b = [jnp.zeros_like(adapters[0]["layers"][t]["b"])]
+        for ad, sc in zip(adapters, scales):
+            assert sorted(ad["layers"]) == targets, "target sets differ"
+            assert ad["layers"][t]["a"].shape == a0.shape, (
+                f"rank/shape mismatch on {t}")
+            ab_a.append(ad["layers"][t]["a"])
+            ab_b.append(ad["layers"][t]["b"] * sc)
+        # [L, N+1, ...] so the layer scan slices L and hands each layer
+        # its [N+1, ...] bank slice
+        layers[t] = {"a": jnp.stack(ab_a, axis=1),
+                     "b": jnp.stack(ab_b, axis=1)}
+    return {"layers": layers}
 
 
 def merge_lora(params: Dict[str, Any], lora: Dict[str, Any],

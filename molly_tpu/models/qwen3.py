@@ -127,7 +127,7 @@ def quantize_kv(kv_new: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
            cache_kv, cache_index, lora_layer=None, lora_scale=1.0,
-           lora_dropout=0.0, dropout_rng=None):
+           lora_dropout=0.0, dropout_rng=None, lora_slots=None):
     """One decoder layer. cache_kv: None or (k_cache, v_cache) [B,Smax,Nkv,Dh];
     returns (hidden, new_cache_kv)."""
     p = layer_params
@@ -140,7 +140,8 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         ll = lora_layer.get(name) if lora_layer is not None else None
         rng = (jax.random.fold_in(dropout_rng, _TARGET_IDX[name])
                if dropout_rng is not None else None)
-        return apply_lora(x, out, ll, lora_scale, lora_dropout, rng)
+        return apply_lora(x, out, ll, lora_scale, lora_dropout, rng,
+                          lora_slots=lora_slots)
 
     x = rms_norm(hidden, p["input_norm"], cfg.rms_norm_eps)
     if "qkv_proj" in p:  # fused decode weights ({quantize,fuse}_for_decode)
@@ -283,6 +284,8 @@ def forward_hidden(
     lora_scale: float = 1.0,
     lora_dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    lora_slots: Optional[jnp.ndarray] = None,  # [B] adapter index into a
+    #                       stacked multi-LoRA bank (lora.stack_adapters)
     output_hidden_states: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack; returns (final hidden states, updated cache).
@@ -333,7 +336,7 @@ def forward_hidden(
             layer_params, lora_l, rng = xs
             h, _, aux = _layer(cfg, h, layer_params, cos, sin,
                                attention_mask, causal, None, 0, lora_l,
-                               lora_scale, lora_dropout, rng)
+                               lora_scale, lora_dropout, rng, lora_slots)
             return h, ((h if output_hidden_states else None), aux)
 
         if cfg.remat:
@@ -360,7 +363,8 @@ def forward_hidden(
             h, (ckv, csc), _ = _layer(cfg, h, layer_params, cos, sin,
                                       attention_mask, causal,
                                       (ckv, csc, li), cache_index, lora_l,
-                                      lora_scale, lora_dropout, rng)
+                                      lora_scale, lora_dropout, rng,
+                                      lora_slots)
             return (h, ckv, csc, li + 1), None
 
         if cfg.remat:

@@ -190,3 +190,79 @@ def test_stop_sequences(api):
                 break
             deltas.append(json.loads(payload)["choices"][0]["text"])
     assert "".join(deltas) == ref[:ref.find(stop)]
+
+
+def test_logprobs(api):
+    """"logprobs": chosen-token logprobs (raw model distribution) aligned
+    with the completion tokens."""
+    port, reference = api
+    with _post(port, "/v1/completions",
+               {"prompt": PROMPTS[1], "temperature": 0,
+                "logprobs": 1}) as r:
+        body = json.loads(r.read())
+    choice = body["choices"][0]
+    lp = choice["logprobs"]
+    n = body["usage"]["completion_tokens"]
+    assert len(lp["token_logprobs"]) == len(lp["tokens"]) == n > 0
+    assert all(x <= 0.0 for x in lp["token_logprobs"])
+    # greedy chooses high-probability tokens on a tiny vocab: logprobs
+    # must be finite (log_softmax, not a masked sampler distribution)
+    assert all(x > -50 for x in lp["token_logprobs"])
+
+
+def test_multi_lora_model_routing():
+    """Multi-LoRA over HTTP: the OpenAI "model" field routes requests to
+    stacked adapters; unknown/absent model names serve the base; /v1/models
+    lists every adapter. (Engine-level merged-parity is pinned in
+    test_server.py::test_multi_lora_bank_mixed_pool.)"""
+    from molly_tpu.models.lora import LoraConfig, init_lora, stack_adapters
+
+    text_tok = load_text_tokenizer(None)
+    dna_tok, prot_tok = default_modality_tokenizers()
+    dcfg = DataConfig(max_len=192, dna_rna_k_tokens=4, protein_k_tokens=4)
+    encoder = OmicsSampleEncoder(text_tok, dna_tok, prot_tok, dcfg)
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=-(-text_tok.vocab_size // 128) * 128,
+                        dtype="float32"),
+        dna_rna=tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
+                         dtype="float32"),
+        protein=tiny_esm(vocab_size=prot_tok.vocab_size,
+                         mask_token_id=prot_tok.mask_id, dtype="float32"),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(1))
+    lcfg = LoraConfig(r=4, alpha=8.0, dropout=0.0)
+    key = jax.random.key(9)
+    lora = init_lora(cfg.text, lcfg, key)
+    lora = {"layers": {t: {"a": ab["a"],
+                           "b": 0.5 * jax.random.normal(
+                               jax.random.fold_in(key, j),
+                               ab["b"].shape, jnp.float32)}
+                       for j, (t, ab) in
+                       enumerate(sorted(lora["layers"].items()))}}
+    bank = stack_adapters([lora], scales=[lcfg.scale])
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1,
+                           eos_token_id=text_tok.eos_token_id,
+                           pad_token_id=text_tok.pad_token_id)
+    online = OnlineServer(params, cfg, gen, encoder, text_tok,
+                          n_slots=2, decode_chunk=2, admit_batch=1,
+                          lora_bank=bank, adapter_names=["bio-ft"])
+    httpd = make_http_server(online, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/models", timeout=30) as r:
+            ids = [m["id"] for m in json.loads(r.read())["data"]]
+        assert "bio-ft" in ids
+        outs = {}
+        for model in ("molly-tpu", "bio-ft", "not-a-model"):
+            with _post(port, "/v1/completions",
+                       {"prompt": "hello", "model": model,
+                        "temperature": 0}) as r:
+                outs[model] = json.loads(r.read())["choices"][0]["text"]
+        assert outs["not-a-model"] == outs["molly-tpu"]  # base fallback
+        assert outs["bio-ft"] != outs["molly-tpu"]       # adapter routed
+    finally:
+        httpd.shutdown()
+        online.close()

@@ -429,3 +429,55 @@ def test_cancel_frees_slot_and_returns_partial(setup):
     np.testing.assert_array_equal(results[0], ref[:len(results[0])])
     assert len(results[1]) == 12  # backfilled into the freed slot
     assert len(results[2]) == 0
+
+
+def test_multi_lora_bank_mixed_pool(setup):
+    """Multi-LoRA serving: one slot pool, three requests on three
+    different adapters (0 = base). The base row must be BIT-identical to
+    the bank-less engine (zero-delta bypass adds exact 0.0); adapter
+    rows must match a single-adapter MERGED engine greedy-for-greedy
+    (merge folds a@b into W in fp32 — adapter deltas are made large so
+    argmax decisions dominate the merge-vs-bypass rounding)."""
+    from molly_tpu.models.lora import (LoraConfig, init_lora, merge_lora,
+                                       stack_adapters)
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    lcfg = LoraConfig(r=4, alpha=8.0, dropout=0.0)
+    adapters = []
+    for i in range(2):
+        key = jax.random.key(100 + i)
+        lora = init_lora(cfg.text, lcfg, key)
+        lora = {"layers": {
+            t: {"a": ab["a"],
+                "b": 0.5 * jax.random.normal(
+                    jax.random.fold_in(key, hash(t) % 97),
+                    ab["b"].shape, jnp.float32)}
+            for t, ab in lora["layers"].items()}}
+        adapters.append(lora)
+    bank = stack_adapters(adapters, scales=[lcfg.scale] * 2)
+
+    reqs = [_text_request(i, 6 + i, seed=60 + i) for i in range(3)]
+    reqs[1].adapter = 1
+    reqs[2].adapter = 2
+    eng = ServingEngine(params, cfg, gen, n_slots=3, max_len=48,
+                        prefill_buckets=(16,), lora_bank=bank)
+    results = eng.run(list(reqs))
+
+    # base row: bit-exact vs the plain engine
+    plain = ServingEngine(params, cfg, gen, n_slots=1, max_len=48,
+                          prefill_buckets=(16,)).run(
+        [Request(uid=0, batch=reqs[0].batch)])
+    np.testing.assert_array_equal(results[0], plain[0])
+
+    # adapter rows: match single-adapter merged decodes
+    for i, lora in enumerate(adapters):
+        merged = dict(params)
+        merged["text"] = merge_lora(params["text"], lora, lcfg)
+        ref = _engine_reference(merged, cfg, reqs[i + 1], gen, 16)
+        np.testing.assert_array_equal(results[i + 1],
+                                      ref[:len(results[i + 1])])
+    # and the adapters actually change behavior vs the base model
+    base_ref1 = _engine_reference(params, cfg, reqs[1], gen, 16)
+    assert not np.array_equal(results[1], base_ref1[:len(results[1])])
