@@ -8,6 +8,7 @@ This module puts an HTTP API (stdlib-only: http.server) in front of
 
   POST /v1/completions        {"prompt": ..., "max_tokens": ..., "stream": ...}
   POST /v1/chat/completions   {"messages": [...], ...}
+  POST /v1/embeddings         {"input": str | [str]}  (embed_text.py online)
   GET  /v1/models, GET /health
 
 Prompts go through the SAME dataset encoder as training/batch inference
@@ -83,6 +84,7 @@ class OnlineServer:
         self.encoder = encoder
         self.tok = text_tok
         self.gen = gen
+        self.params, self.cfg = params, cfg  # /v1/embeddings path
         # multi-LoRA: OpenAI "model" -> bank index (0 = base). The shared
         # system-prompt prefix KV would differ per adapter, so prefix
         # caching is off when a bank is loaded.
@@ -248,6 +250,25 @@ class OnlineServer:
             yield delta
         del self._reqs[uid]
 
+    def embed(self, texts: List[str]) -> np.ndarray:
+        """Pooled embeddings for /v1/embeddings — the reference's
+        embed_text.py representation (text last-token ‖ mean-pooled
+        DNA/RNA ‖ mean-pooled protein, embed_text.py:92-215) served
+        online. Train-layout (right-padded) encoding so the last-token
+        pool is well-defined; serialized with engine dispatches."""
+        import jax.numpy as jnp
+
+        from ..data.collate import collate_train
+        from ..tools.embed import embed_batch
+
+        rows = [self.encoder.encode_train({"input": t, "output": ""})
+                for t in texts]
+        batch = collate_train(rows)
+        arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                if isinstance(v, np.ndarray)}
+        with self._mu:
+            return embed_batch(self.params, self.cfg, arrs)
+
     def close(self) -> None:
         self._stop = True
         with self._cv:
@@ -306,6 +327,21 @@ def make_http_server(online: OnlineServer, host: str, port: int,
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})
+            if self.path == "/v1/embeddings":
+                texts = body.get("input", "")
+                if isinstance(texts, str):
+                    texts = [texts]
+                if not texts or not all(isinstance(t, str) and t
+                                        for t in texts):
+                    return self._json(400, {"error": "empty input"})
+                emb = online.embed(texts)
+                return self._json(200, {
+                    "object": "list",
+                    "model": model_name,
+                    "data": [{"object": "embedding", "index": i,
+                              "embedding": [float(x) for x in row]}
+                             for i, row in enumerate(emb)],
+                    "usage": {"prompt_tokens": 0, "total_tokens": 0}})
             chat = self.path == "/v1/chat/completions"
             if self.path not in ("/v1/completions", "/v1/chat/completions"):
                 return self._json(404, {"error": "not found"})
@@ -325,22 +361,40 @@ def make_http_server(online: OnlineServer, host: str, port: int,
             stop = body.get("stop") or ()
             if isinstance(stop, str):
                 stop = (stop,)
-            uid = online.enqueue(prompt, body.get("max_tokens"),
-                                 stream=bool(body.get("stream")),
-                                 sampling=req_samp or None,
-                                 stop=stop,
-                                 adapter=online.resolve_adapter(
-                                     body.get("model")))
-            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uid}"
+            try:
+                n_choices = int(body.get("n", 1))
+            except (TypeError, ValueError):
+                return self._json(400, {"error": "bad n"})
+            if not 1 <= n_choices <= 16:
+                return self._json(400, {"error": "n must be in [1, 16]"})
+            if n_choices > 1 and body.get("stream"):
+                return self._json(
+                    400, {"error": "n > 1 with stream not supported"})
+            # OpenAI "n": the prompt is admitted n times; slots sample
+            # independently (rowwise categorical draws are per-row), so
+            # choices diverge under sampling and coincide under greedy.
+            uids = [online.enqueue(prompt, body.get("max_tokens"),
+                                   stream=bool(body.get("stream")),
+                                   sampling=req_samp or None,
+                                   stop=stop,
+                                   adapter=online.resolve_adapter(
+                                       body.get("model")))
+                    for _ in range(n_choices)]
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uids[0]}"
             if body.get("stream"):
-                return self._sse(uid, rid, chat)
-            text, reason, n_tok, n_prompt, logprobs = online.wait(uid)
-            choice = ({"index": 0, "message": {"role": "assistant",
-                                               "content": text},
-                       "finish_reason": reason} if chat else
-                      {"index": 0, "text": text, "finish_reason": reason})
-            if body.get("logprobs") and logprobs is not None:
-                choice["logprobs"] = logprobs
+                return self._sse(uids[0], rid, chat)
+            choices, tot_tok, n_prompt = [], 0, 0
+            for i, uid in enumerate(uids):
+                text, reason, n_tok, n_prompt, logprobs = online.wait(uid)
+                tot_tok += n_tok
+                choice = ({"index": i, "message": {"role": "assistant",
+                                                   "content": text},
+                           "finish_reason": reason} if chat else
+                          {"index": i, "text": text,
+                           "finish_reason": reason})
+                if body.get("logprobs") and logprobs is not None:
+                    choice["logprobs"] = logprobs
+                choices.append(choice)
             self._json(200, {
                 "id": rid,
                 "object": "chat.completion" if chat else "text_completion",
@@ -348,10 +402,10 @@ def make_http_server(online: OnlineServer, host: str, port: int,
                 "model": (body.get("model")
                           if body.get("model") in online.adapters
                           else model_name),
-                "choices": [choice],
+                "choices": choices,
                 "usage": {"prompt_tokens": n_prompt,
-                          "completion_tokens": n_tok,
-                          "total_tokens": n_prompt + n_tok},
+                          "completion_tokens": tot_tok,
+                          "total_tokens": n_prompt + tot_tok},
                 "molly_sampling_defaults": sampling,
             })
 

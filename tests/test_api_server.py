@@ -266,3 +266,59 @@ def test_multi_lora_model_routing():
     finally:
         httpd.shutdown()
         online.close()
+
+
+def test_n_choices(api):
+    """OpenAI "n": n choices per request — indices 0..n-1, greedy rows
+    coincide, sampled rows draw independently, usage sums completions."""
+    port, reference = api
+    with _post(port, "/v1/completions",
+               {"prompt": PROMPTS[2], "max_tokens": 8,
+                "temperature": 0, "n": 3}) as r:
+        body = json.loads(r.read())
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+    want = reference(PROMPTS[2])
+    for c in body["choices"]:
+        assert want.endswith(c["text"])  # greedy: all n identical
+        assert c["text"] == body["choices"][0]["text"]
+    n_tok = body["usage"]["completion_tokens"]
+    assert n_tok == body["usage"]["total_tokens"] - \
+        body["usage"]["prompt_tokens"]
+    # sampled at high temperature: at least one pair diverges
+    with _post(port, "/v1/completions",
+               {"prompt": PROMPTS[2], "max_tokens": 8,
+                "temperature": 1.5, "n": 4}) as r:
+        body = json.loads(r.read())
+    texts = [c["text"] for c in body["choices"]]
+    assert len(texts) == 4
+    assert len(set(texts)) > 1
+    # invalid n / n with stream are 400s
+    for bad in ({"prompt": "x", "n": 0},
+                {"prompt": "x", "n": 2, "stream": True}):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/v1/completions", bad)
+        assert ei.value.code == 400
+
+
+def test_embeddings_endpoint(api):
+    """/v1/embeddings serves the embed_text.py representation online:
+    same pooled vector as the offline tool, one row per input."""
+    port, _ = api
+    with _post(port, "/v1/embeddings",
+               {"input": [PROMPTS[0], PROMPTS[2]]}) as r:
+        body = json.loads(r.read())
+    assert body["object"] == "list"
+    assert [d["index"] for d in body["data"]] == [0, 1]
+    v0 = np.asarray(body["data"][0]["embedding"])
+    v1 = np.asarray(body["data"][1]["embedding"])
+    assert v0.shape == v1.shape and v0.ndim == 1 and v0.size > 0
+    assert np.all(np.isfinite(v0))
+    assert not np.allclose(v0, v1)  # different prompts, different vectors
+    # deterministic: same input twice -> same vector
+    with _post(port, "/v1/embeddings", {"input": PROMPTS[0]}) as r:
+        again = np.asarray(
+            json.loads(r.read())["data"][0]["embedding"])
+    np.testing.assert_allclose(again, v0, rtol=1e-5, atol=1e-5)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, "/v1/embeddings", {"input": []})
+    assert ei.value.code == 400
