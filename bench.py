@@ -433,19 +433,19 @@ def bench_serve(args):
             args.prompt_len + long_t, (args.prompt_len,)
     cfg = FusionConfig(text=tcfg, dna_rna=tiny_esm(), protein=tiny_esm())
     if args.int8:
-        if tcfg.num_experts or args.lora_bank:
+        if tcfg.num_experts:
             # MoE: quantize a real init (experts via --int8-experts); the
-            # dense-shaped _random_int8_params shortcut doesn't apply.
-            # multi-LoRA: the bypass needs UNFUSED projections
+            # dense-shaped _random_int8_params shortcut doesn't apply
             text = qwen3.quantize_for_decode(
                 qwen3.init_params(tcfg, jax.random.key(0)), tcfg,
-                fuse=not args.lora_bank,
                 moe_experts=args.int8_experts)
         else:
+            # multi-LoRA banks ride the fused int8 path (per-target
+            # deltas on fused column slices, models.lora.apply_lora_fused)
             text = _random_int8_params(tcfg)
     else:
         text = qwen3.init_params(tcfg, jax.random.key(0))
-        if not args.smoke and not args.lora_bank:
+        if not args.smoke:
             text = qwen3.fuse_for_decode(text, tcfg)
     params = {"text": text}
     bank = None

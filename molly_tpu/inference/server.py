@@ -379,17 +379,14 @@ class ServingEngine:
 
         lora_bank: stacked multi-LoRA adapters (lora.stack_adapters) —
         each request picks its adapter via Request.adapter (0 = base);
-        one compiled program serves the whole mix. Requires UNFUSED
-        decode weights (the fused qkv/gateup paths skip the bypass) and
-        is mutually exclusive with shared-prefix caching (the prefix KV
-        would differ per adapter)."""
+        one compiled program serves the whole mix. Works on both the
+        unfused and the fused/int8 decode weights (per-target deltas
+        land on column slices of the fused projections,
+        models.lora.apply_lora_fused). Mutually exclusive with
+        shared-prefix caching (the prefix KV would differ per
+        adapter)."""
         assert params.get("lora") is None, "merge LoRA adapters first"
         if lora_bank is not None:
-            layer_keys = params["text"]["layers"].keys()
-            assert "qkv_proj" not in layer_keys and \
-                "gateup_proj" not in layer_keys, (
-                    "multi-LoRA needs unfused decode weights "
-                    "(skip fuse_for_decode / use fuse=False)")
             assert prefix_ids is None, (
                 "shared-prefix caching is per-adapter under multi-LoRA "
                 "— not supported; pass prefix_ids=None")

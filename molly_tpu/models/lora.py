@@ -118,6 +118,45 @@ def apply_lora(x: jnp.ndarray, base_out: jnp.ndarray,
     return base_out + scale * delta.astype(base_out.dtype)
 
 
+def apply_lora_fused(x: jnp.ndarray, fused_out: jnp.ndarray,
+                     lora_layer: Dict[str, Dict[str, jnp.ndarray]],
+                     parts, scale: float,
+                     dropout_rate: float = 0.0,
+                     rng_for: Optional[Any] = None,
+                     lora_slots: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
+    """Low-rank bypass around a FUSED projection (qkv_proj / gateup_proj).
+
+    The fused decode weights concatenate per-target output columns
+    (qwen3.fuse_for_decode: q ‖ k ‖ v, gate ‖ up), so each target's
+    adapter delta — computed from the SAME input x — lands on its own
+    column slice of the fused output. This keeps multi-LoRA serving on
+    the fused (and fused-int8) decode path instead of forfeiting the
+    measured fusion win (vLLM applies banks the same way: fused base
+    matmul + per-target shrink/expand bypasses).
+
+    parts: ((target_name, width), ...) covering fused_out's last dim in
+    order. Targets absent from ``lora_layer`` contribute zero columns.
+    rng_for: optional callable name -> dropout rng (per-target streams,
+    matching the unfused path's fold_in-by-target convention)."""
+    deltas = []
+    any_hit = False
+    B_dims = fused_out.shape[:-1]
+    for name, width in parts:
+        ab = lora_layer.get(name)
+        if ab is None:
+            deltas.append(jnp.zeros(B_dims + (width,), fused_out.dtype))
+            continue
+        any_hit = True
+        rng = rng_for(name) if rng_for is not None else None
+        deltas.append(apply_lora(
+            x, jnp.zeros(B_dims + (width,), fused_out.dtype), ab, scale,
+            dropout_rate, rng, lora_slots=lora_slots))
+    if not any_hit:
+        return fused_out
+    return fused_out + jnp.concatenate(deltas, axis=-1)
+
+
 def stack_adapters(adapters, scales=None) -> Dict[str, Any]:
     """Stack N unmerged adapters into a multi-LoRA serving bank.
 

@@ -135,20 +135,35 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
     Nq, Nkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
 
+    def rng_for(name):
+        return (jax.random.fold_in(dropout_rng, _TARGET_IDX[name])
+                if dropout_rng is not None else None)
+
     def proj(x, name):
         out = quant.linear(x, p[name])
         ll = lora_layer.get(name) if lora_layer is not None else None
-        rng = (jax.random.fold_in(dropout_rng, _TARGET_IDX[name])
-               if dropout_rng is not None else None)
-        return apply_lora(x, out, ll, lora_scale, lora_dropout, rng,
-                          lora_slots=lora_slots)
+        return apply_lora(x, out, ll, lora_scale, lora_dropout,
+                          rng_for(name), lora_slots=lora_slots)
+
+    def fused_bypass(x, out, parts):
+        # adapters ride the FUSED projection: each target's delta lands on
+        # its column slice of the fused output (multi-LoRA serving keeps
+        # the fused/int8 decode path; models.lora.apply_lora_fused)
+        if lora_layer is None:
+            return out
+        from .lora import apply_lora_fused
+        return apply_lora_fused(x, out, lora_layer, parts, lora_scale,
+                                lora_dropout, rng_for,
+                                lora_slots=lora_slots)
 
     x = rms_norm(hidden, p["input_norm"], cfg.rms_norm_eps)
     if "qkv_proj" in p:  # fused decode weights ({quantize,fuse}_for_decode)
         # q‖k stay contiguous out of the fused dot, so Qwen3's per-head-dim
         # q/k RMSNorm (modeling_qwen3.py:200-201) and RoPE run as ONE op
         # each over [B, S, Nq+Nkv, Dh] with stacked qk_norm weights.
-        qkv = quant.linear(x, p["qkv_proj"])
+        qkv = fused_bypass(x, quant.linear(x, p["qkv_proj"]),
+                           (("q_proj", cfg.q_dim), ("k_proj", cfg.kv_dim),
+                            ("v_proj", cfg.kv_dim)))
         qk = qkv[..., : cfg.q_dim + cfg.kv_dim].reshape(B, S, Nq + Nkv, Dh)
         v = qkv[..., cfg.q_dim + cfg.kv_dim :].reshape(B, S, Nkv, Dh)
         qk = rms_norm(qk, p["qk_norm"], cfg.rms_norm_eps)
@@ -258,7 +273,10 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
                 norm_topk_prob=cfg.norm_topk_prob, **lkw)
         down = out2d.reshape(B, S, H)
     elif "gateup_proj" in p:  # fused decode weights
-        gu = quant.linear(x, p["gateup_proj"])
+        I = (p["gateup_proj"]["w_q"] if isinstance(p["gateup_proj"], dict)
+             else p["gateup_proj"]).shape[-1] // 2
+        gu = fused_bypass(x, quant.linear(x, p["gateup_proj"]),
+                          (("gate_proj", I), ("up_proj", I)))
         gate, up = jnp.split(gu, 2, axis=-1)
         down = proj(jax.nn.silu(gate) * up, "down_proj")
     else:
@@ -440,8 +458,10 @@ def _stacked_qk_norm(cfg: Qwen3Config, lp: Params) -> jnp.ndarray:
 def fuse_for_decode(params: Params, cfg: Qwen3Config) -> Params:
     """bf16 serving prep: merge q/k/v and gate/up into single matmuls
     (same fusion quantize_for_decode does for int8) — fewer, larger dots
-    per decode step stream weights from HBM better. LoRA must be merged
-    first (the fused branch of _layer skips adapters)."""
+    per decode step stream weights from HBM better. Single-adapter LoRA
+    should be merged first (engine.generate does); multi-LoRA BANKS apply
+    on top of the fused weights (per-target column-slice deltas,
+    models.lora.apply_lora_fused)."""
     lp = params["layers"]
     new_layers = dict(lp)
     new_layers["qkv_proj"] = jnp.concatenate(

@@ -481,3 +481,49 @@ def test_multi_lora_bank_mixed_pool(setup):
     # and the adapters actually change behavior vs the base model
     base_ref1 = _engine_reference(params, cfg, reqs[1], gen, 16)
     assert not np.array_equal(results[1], base_ref1[:len(results[1])])
+
+
+def test_multi_lora_bank_fused_decode_path(setup):
+    """Multi-LoRA on the FUSED serving weights (qkv_proj/gateup_proj):
+    per-target deltas land on column slices of the fused projections
+    (models.lora.apply_lora_fused), so a bank-loaded engine keeps the
+    fused decode path. Greedy tokens must match the unfused bank engine
+    row for row."""
+    from molly_tpu.models import qwen3
+    from molly_tpu.models.lora import LoraConfig, init_lora, stack_adapters
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    lcfg = LoraConfig(r=4, alpha=8.0, dropout=0.0)
+    adapters = []
+    for i in range(2):
+        key = jax.random.key(200 + i)
+        lora = init_lora(cfg.text, lcfg, key)
+        lora = {"layers": {
+            t: {"a": ab["a"],
+                "b": 0.5 * jax.random.normal(
+                    jax.random.fold_in(key, hash(t) % 97),
+                    ab["b"].shape, jnp.float32)}
+            for t, ab in lora["layers"].items()}}
+        adapters.append(lora)
+    bank = stack_adapters(adapters, scales=[lcfg.scale] * 2)
+
+    reqs = [_text_request(i, 6 + i, seed=80 + i) for i in range(3)]
+    reqs[1].adapter = 1
+    reqs[2].adapter = 2
+
+    def run(text_params):
+        eng = ServingEngine({**params, "text": text_params}, cfg, gen,
+                            n_slots=3, max_len=48, prefill_buckets=(16,),
+                            lora_bank=bank)
+        return eng.run([Request(uid=r.uid, batch=r.batch,
+                                adapter=r.adapter) for r in reqs])
+
+    unfused = run(params["text"])
+    fused = run(qwen3.fuse_for_decode(params["text"], cfg.text))
+    for uid in (0, 1, 2):
+        np.testing.assert_array_equal(fused[uid], unfused[uid])
+    # adapters actually fire on the fused path (rows differ from base)
+    assert not np.array_equal(fused[1], fused[0][:len(fused[1])]) or \
+        not np.array_equal(fused[2], fused[0][:len(fused[2])])
