@@ -152,6 +152,14 @@ def main():
                     help="serve mode: stack N random adapters and route "
                          "requests round-robin (multi-LoRA overhead "
                          "measurement)")
+    ap.add_argument("--gen-cap", type=int, default=256,
+                    help="serve mode: longest generation cap (the "
+                         "reference's operating point is 3072, "
+                         "inference_nt_lora.sh max-length; caps are drawn "
+                         "U[16, gen-cap])")
+    ap.add_argument("--k-tokens", type=int, default=128,
+                    help="fusion mode: encoder segment length (the "
+                         "reference's operating point is 1024)")
     ap.add_argument("--prefix-len", type=int, default=0,
                     help="serve mode: length of a prompt prefix shared by "
                          "every request (prefilled once via the engine's "
@@ -260,18 +268,9 @@ def main():
     }))
 
 
-def _random_int8_params(cfg):
+def _int8_stack_fn():
     import jax
     import jax.numpy as jnp
-
-    from molly_tpu.models import qwen3
-
-    key = jax.random.key(0)
-    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
-    dims = {"qkv_proj": (H, cfg.q_dim + 2 * cfg.kv_dim),
-            "o_proj": (cfg.q_dim, H),
-            "gateup_proj": (H, 2 * I), "down_proj": (I, H)}
-
     from functools import partial
 
     @partial(jax.jit, static_argnames=("rows", "cols", "n"))
@@ -296,6 +295,34 @@ def _random_int8_params(cfg):
         return {"w_q": w,
                 "scale": jnp.full(scale_shape, 2e-4, jnp.float32)}
 
+    return qrand
+
+
+def _random_bf16_embed(cfg, k):
+    import jax
+    import jax.numpy as jnp
+    H = cfg.hidden_size
+
+    # chunked for the same reason as _int8_stack (8B: [151936, 4096])
+    n = 8 if cfg.vocab_size % 8 == 0 else 1
+    rows = cfg.vocab_size // n
+    return jax.jit(lambda kk: jax.lax.map(
+        lambda ki: (0.02 * jax.random.normal(
+            ki, (rows, H), jnp.float32)).astype(jnp.bfloat16),
+        jax.random.split(kk, n)).reshape(cfg.vocab_size, H))(k)
+
+
+def _random_int8_params(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    dims = {"qkv_proj": (H, cfg.q_dim + 2 * cfg.kv_dim),
+            "o_proj": (cfg.q_dim, H),
+            "gateup_proj": (H, 2 * I), "down_proj": (I, H)}
+    qrand = _int8_stack_fn()
+
     keys = iter(jax.random.split(key, 16))
     layers = {
         "input_norm": jnp.ones((L, H), jnp.bfloat16),
@@ -306,21 +333,47 @@ def _random_int8_params(cfg):
     }
     for name, (din, dout) in dims.items():
         layers[name] = qrand(next(keys), (L, din, dout))
-    def _embed(k):
-        # chunked for the same reason as _int8_stack (8B: [151936, 4096])
-        n = 8 if cfg.vocab_size % 8 == 0 else 1
-        rows = cfg.vocab_size // n
-        return jax.jit(lambda kk: jax.lax.map(
-            lambda ki: (0.02 * jax.random.normal(
-                ki, (rows, H), jnp.float32)).astype(jnp.bfloat16),
-            jax.random.split(kk, n)).reshape(cfg.vocab_size, H))(k)
 
     params = {
-        "embed": _embed(next(keys)),
+        "embed": _random_bf16_embed(cfg, next(keys)),
         "layers": layers,
         "final_norm": jnp.ones((H,), jnp.bfloat16),
         "lm_head_q": qrand(next(keys), (H, cfg.vocab_size)),
     }
+    return params
+
+
+def _random_qlora_text_params(cfg):
+    """UNFUSED int8 base in quantize_for_training's exact layout
+    ({w_q, scale} per QUANT_TARGET, bf16 norms/embed/head) built int8-
+    FIRST — materializing a bf16 8B (16.4 GB) just to quantize it OOMs
+    the 16 GB chip before the QLoRA bench starts. Values don't affect
+    step timing."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    dims = {"q_proj": (H, cfg.q_dim), "k_proj": (H, cfg.kv_dim),
+            "v_proj": (H, cfg.kv_dim), "o_proj": (cfg.q_dim, H),
+            "gate_proj": (H, I), "up_proj": (H, I), "down_proj": (I, H)}
+    qrand = _int8_stack_fn()
+    keys = iter(jax.random.split(key, 16))
+    layers = {
+        "input_norm": jnp.ones((L, H), jnp.bfloat16),
+        "post_attn_norm": jnp.ones((L, H), jnp.bfloat16),
+        "q_norm": jnp.ones((L, cfg.head_dim), jnp.bfloat16),
+        "k_norm": jnp.ones((L, cfg.head_dim), jnp.bfloat16),
+    }
+    for name, (din, dout) in dims.items():
+        layers[name] = qrand(next(keys), (L, din, dout))
+    params = {
+        "embed": _random_bf16_embed(cfg, next(keys)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _random_bf16_embed(cfg, next(keys)).T
     return params
 
 
@@ -418,7 +471,7 @@ def bench_serve(args):
     # unpredictable generation lengths (the real serving regime): caps
     # drawn uniformly in [short_t, long_t]; static batching cannot know
     # them and pays long_t decode steps for every batch
-    short_t, long_t = (4, 16) if args.smoke else (16, 256)
+    short_t, long_t = (4, 16) if args.smoke else (16, args.gen_cap)
     n_slots = 4 if args.smoke else args.batch
     # deep queue by default: a serving engine's throughput regime is a
     # backlog that keeps freed slots backfilled; the static baseline pays
@@ -674,7 +727,17 @@ def bench_train(args):
         "protein_pos": jnp.full((B, 1), -1, jnp.int32),
         "task_label": jnp.asarray(rng.integers(0, 20, (B,)), jnp.int32),
     }
-    params = fusion.init_params(cfg, jax.random.key(0))
+    assert not (args.qlora and args.full_ft), "--qlora is a LoRA recipe"
+    if args.qlora:
+        # int8-first init: an 8B bf16 tree (16.4 GB) OOMs the chip before
+        # quantize_for_training could halve it (_random_qlora_text_params)
+        import dataclasses as _dc
+        stub = _dc.replace(cfg, text=_dc.replace(
+            text, num_hidden_layers=1, hidden_size=text.hidden_size))
+        params = fusion.init_params(stub, jax.random.key(0))
+        params["text"] = _random_qlora_text_params(text)
+    else:
+        params = fusion.init_params(cfg, jax.random.key(0))
     if args.full_ft:
         tc = TrainConfig(learning_rate=1e-5, total_steps=100,
                          train_bio=False, train_mlp=True, train_llm=True)
@@ -688,9 +751,6 @@ def bench_train(args):
         if args.qlora:
             # int8 frozen base (QLoRA): 8B LoRA fits ONE 16 GB chip —
             # the reference needs 8 GPUs + ZeRO-2 for this model class
-            from molly_tpu.models import qwen3 as _q
-            params["text"] = _q.quantize_for_training(params["text"],
-                                                      cfg.text)
             recipe = "QLoRA (int8 base) fine-tune"
     state = init_train_state(params, tc)
     step = jax.jit(make_train_step(cfg, tc), donate_argnums=0)
@@ -741,7 +801,7 @@ def bench_fusion(args):
     from molly_tpu.models.fusion import FusionConfig
     from molly_tpu.inference.engine import GenerationConfig,         _generate_from_embeds
 
-    K = 128
+    K = args.k_tokens
     cfg = FusionConfig(
         text=QWEN3_PRESETS[args.preset],
         dna_rna=dataclasses.replace(ESM_PRESETS["nt-500m"],
