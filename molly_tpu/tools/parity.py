@@ -16,6 +16,11 @@ Checks (each reported with max|Δ| and pass/fail vs tolerance):
      → decoder, with the reference's in-place-overwrite semantics
      reproduced on the HF side (omics_one.py:91-97,163-184)
   4. greedy decode match over N prompts vs HF ``generate(do_sample=False)``
+  5. ``--full-gate``: BASELINE.md's second gate — 100-prompt greedy
+     generation through BOTH stacks scored with the ported evalsuite,
+     gated on per-task score deltas (run_eval_score_gate). The day the
+     published checkpoints are mountable, both BASELINE.md gates run
+     with this one command and zero new code.
 
 Runs in CI against tiny randomly-initialized HF models (tests/test_parity_
 runner.py); against the real checkpoints whenever they are mounted. Note
@@ -53,6 +58,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trust-remote-code", action="store_true",
                    help="needed by some nucleotide-transformer checkpoints")
+    p.add_argument("--full-gate", action="store_true",
+                   help="BASELINE.md's SECOND gate on top of the logit "
+                        "checks: greedy-generate --gate-prompts prompts "
+                        "(with injected omics segments) through BOTH "
+                        "stacks, score both JSONLs with the ported "
+                        "evalsuite, and gate on per-task score deltas. "
+                        "Needs --dna-rna and --protein.")
+    p.add_argument("--gate-prompts", type=int, default=100,
+                   help="--full-gate prompt count (gate spec: 100)")
+    p.add_argument("--score-tol", type=float, default=1.0,
+                   help="--full-gate max per-task score delta "
+                        "(x100-scaled points)")
     return p
 
 
@@ -295,6 +312,160 @@ def run_fusion_parity(args, report, text, dna, protein):
         args.logit_atol))
 
 
+GATE_TASKS = ("pd-prom_300_all", "emp-H3K4me1", "Solubility",
+              "tf_h-0", "cpd-prom_core_all")
+
+
+def run_eval_score_gate(args, report, text, dna, protein):
+    """--full-gate leg: BASELINE.md's eval-score-parity gate
+    (/root/reference/eval/eval.py:984-1058 protocol) as one command.
+
+    Greedy-generates ``--gate-prompts`` omics prompts (binary tasks with
+    injected DNA/protein segments) through BOTH stacks — the torch/HF
+    reference composition with in-place injection (omics_one.py:91-97,
+    220-233) and our fusion engine — writes each side's inference JSONL,
+    scores both with the ported evalsuite, and gates on the max per-task
+    x100-score delta (``--score-tol``).
+
+    With tiny random CI checkpoints the generations are gibberish but
+    token-exact between stacks, so the gate proves the PROTOCOL end to
+    end (decode -> JSONL -> merge/dispatch -> identical scores). With the
+    published molly checkpoints mounted it is the real gate. Outputs are
+    decoded with the text checkpoint's tokenizer when present, else a
+    deterministic id->"t<i>" fallback (identical on both sides)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..evalsuite.harness import evaluate_file
+    from ..inference.engine import GenerationConfig, _generate_from_embeds
+    from ..models import fusion
+    from ..models.fusion import FusionConfig
+
+    (text_model, text_params, text_cfg) = text
+    (dna_model, dna_params, dna_cfg) = dna
+    (prot_model, prot_params, prot_cfg) = protein
+
+    K = 8
+    cfg = FusionConfig(text=text_cfg, dna_rna=dna_cfg, protein=prot_cfg,
+                       dna_rna_k_tokens=K, protein_k_tokens=K)
+    rng = np.random.default_rng(args.seed + 4)
+    B, T = args.gate_prompts, args.new_tokens
+    S = 2 * (K + 2) + 16
+
+    ids = rng.integers(0, text_cfg.vocab_size, (B, S))
+    dna_ids = rng.integers(4, dna_cfg.vocab_size, (B, 1, K))
+    prot_ids = rng.integers(4, prot_cfg.vocab_size, (B, 1, K))
+    dna_pos = np.full((B, 1), 1, np.int32)
+    prot_pos = np.full((B, 1), K + 4, np.int32)
+    tasks = [GATE_TASKS[i % len(GATE_TASKS)] for i in range(B)]
+    labels = ["positive" if i % 2 == 0 else "negative" for i in range(B)]
+
+    # same projector convention as run_fusion_parity: exported weights if
+    # the checkpoint carries them, else seeded-random identical pairs
+    H = text_cfg.hidden_size
+
+    def make_proj(seed, h_in):
+        r = np.random.default_rng(seed)
+        return {"kernel": (r.standard_normal((h_in, H)) * 0.02
+                           ).astype(np.float32),
+                "bias": np.zeros((H,), np.float32)}
+
+    dproj = make_proj(10, dna_cfg.hidden_size)
+    pproj = make_proj(11, prot_cfg.hidden_size)
+
+    # ---- reference stack: HF embed + in-place injection + generate ----
+    with torch.no_grad():
+        emb = text_model.get_input_embeddings()(torch.tensor(ids))
+        d_emb = dna_model.esm(torch.tensor(dna_ids.reshape(B, K))
+                              ).last_hidden_state \
+            @ torch.tensor(dproj["kernel"]) + torch.tensor(dproj["bias"])
+        p_emb = prot_model.esm(torch.tensor(prot_ids.reshape(B, K))
+                               ).last_hidden_state \
+            @ torch.tensor(pproj["kernel"]) + torch.tensor(pproj["bias"])
+        for b in range(B):
+            s = int(dna_pos[b, 0])
+            emb[b, s + 1: s + 1 + K] = d_emb[b]
+            s = int(prot_pos[b, 0])
+            emb[b, s + 1: s + 1 + K] = p_emb[b]
+        hf_out = text_model.generate(
+            inputs_embeds=emb,
+            attention_mask=torch.ones((B, S), dtype=torch.long),
+            max_new_tokens=T, do_sample=False, num_beams=1,
+            pad_token_id=0, eos_token_id=None)
+    # generate(inputs_embeds=...) returns ONLY the new tokens
+    ref_toks = hf_out[:, -T:].numpy()
+
+    # ---- our stack: fusion engine greedy ----
+    params = {
+        "text": text_params, "dna_rna": dna_params, "protein": prot_params,
+        "dna_rna_projector": {k: jnp.asarray(v) for k, v in dproj.items()},
+        "protein_projector": {k: jnp.asarray(v) for k, v in pproj.items()},
+    }
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "dna_rna_tokens": jnp.asarray(dna_ids, jnp.int32),
+        "dna_rna_pos": jnp.asarray(dna_pos),
+        "protein_tokens": jnp.asarray(prot_ids, jnp.int32),
+        "protein_pos": jnp.asarray(prot_pos),
+    }
+    embeds = fusion.build_inputs_embeds(params, cfg, batch)
+    gen = GenerationConfig(max_new_tokens=T, do_sample=False,
+                           temperature=1.0, top_p=1.0, top_k=0,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    got_toks = np.asarray(_generate_from_embeds(
+        text_params, text_cfg, embeds, jnp.ones((B, S), jnp.int32), gen,
+        jax.random.key(0)))
+
+    # ---- decode (identical function both sides) ----
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.text)
+
+        def decode(row):
+            return tok.decode([int(t) for t in row],
+                              skip_special_tokens=True)
+    except Exception:
+        def decode(row):
+            return " ".join(f"t{int(t)}" for t in row)
+
+    out_dir = os.path.dirname(os.path.abspath(
+        args.output or "benchmarks/x")) or "."
+    paths = {}
+    for name, toks in (("reference", ref_toks), ("molly_tpu", got_toks)):
+        path = os.path.join(out_dir, f"gate_infer_{name}.jsonl")
+        with open(path, "w") as f:
+            for i in range(B):
+                f.write(json.dumps({
+                    "task": tasks[i], "label": labels[i],
+                    "model_output": decode(toks[i])}) + "\n")
+        paths[name] = path
+    ref_scores = evaluate_file(paths["reference"])
+    got_scores = evaluate_file(paths["molly_tpu"])
+
+    deltas = {}
+    for omics, tasks_d in ref_scores.items():
+        for task, md in tasks_d.items():
+            for metric, v in md.items():
+                g = got_scores.get(omics, {}).get(task, {}).get(metric)
+                if isinstance(v, (int, float)) and isinstance(
+                        g, (int, float)):
+                    deltas[f"{task}/{metric}"] = round(abs(v - g), 4)
+    max_delta = max(deltas.values()) if deltas else float("inf")
+    tok_match = float((ref_toks == got_toks).mean())
+    report["eval_score_gate"] = {
+        "per_task_delta": deltas, "reference_scores": ref_scores,
+        "molly_tpu_scores": got_scores, "jsonl": paths}
+    report["checks"].append({
+        "check": "eval_score_parity", "prompts": B, "new_tokens": T,
+        "max_abs_diff": max_delta, "atol": args.score_tol,
+        "token_match_fraction": tok_match,
+        "pass": bool(deltas and max_delta <= args.score_tol),
+    })
+
+
 def main(argv=None) -> Dict[str, Any]:
     args = build_argparser().parse_args(argv)
     name = os.path.basename(os.path.normpath(args.text))
@@ -332,6 +503,13 @@ def main(argv=None) -> Dict[str, Any]:
                           (text_model, text_params, text_cfg),
                           (dna_model, dna[1], dna[2]),
                           (prot_model, prot[1], prot[2]))
+        if args.full_gate:
+            run_eval_score_gate(args, report,
+                                (text_model, text_params, text_cfg),
+                                (dna_model, dna[1], dna[2]),
+                                (prot_model, prot[1], prot[2]))
+    elif args.full_gate:
+        raise SystemExit("--full-gate needs --dna-rna and --protein")
 
     report["all_pass"] = all(c["pass"] for c in report["checks"])
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)

@@ -73,3 +73,30 @@ def test_parity_runner_text_only(tiny_ckpts, tmp_path):
     assert {c["check"] for c in report["checks"]} == {
         "text_logits", "greedy_decode_match"}
     assert report["all_pass"]
+
+
+def test_parity_runner_full_gate(tiny_ckpts, tmp_path):
+    """--full-gate: the eval-score-parity leg (BASELINE.md's second gate)
+    runs end to end on tiny random checkpoints — token-exact greedy on
+    both stacks must yield IDENTICAL evalsuite scores (delta 0.0)."""
+    import os
+
+    from molly_tpu.tools.parity import main
+
+    out = str(tmp_path / "parity_gate.json")
+    report = main(["--text", str(tiny_ckpts / "qwen"),
+                   "--dna-rna", str(tiny_ckpts / "nt"),
+                   "--protein", str(tiny_ckpts / "esm"),
+                   "--output", out, "--full-gate",
+                   "--gate-prompts", "20",
+                   "--prompts", "2", "--seq-len", "24", "--new-tokens", "6"])
+    gate = next(c for c in report["checks"]
+                if c["check"] == "eval_score_parity")
+    assert gate["pass"], gate
+    assert gate["token_match_fraction"] == 1.0
+    assert gate["max_abs_diff"] == 0.0
+    # every gate task got scored on both sides and both JSONLs exist
+    assert report["eval_score_gate"]["per_task_delta"]
+    for path in report["eval_score_gate"]["jsonl"].values():
+        assert os.path.exists(path)
+    assert report["all_pass"]
