@@ -108,9 +108,15 @@ def main():
     ap.add_argument("--train-batch", type=int, default=4,
                     help="--mode train micro-batch size")
     ap.add_argument("--remat", default="full",
-                    choices=["full", "dots", "none"],
+                    choices=["full", "dots", "attn", "none"],
                     help="--mode train remat: full recompute, save-dots, "
-                         "or no remat (max speed, max memory)")
+                         "save-attention-outputs-only, or no remat "
+                         "(max speed, max memory)")
+    ap.add_argument("--seq-len", type=int, default=1024,
+                    help="--mode train sequence length (reference trains "
+                         "8B at 3072 — run_train_8B.sh:18-21)")
+    ap.add_argument("--lce-chunk", type=int, default=256,
+                    help="--mode train fused linear+CE chunk size")
     ap.add_argument("--full-ft", action="store_true",
                     help="train mode: full fine-tune (all decoder params) "
                          "instead of LoRA; qwen3-0.6b fits one chip")
@@ -118,6 +124,14 @@ def main():
                     help="train mode: int8-quantize the frozen base under "
                          "the LoRA adapters (quantize_for_training) — "
                          "8B LoRA fits one 16 GB chip")
+    ap.add_argument("--spec-workload", default="random",
+                    choices=["random", "copy"],
+                    help="serve mode: 'copy' first fine-tunes the preset "
+                         "on-chip to continue periodic token streams, then "
+                         "serves span-quoting prompts greedily — the "
+                         "workload where prompt-lookup speculation pays "
+                         "(molly answers quote spans of the tagged input); "
+                         "'random' measures the no-match floor")
     ap.add_argument("--n-req", type=int, default=None,
                     help="serve mode: workload depth (default 4x slots — "
                          "a deep queue keeps backfill going; the static "
@@ -211,9 +225,12 @@ def main():
             # of the big-dense _random_int8_params shortcut. Default is
             # attention/head-only int8; --int8-experts also quantizes
             # the expert stacks (~all of a MoE's weight bytes).
-            params = qwen3.quantize_for_decode(
-                qwen3.init_params(cfg, jax.random.key(0)), cfg,
-                moe_experts=args.int8_experts)
+            # donated bf16 tree: XLA frees each stack as its int8 is
+            # produced (bf16 moe-mini + int8 copy OOM'd the 16 GB chip)
+            params = jax.jit(
+                lambda p: qwen3.quantize_for_decode(
+                    p, cfg, moe_experts=args.int8_experts),
+                donate_argnums=0)(qwen3.init_params(cfg, jax.random.key(0)))
         else:
             params = _random_int8_params(cfg)
     else:
@@ -452,6 +469,51 @@ def bench_spec(args):
     }))
 
 
+def _train_copy_model(tcfg, period=16, steps=300, B=16, S=256):
+    """Fine-tune the preset on-chip to continue periodic token streams —
+    the span-quoting proxy task (molly answers quote spans of the tagged
+    input; the CPU round-count experiment in benchmarks/README 'In-ring
+    speculation' trained the same task). ~2 min for qwen3-0.6b."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from molly_tpu.models import fusion, qwen3
+    from molly_tpu.ops.lce import causal_lm_loss
+
+    params = qwen3.init_params(tcfg, jax.random.key(0))
+    opt = optax.adamw(3e-4)
+    ost = opt.init(params)
+    rng = np.random.default_rng(42)
+    reps = -(-(S + 1) // period)  # ceil
+
+    def make_ids():
+        base = rng.integers(1, tcfg.vocab_size, (B, period))
+        return jnp.asarray(np.tile(base, (1, reps))[:, : S + 1], jnp.int32)
+
+    @jax.jit
+    def step_fn(params, ost, ids):
+        def loss_fn(p):
+            h, _ = qwen3.forward_hidden(p, tcfg, input_ids=ids)
+            w = fusion.lm_head_weight(p, tcfg)
+            loss, _, _ = causal_lm_loss(h, w, ids)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, ost2 = opt.update(grads, ost, params)
+        return optax.apply_updates(params, upd), ost2, loss
+
+    loss = None
+    for _ in range(steps):
+        params, ost, loss = step_fn(params, ost, make_ids())
+    print(f"[copy-train] {steps} steps, final loss {float(loss):.4f}",
+          file=sys.stderr)
+    del ost
+    return params
+
+
 def bench_serve(args):
     """Continuous batching (inference.server) on a mixed-length workload:
     half the requests generate 32 tokens, half 256. Static batching (the
@@ -482,16 +544,27 @@ def bench_serve(args):
         prompt, max_len, buckets = 16, 64, (16,)
     else:
         tcfg = QWEN3_PRESETS[args.preset]
+        # spec_lookup headroom keeps run_offline from clipping caps, so
+        # the ±spec runs serve the IDENTICAL workload
         prompt, max_len, buckets = args.prompt_len, \
-            args.prompt_len + long_t, (args.prompt_len,)
+            args.prompt_len + long_t + args.spec_lookup, (args.prompt_len,)
     cfg = FusionConfig(text=tcfg, dna_rna=tiny_esm(), protein=tiny_esm())
-    if args.int8:
+    copy_period = 16
+    if args.spec_workload == "copy":
+        assert not args.smoke and not args.prefix_len and not args.lora_bank
+        assert not tcfg.num_experts, "copy workload: dense presets"
+        trained = _train_copy_model(tcfg, period=copy_period)
+        text = (qwen3.quantize_for_decode(trained, tcfg) if args.int8
+                else qwen3.fuse_for_decode(trained, tcfg))
+        del trained
+    elif args.int8:
         if tcfg.num_experts:
             # MoE: quantize a real init (experts via --int8-experts); the
             # dense-shaped _random_int8_params shortcut doesn't apply
-            text = qwen3.quantize_for_decode(
-                qwen3.init_params(tcfg, jax.random.key(0)), tcfg,
-                moe_experts=args.int8_experts)
+            text = jax.jit(
+                lambda p: qwen3.quantize_for_decode(
+                    p, tcfg, moe_experts=args.int8_experts),
+                donate_argnums=0)(qwen3.init_params(tcfg, jax.random.key(0)))
         else:
             # multi-LoRA banks ride the fused int8 path (per-target
             # deltas on fused column slices, models.lora.apply_lora_fused)
@@ -514,10 +587,18 @@ def bench_serve(args):
             [init_lora(tcfg, lb_cfg, jax.random.key(100 + i))
              for i in range(args.lora_bank)],
             scales=[lb_cfg.scale] * args.lora_bank)
-    gen = GenerationConfig(max_new_tokens=long_t, do_sample=True,
-                           temperature=0.8, top_p=0.95, top_k=20,
-                           repetition_penalty=1.1, eos_token_id=-1,
-                           pad_token_id=0)
+    if args.spec_workload == "copy":
+        # span-quoting workloads serve greedy; repetition penalty off so
+        # the trained continuation IS the quoted span (the control run
+        # uses the identical config — only spec_lookup differs)
+        gen = GenerationConfig(max_new_tokens=long_t, do_sample=False,
+                               repetition_penalty=1.0, eos_token_id=-1,
+                               pad_token_id=0)
+    else:
+        gen = GenerationConfig(max_new_tokens=long_t, do_sample=True,
+                               temperature=0.8, top_p=0.95, top_k=20,
+                               repetition_penalty=1.1, eos_token_id=-1,
+                               pad_token_id=0)
     rng = np.random.default_rng(0)
 
     cap_rng = np.random.default_rng(7)
@@ -529,8 +610,16 @@ def bench_serve(args):
     def mk_reqs():
         reqs = []
         for i in range(n_req):
-            ids = rng.integers(1, tcfg.vocab_size,
-                               (1, prompt - s_pre)).astype(np.int32)
+            if args.spec_workload == "copy":
+                # per-request periodic stream: the greedy continuation
+                # quotes the period, so the trailing-3-gram lookup drafts
+                # from the prompt and the target accepts
+                base = rng.integers(1, tcfg.vocab_size, (1, copy_period))
+                reps = -(-prompt // copy_period)
+                ids = np.tile(base, (1, reps))[:, :prompt].astype(np.int32)
+            else:
+                ids = rng.integers(1, tcfg.vocab_size,
+                                   (1, prompt - s_pre)).astype(np.int32)
             if s_pre:
                 ids = np.concatenate([prefix[None], ids], axis=1)
             reqs.append(Request(
@@ -591,8 +680,12 @@ def bench_serve(args):
                 [r.batch["input_ids"] for r in chunk]))
             mask = jnp.ones(ids.shape, jnp.int32)
             embeds = qwen3.embed_tokens(params["text"], ids)
+            # same KV layout as the ring under --kv-int8: at gen-cap 3072
+            # the bf16 static pool alone is ~5.9 GB and crashed the worker
             toks = _generate_from_embeds(params["text"], tcfg, embeds,
-                                         mask, gen, jax.random.key(i))
+                                         mask, gen, jax.random.key(i),
+                                         kv_quant="int8" if args.kv_int8
+                                         else None)
             np.asarray(toks)
             total += sum(r.max_new_tokens for r in chunk)
         return total, time.perf_counter() - t0
@@ -645,6 +738,7 @@ def bench_serve(args):
                   f"({'int8' if args.int8 else 'bf16'}"
                   f"{', int8 KV' if args.kv_int8 else ''}"
                   f"{f', lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
+                  f"{', copy-trained span-quoting workload (greedy)' if args.spec_workload == 'copy' else ''}"
                   f"{f', multi-LoRA bank of {args.lora_bank} (r=16)' if args.lora_bank else ''}"
                   f", {n_slots} slots, "
                   f"{n_req} reqs, gen lengths U[{short_t},{long_t}], "
@@ -702,7 +796,8 @@ def bench_train(args):
 
     text = dataclasses.replace(QWEN3_PRESETS[args.preset],
                                remat=args.remat != "none",
-                               remat_policy=("dots" if args.remat == "dots"
+                               remat_policy=(args.remat
+                                             if args.remat in ("dots", "attn")
                                              else "full"))
     cfg = FusionConfig(
         text=text,
@@ -711,7 +806,7 @@ def bench_train(args):
         protein=dataclasses.replace(ESM_PRESETS["esm2-8m"],
                                     dtype="bfloat16"),
         dna_rna_k_tokens=128, protein_k_tokens=128)
-    B, S = args.train_batch, 1024
+    B, S = args.train_batch, args.seq_len
     rng = np.random.default_rng(0)
     labels = np.full((B, S), -100, np.int32)
     labels[:, S // 2:] = rng.integers(1, cfg.text.vocab_size, (B, S // 2))
@@ -740,11 +835,13 @@ def bench_train(args):
         params = fusion.init_params(cfg, jax.random.key(0))
     if args.full_ft:
         tc = TrainConfig(learning_rate=1e-5, total_steps=100,
-                         train_bio=False, train_mlp=True, train_llm=True)
+                         train_bio=False, train_mlp=True, train_llm=True,
+                         lce_chunk=args.lce_chunk)
         recipe = "full fine-tune"
     else:
         lcfg = LoraConfig(r=64, dropout=0.05)
-        tc = TrainConfig(learning_rate=1e-4, total_steps=100, lora=lcfg)
+        tc = TrainConfig(learning_rate=1e-4, total_steps=100, lora=lcfg,
+                         lce_chunk=args.lce_chunk)
         params = attach_lora(params, cfg, lcfg, jax.random.key(3),
                              dtype="bfloat16")
         recipe = "LoRA fine-tune"
@@ -845,7 +942,8 @@ def bench_fusion(args):
     from molly_tpu.inference.engine import generate as fusion_generate
 
     def run(key):
-        return fusion_generate(params, cfg, batch, gen, key)
+        return fusion_generate(params, cfg, batch, gen, key,
+                               kv_quant="int8" if args.kv_int8 else None)
 
     np.asarray(run(jax.random.key(1)))
     n = 3
@@ -902,9 +1000,15 @@ def bench_ttft(args):
     from molly_tpu.inference.engine import GenerationConfig,         _generate_from_embeds
 
     cfg = tiny_qwen3(dtype=smoke_dtype()) if args.smoke else \
-        QWEN3_PRESETS["qwen3-1.7b"]
+        QWEN3_PRESETS[args.preset]
     B, S = (2, 16) if args.smoke else (args.batch, args.prompt_len)
-    params = qwen3.init_params(cfg, jax.random.key(0))
+    if args.int8 and not args.smoke:
+        # op-point prompts (2176 tokens, batch 32) need the int8 weight +
+        # int8 KV memory budget — bf16 weights + bf16 pool OOM'd the chip
+        params = _random_int8_params(cfg)
+    else:
+        params = qwen3.init_params(cfg, jax.random.key(0))
+    kv_quant = "int8" if args.kv_int8 else None
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
     embeds = qwen3.embed_tokens(params, ids)
@@ -913,16 +1017,19 @@ def bench_ttft(args):
                            top_p=0.95, top_k=20, repetition_penalty=1.1,
                            eos_token_id=-1, pad_token_id=0)
     np.asarray(_generate_from_embeds(params, cfg, embeds, mask, gen,
-                                     jax.random.key(1)))
+                                     jax.random.key(1), kv_quant=kv_quant))
     times = []
     for i in range(9):
         t0 = time.perf_counter()
         np.asarray(_generate_from_embeds(params, cfg, embeds, mask, gen,
-                                         jax.random.key(2 + i)))
+                                         jax.random.key(2 + i),
+                                         kv_quant=kv_quant))
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
     print(json.dumps({
-        "metric": f"qwen3-1.7b p50 TTFT (1 chip, bf16, batch {B}, "
+        "metric": f"{args.preset} p50 TTFT (1 chip, "
+                  f"{'int8' if args.int8 else 'bf16'}"
+                  f"{', int8 KV' if args.kv_int8 else ''}, batch {B}, "
                   f"prompt {S})" if not args.smoke else "smoke p50 TTFT",
         "value": round(p50 * 1e3, 1), "unit": "ms",
         "vs_baseline": 0.0,

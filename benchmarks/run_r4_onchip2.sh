@@ -63,3 +63,15 @@ timeout 2400 python bench.py --mode train --full-ft --preset qwen3-0.6b \
     --train-batch 16 --lce-chunk 512 || true
 timeout 2400 python bench.py --mode train --full-ft --preset qwen3-0.6b \
     --train-batch 16 --lce-chunk 1024 || true
+
+echo "=== E''. serve at the reference 3072-token cap (fixed: int8-KV"
+echo "    static baseline; bf16 static pool ~5.9 GB crashed the worker) ==="
+timeout 3600 python bench.py --mode serve --gen-cap 3072 --batch 16 \
+    --kv-int8 --n-req 32 || true
+
+echo "=== E'''. op-point TTFT: prompt 2176 (128 text + 2x1024 k-token"
+echo "    segments), int8 weights + int8 KV (bf16 OOM'd) ==="
+timeout 1200 python bench.py --mode ttft --int8 --kv-int8 --batch 32 \
+    --prompt-len 2176 || true
+timeout 1200 python bench.py --mode ttft --int8 --kv-int8 \
+    --preset qwen3-8b --batch 8 --prompt-len 2176 || true

@@ -54,6 +54,7 @@ def generate(
     gen: GenerationConfig,
     rng: jax.Array,
     lora_alpha: Optional[float] = None,
+    kv_quant: Optional[str] = None,
 ) -> jnp.ndarray:
     """Returns new tokens only, [B, max_new_tokens], rows padded with
     pad_token_id after EOS (matching HF generate-on-embeds semantics,
@@ -79,10 +80,11 @@ def generate(
         params = {**params, "text": model_params, "lora": None}
     embeds = _build_embeds_jit(params, cfg, embed_batch)
     return _generate_from_embeds(
-        model_params, cfg.text, embeds, batch["attention_mask"], gen, rng)
+        model_params, cfg.text, embeds, batch["attention_mask"], gen, rng,
+        kv_quant=kv_quant)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen"))
+@partial(jax.jit, static_argnames=("cfg", "gen", "kv_quant"))
 def _generate_from_embeds(
     text_params: Dict[str, Any],
     cfg,  # Qwen3Config
@@ -90,12 +92,16 @@ def _generate_from_embeds(
     attention_mask: jnp.ndarray,  # [B, S]
     gen: GenerationConfig,
     rng: jax.Array,
+    kv_quant: Optional[str] = None,
 ) -> jnp.ndarray:
     B, S, H = embeds.shape
     T = gen.max_new_tokens
     total = S + T
 
-    cache = qwen3.init_cache(cfg, B, total)
+    # kv_quant="int8" halves the cache bytes — the enabler for the
+    # reference operating point (k-tokens 1024, batch 32, gen up to 3072:
+    # a bf16 [L,32,Nkv,2308,2Dh] pool alone is ~8.5 GB at 1.7B)
+    cache = qwen3.init_cache(cfg, B, total, quant=kv_quant)
     full_mask = jnp.zeros((B, total), jnp.int32).at[:, :S].set(attention_mask)
 
     # positions: left-pad-aware (#real tokens before me)

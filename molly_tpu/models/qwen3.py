@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import quant
 from ..ops.attention import dot_product_attention
@@ -192,6 +193,12 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         else:
             attn = dot_product_attention(q, kk, v, mask=mask, causal=causal,
                                          scale=Dh ** -0.5)
+        # remat_policy="attn": save this [B,S,Nq,Dh] tensor across the
+        # layer checkpoint so the backward pass never re-runs flash
+        # attention (the O(S^2) share of recompute) — between "full"
+        # (recompute everything) and "dots" (save every matmul, which
+        # OOMs at large batch)
+        attn = checkpoint_name(attn, "attn_out")
         new_cache = None
     else:
         # full [L, B, Nkv, Smax, 2*Dh] cache + layer index: write ONLY the
@@ -401,9 +408,13 @@ def forward_hidden(
 
 def _remat_policy(cfg: Qwen3Config):
     """None => recompute everything (min memory); dots => save matmul
-    outputs, recompute only elementwise ops (~1 fwd less recompute)."""
+    outputs, recompute only elementwise ops (~1 fwd less recompute);
+    attn => save only flash-attention outputs (skips the O(S^2) share of
+    backward recompute at [B,S,H]-per-layer memory)."""
     if cfg.remat_policy == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy == "attn":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
     return None
 
 
@@ -502,19 +513,28 @@ def quantize_for_decode(params: Params, cfg: Qwen3Config,
     moe = "router" in new_layers
     if moe:
         lp = params["layers"]
-        if fuse:  # fused [L, E, H, 2I] gate-and-up stack
+        if moe_experts:
+            from ..ops.moe import quantize_experts
+            # quantize BEFORE fusing: per-out-column scales make
+            # quantize(concat) == concat(quantize) exactly, and the int8
+            # concat transient is 4x smaller than the bf16 one (a
+            # materialized bf16 gate||up copy OOM'd qwen3-moe-mini on a
+            # 16 GB chip next to the live bf16 tree)
+            for name in ("expert_gate", "expert_up", "expert_down"):
+                # leading axis is the stacked layer dim: [L, E, K, N]
+                new_layers[name] = jax.vmap(quantize_experts)(lp[name])
+            if fuse:
+                g, u = new_layers.pop("expert_gate"), \
+                    new_layers.pop("expert_up")
+                new_layers["expert_gateup"] = {
+                    "w_q": jnp.concatenate([g["w_q"], u["w_q"]], axis=-1),
+                    "scale": jnp.concatenate([g["scale"], u["scale"]],
+                                             axis=-1)}
+        elif fuse:  # fused [L, E, H, 2I] bf16 gate-and-up stack
             gu = jnp.concatenate([lp["expert_gate"], lp["expert_up"]],
                                  axis=-1)
             del new_layers["expert_gate"], new_layers["expert_up"]
             new_layers["expert_gateup"] = gu
-        if moe_experts:
-            from ..ops.moe import quantize_experts
-            targets = (("expert_gateup", "expert_down") if fuse else
-                       ("expert_gate", "expert_up", "expert_down"))
-            for name in targets:
-                # leading axis is the stacked layer dim: [L, E, K, N]
-                new_layers[name] = jax.vmap(quantize_experts)(
-                    new_layers[name])
     if fuse:
         lp = params["layers"]
         qkv = jnp.concatenate([lp["q_proj"], lp["k_proj"], lp["v_proj"]],

@@ -87,10 +87,20 @@ def _grouped_dot(lhs: jnp.ndarray, rhs, group_sizes: jnp.ndarray
     if _MOE_IMPL == "gmm":
         from jax.experimental.pallas.ops.tpu.megablox import gmm
         interpret = jax.devices()[0].platform != "tpu"
+        # the kernel requires m % tile_m == 0; decode shapes (m = B*topk,
+        # e.g. 64 at batch 8) are smaller than the 128 tile — pad rows
+        # into the last group (garbage rows compute against one expert,
+        # sliced off below; metadata needs sum(group_sizes) == m)
+        M = lhs.shape[0]
+        pad = (-M) % 128
+        if pad:
+            lhs = jnp.pad(lhs, ((0, pad), (0, 0)))
+            group_sizes = group_sizes.at[-1].add(pad)
         # custom_vjp: positional args only (kwargs unsupported under vjp)
-        return gmm(lhs, rhs, group_sizes,
-                   acc, (128, 128, 128), None, None,
-                   False, interpret)
+        out = gmm(lhs, rhs, group_sizes,
+                  acc, (128, 128, 128), None, None,
+                  False, interpret)
+        return out[:M] if pad else out
     return jax.lax.ragged_dot(lhs, rhs, group_sizes,
                               preferred_element_type=acc)
 

@@ -161,7 +161,27 @@ def pp_loss_fn(
     """
     from ..models import fusion
     embeds = fusion.build_inputs_embeds(params, cfg, batch)
+    embeds = _constrain_batch_dim(embeds)
     hidden = decoder_forward_pp(
         params["text"], cfg.text, inputs_embeds=embeds,
         attention_mask=batch.get("attention_mask"), n_micro=n_micro)
+    hidden = _constrain_batch_dim(hidden)
     return fusion.loss_from_hidden(params, cfg, hidden, batch, z_loss=z_loss)
+
+
+def _constrain_batch_dim(x: jnp.ndarray) -> jnp.ndarray:
+    """Anchor dim 0 (batch) to the ``data`` mesh axis, replicated elsewhere.
+
+    Without this anchor, sharding propagation on the PP path is free to
+    pick an H-sharded layout for the injection scatter's backward gather
+    (d(proj_emb) = gather(d_embeds, rows)), which the SPMD partitioner can
+    only satisfy by replicating the whole tensor ("Involuntary full
+    rematerialization" — the round-3 MULTICHIP artifact). Pinning the
+    activations batch-sharded makes that gather batch-parallel (output
+    dim 0 aligned with operand dim 0 via the iota batch index), which
+    partitions cleanly. Applied only when the ambient mesh has a ``data``
+    axis so the helper stays mesh-agnostic."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and DATA_AXIS in getattr(mesh, "axis_names", ()):
+        return jax.lax.with_sharding_constraint(x, P(DATA_AXIS))
+    return x

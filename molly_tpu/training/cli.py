@@ -61,10 +61,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gradient-checkpointing", type=str2bool, default=False)
     p.add_argument("--remat-policy", default="full",
-                   choices=["full", "dots"],
+                   choices=["full", "dots", "attn"],
                    help="with --gradient-checkpointing: 'dots' saves "
                         "matmul outputs and recomputes only elementwise "
-                        "ops (faster where memory allows)")
+                        "ops (faster where memory allows); 'attn' saves "
+                        "only flash-attention outputs (skips the O(S^2) "
+                        "backward recompute at [B,S,H]/layer memory)")
     p.add_argument("--offload-opt-state", type=str2bool, default=False,
                    help="keep Adam moments in pinned host memory instead "
                         "of HBM (TPU-native ds_z2_offload equivalent; "

@@ -54,6 +54,7 @@ class TrainConfig:
     z_loss: float = 0.0
     # chunked linear+CE (ops.lce) instead of [B,S,V] logits
     fused_lce: bool = True
+    lce_chunk: int = 256  # tokens per LCE chunk ([C, V] logit peak)
     # pipeline parallelism: microbatch count for the GPipe clock loop over
     # a "pipe" mesh axis (parallel.pipeline); 0 = off. LoRA not supported
     # in the pipelined decoder path.
@@ -265,7 +266,8 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                 else None)
             loss, metrics = fusion.loss_from_hidden(
                 params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
-                fused_lce=train_cfg.fused_lce, pre_shifted=pre_shifted)
+                fused_lce=train_cfg.fused_lce, pre_shifted=pre_shifted,
+                chunk_size=train_cfg.lce_chunk)
             if text_cfg.num_experts and aux_out is not None:
                 # MoE router load-balance aux loss (ops.moe); z-loss for
                 # the router rides the same coefficient family as the HF

@@ -341,3 +341,29 @@ def test_qlora_merge_dequantizes_base(setup):
                                     lora=lora, lora_scale=lcfg.scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(unmerged),
                                rtol=0.2, atol=0.05)
+
+
+@pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+def test_remat_policies_match_no_remat(setup, policy):
+    """jax.checkpoint policies (incl. the 'attn' save-flash-outputs-only
+    policy) change memory, never values: loss and grads must equal the
+    no-remat step bit-for-bit in f32."""
+    import dataclasses
+
+    cfg, params, batch = setup
+
+    def loss_with(text_cfg):
+        c = dataclasses.replace(cfg, text=text_cfg)
+        return lambda p: fusion.loss_fn(p, c, batch)[0]
+
+    base = dataclasses.replace(cfg.text, dtype="float32", remat=False)
+    f32p = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    ref_loss, ref_grads = jax.value_and_grad(loss_with(base))(f32p)
+    rm = dataclasses.replace(base, remat=True, remat_policy=policy)
+    loss, grads = jax.value_and_grad(loss_with(rm))(f32p)
+    assert float(loss) == pytest.approx(float(ref_loss), abs=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        ref_grads, grads)
