@@ -162,6 +162,20 @@ def main():
                          "draft tokens per ring round (greedy stays "
                          "token-exact, sampled distribution-exact; "
                          "0 = plain one-token ticks)")
+    ap.add_argument("--spec-adapt", type=float, default=None,
+                    metavar="THRESHOLD",
+                    help="with --spec-lookup: acceptance-adaptive ring — "
+                         "speculate only while the acceptance EMA stays "
+                         "above THRESHOLD (periodic re-probe); measures "
+                         "the auto-policy against both fixed modes")
+    ap.add_argument("--spec-adapt-chunk", type=int, default=32,
+                    help="adaptive ring: decode ticks per spec-vs-plain "
+                         "flip decision (each chunk boundary is a "
+                         "lax.cond the KV pool crosses — bigger chunks "
+                         "amortize the copy, flip slower)")
+    ap.add_argument("--spec-adapt-probe", type=int, default=16,
+                    help="adaptive ring: re-probe speculation every N "
+                         "chunks while the EMA sits below threshold")
     ap.add_argument("--lora-bank", type=int, default=0,
                     help="serve mode: stack N random adapters and route "
                          "requests round-robin (multi-LoRA overhead "
@@ -475,6 +489,7 @@ def _train_copy_model(tcfg, period=16, steps=300, B=16, S=256):
     input; the CPU round-count experiment in benchmarks/README 'In-ring
     speculation' trained the same task). ~2 min for qwen3-0.6b."""
     import sys
+    from functools import partial
 
     import jax
     import jax.numpy as jnp
@@ -484,6 +499,11 @@ def _train_copy_model(tcfg, period=16, steps=300, B=16, S=256):
     from molly_tpu.ops.lce import causal_lm_loss
 
     params = qwen3.init_params(tcfg, jax.random.key(0))
+    # per-layer remat: without it the step saves 28 layers of [B,S,H]
+    # activations (~6.5 GB for qwen3-0.6b at B=16,S=257) on top of the
+    # params+moments and compile-OOMs the 16 GB chip (r4onchip3 leg K')
+    import dataclasses as _dc
+    tcfg = _dc.replace(tcfg, remat=True, remat_policy="full")
     opt = optax.adamw(3e-4)
     ost = opt.init(params)
     rng = np.random.default_rng(42)
@@ -493,7 +513,10 @@ def _train_copy_model(tcfg, period=16, steps=300, B=16, S=256):
         base = rng.integers(1, tcfg.vocab_size, (B, period))
         return jnp.asarray(np.tile(base, (1, reps))[:, : S + 1], jnp.int32)
 
-    @jax.jit
+    # donate params+opt state: without donation the step holds TWO copies
+    # of (params, m, v) across the call boundary, which OOM'd the 16 GB
+    # chip for qwen3-0.6b (r4_onchip2 leg I) — donation halves the peak
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, ost, ids):
         def loss_fn(p):
             h, _ = qwen3.forward_hidden(p, tcfg, input_ids=ids)
@@ -702,7 +725,10 @@ def bench_serve(args):
                           n_slots=n_slots, max_len=max_len,
                           admit_group=args.admit_batch,
                           kv_quant="int8" if args.kv_int8 else None,
-                          spec_lookup=args.spec_lookup)
+                          spec_lookup=args.spec_lookup,
+                          spec_threshold=args.spec_adapt,
+                          spec_probe_every=args.spec_adapt_probe,
+                          spec_chunk=args.spec_adapt_chunk)
         dt = time.perf_counter() - t0
         total = int(out["lengths"].sum())
         if report:
@@ -710,6 +736,9 @@ def bench_serve(args):
             occ = total / max(1, out["decode_ticks"] * n_slots)
             spec_note = (f" accepted={out['accepted']}"
                          if args.spec_lookup else "")
+            if args.spec_adapt is not None:
+                spec_note += (f" spec_rounds={out['spec_ticks']}"
+                              f" ema={out['spec_ema']:.3f}")
             print(f"[offline] useful={total} "
                   f"decode_ticks={out['decode_ticks']} "
                   f"admit_ticks={out['ticks'] - out['decode_ticks']} "
@@ -738,6 +767,7 @@ def bench_serve(args):
                   f"({'int8' if args.int8 else 'bf16'}"
                   f"{', int8 KV' if args.kv_int8 else ''}"
                   f"{f', lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
+                  f"{f' adaptive@{args.spec_adapt}' if args.spec_adapt is not None else ''}"
                   f"{', copy-trained span-quoting workload (greedy)' if args.spec_workload == 'copy' else ''}"
                   f"{f', multi-LoRA bank of {args.lora_bank} (r=16)' if args.lora_bank else ''}"
                   f", {n_slots} slots, "

@@ -96,6 +96,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--serve-kv-int8", action="store_true",
                    help="int8 KV slot pool under --serve / --offline-ring "
                         "(halves KV memory/bandwidth; ~1e-2 logit noise)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache in the batch engine (halves the "
+                        "[L,B,Nkv,S,2Dh] pool — the single-chip enabler "
+                        "for the reference operating point: max-length "
+                        "3072 at batch 32, inference_nt_lora.sh:25-36)")
     p.add_argument("--offline-ring", action="store_true",
                    help="device-side admission ring (inference.offline): "
                         "the WHOLE workload — admission, encoder-injected "
@@ -105,6 +110,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="with --offline-ring: prompt-lookup speculation, "
                         "N draft tokens per round (greedy token-exact, "
                         "sampled distribution-exact)")
+    p.add_argument("--ring-spec-adapt", type=float, default=None,
+                   metavar="THRESHOLD",
+                   help="with --ring-spec: acceptance-adaptive ring — "
+                        "speculate only while the acceptance-rate EMA "
+                        "stays above THRESHOLD (re-probed periodically); "
+                        "break-even ≈ 1.2/k at batch 32, so 0.2 is sane "
+                        "for k=8. Outputs are unchanged either way")
     p.add_argument("--serve-adapter", action="append", default=[],
                    metavar="NAME=PATH",
                    help="multi-LoRA serving under --api-serve: load a "
@@ -246,7 +258,9 @@ def main(argv=None) -> None:
                     k=args.lookup_k, n=args.lookup_n, rng=step,
                     inputs_embeds=embeds))
             else:
-                tokens = np.asarray(generate(params, cfg, arrs, gen, step))
+                tokens = np.asarray(generate(
+                    params, cfg, arrs, gen, step,
+                    kv_quant="int8" if args.kv_int8 else None))
             for i in range(tokens.shape[0]):
                 out_ids = tokens[i]
                 out_ids = out_ids[out_ids != gen.pad_token_id]
@@ -318,6 +332,7 @@ def _run_offline_ring(args, ds, params, cfg, gen, text_tok, rng) -> None:
         admit_group=args.serve_admit,
         kv_quant="int8" if args.serve_kv_int8 else None,
         spec_lookup=args.ring_spec,
+        spec_threshold=args.ring_spec_adapt,
         queue_omics=omics or None, rng=rng)
     with open(args.output_file, "a") as fh:
         for i in range(n):

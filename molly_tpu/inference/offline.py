@@ -159,19 +159,34 @@ def _admit(params, st, rng, *, cfg, gen, n_slots, admit_group, bucket,
 
 def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
     """One decode step for every active slot — mirrors server._decode_impl
-    (ring-buffer column shared by all slots per global tick)."""
+    (ring-buffer column shared by all slots per global tick).
+
+    Under the acceptance-adaptive ring (``tok_hist`` in the state) the
+    shared-column invariant breaks: speculative cycles consume ring
+    columns DENSELY per row (gen_cols), so a later plain tick must write
+    each row's own next column, not the global head's — otherwise it
+    lands inside another row's still-live span. The adaptive variant
+    therefore keys columns off gen_cols and keeps tok_hist/presence in
+    sync so a later spec cycle drafts from a complete history."""
     B = st["n_real"].shape[0]
     rows = jnp.arange(B)
     emb = qwen3.embed_tokens(params["text"], st["last_tok"][:, None])
-    col = prompt_cols + jax.lax.rem(st["head"], ring_cols)
-    valid2 = st["valid"].at[:, col].set(st["active"].astype(jnp.int32))
+    if "gen_cols" in st:  # adaptive mode: per-row dense ring columns
+        col = prompt_cols + jax.lax.rem(st["gen_cols"], ring_cols)  # [B]
+        valid2 = st["valid"].at[rows, col].set(
+            st["active"].astype(jnp.int32))
+        cache_idx = col[:, None]
+    else:
+        col = prompt_cols + jax.lax.rem(st["head"], ring_cols)
+        valid2 = st["valid"].at[:, col].set(st["active"].astype(jnp.int32))
+        cache_idx = col
     cache_in = {"kv": st["cache"]}
     if "kv_scale" in st:
         cache_in["kv_scale"] = st["kv_scale"]
     hidden, cache = qwen3.forward_hidden(
         params["text"], tcfg, inputs_embeds=emb, attention_mask=valid2,
         positions=st["n_real"][:, None], cache=cache_in,
-        cache_index=col, causal=False)
+        cache_index=cache_idx, causal=False)
     st["cache"] = cache["kv"]
     if "kv_scale" in st:
         st["kv_scale"] = cache["kv_scale"]
@@ -189,6 +204,11 @@ def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
     st["presence"] = st["presence"].at[rows, nxt].set(
         st["presence"][rows, nxt] | st["active"])
     st["out_len"] = st["out_len"] + st["active"]
+    if "gen_cols" in st:  # adaptive mode: keep spec bookkeeping current
+        st["gen_cols"] = st["gen_cols"] + st["active"]
+        Hh = st["tok_hist"].shape[1]
+        dst = jnp.where(st["active"], st["n_real"] + 1, Hh)
+        st["tok_hist"] = st["tok_hist"].at[rows, dst].set(nxt, mode="drop")
     st["n_real"] = st["n_real"] + st["active"]
     st["last_tok"] = jnp.where(st["active"], nxt, st["last_tok"])
     newly_done = st["active"] & (
@@ -356,11 +376,17 @@ def _spec_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols,
     last = jnp.take_along_axis(
         emit, jnp.maximum(e_eff - 1, 0)[:, None], axis=1)[:, 0]
     st["last_tok"] = jnp.where(e_eff > 0, last, st["last_tok"])
+    n_act_in = jnp.maximum(jnp.sum(st["active"].astype(jnp.int32)), 1)
     newly_done = st["active"] & (
         (eos_pos < base_e) | (st["out_len"] >= st["cap"]))
     st["active"] = st["active"] & ~newly_done
     # accepted draft tokens actually emitted (e_eff - 1 per live row)
-    st["accepted"] = st["accepted"] + jnp.sum(jnp.maximum(e_eff - 1, 0))
+    acc_round = jnp.sum(jnp.maximum(e_eff - 1, 0))
+    st["accepted"] = st["accepted"] + acc_round
+    if "spec_ema" in st:  # adaptive ring: per-round acceptance-rate EMA
+        rate = acc_round.astype(jnp.float32) / (spec_k * n_act_in)
+        st["spec_ema"] = 0.8 * st["spec_ema"] + 0.2 * rate
+        st["spec_ticks"] = st["spec_ticks"] + 1
     return st
 
 
@@ -368,7 +394,9 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
               rng, *,
               cfg: FusionConfig, gen: GenerationConfig, n_slots: int,
               max_len: int, admit_group: int, kv_quant: Optional[str],
-              spec_k: int = 0, ngram_n: int = 3):
+              spec_k: int = 0, ngram_n: int = 3,
+              spec_threshold: Optional[float] = None,
+              probe_every: int = 16, chunk: int = 32):
     tcfg = cfg.text
     N, bucket = queue_ids.shape
     prompt_cols = bucket
@@ -399,10 +427,18 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
         "tick": jnp.int32(0),
         **queue_omics,  # queue_{dna,prot}_{tokens,pos} when fusion prompts
     }
+    adaptive = bool(spec_k) and spec_threshold is not None
     if spec_k:
         st["tok_hist"] = jnp.full((n_slots, max_len), -1, jnp.int32)
         st["gen_cols"] = jnp.zeros((n_slots,), jnp.int32)
         st["accepted"] = jnp.int32(0)
+    if adaptive:
+        # start optimistic (spec on); a no-match workload decays the EMA
+        # below threshold within ~10 rounds (0.8^10 ≈ 0.11)
+        st["spec_ema"] = jnp.float32(1.0)
+        st["spec_ticks"] = jnp.int32(0)
+        st["cycle"] = jnp.int32(0)
+        st["chunk_start"] = jnp.int32(0)
 
     # Loop nesting matters enormously here: putting admit/decode in a
     # lax.cond selected EVERY tick forces XLA to copy the multi-GB cache
@@ -447,7 +483,40 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
                              ring_cols=ring_cols),
             lambda s: s, st)
         st["tick"] = st["tick"] + 1
-        return jax.lax.while_loop(decode_cond, decode_body, st)
+        if not adaptive:
+            return jax.lax.while_loop(decode_cond, decode_body, st)
+        # Acceptance-adaptive ring: re-choose spec-vs-plain once per
+        # BOUNDED chunk of ticks, at the same loop level as the admit
+        # cond — never per tick, which would copy the multi-GB cache
+        # across a cond boundary every iteration (the measured 5x
+        # pathology in the module docstring). While the acceptance EMA
+        # sits below threshold the ring runs plain ticks, re-probing one
+        # spec chunk every ``probe_every`` chunks so a workload that
+        # turns quotable flips speculation back on (worst-case probe
+        # overhead: chunk/(chunk*probe_every) ≈ 6% of ticks at the
+        # measured 0.45x zero-acceptance floor).
+        def chunk_cond(s):
+            return jnp.logical_and(decode_cond(s),
+                                   s["tick"] - s["chunk_start"] < chunk)
+
+        def spec_chunk(s):
+            return jax.lax.while_loop(chunk_cond, decode_body, s)
+
+        def plain_chunk(s):
+            def body(ss):
+                r = jax.random.fold_in(rng, ss["tick"])
+                ss = _decode_tick(params, ss, r, tcfg=tcfg, gen=gen,
+                                  prompt_cols=prompt_cols,
+                                  ring_cols=ring_cols)
+                ss["tick"] = ss["tick"] + 1
+                return ss
+            return jax.lax.while_loop(chunk_cond, body, s)
+
+        probe = jax.lax.rem(st["cycle"], probe_every) == 0
+        use_spec = jnp.logical_or(st["spec_ema"] >= spec_threshold, probe)
+        st["cycle"] = st["cycle"] + 1
+        st["chunk_start"] = st["tick"]
+        return jax.lax.cond(use_spec, spec_chunk, plain_chunk, st)
 
     st = jax.lax.while_loop(outer_cond, outer_body, st)
 
@@ -457,16 +526,20 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
     st["results"] = st["results"].at[dst].set(st["out_buf"])
     st["res_len"] = st["res_len"].at[dst].set(st["out_len"])
     return (st["results"][:N], st["res_len"][:N], st["tick"],
-            st["head"], st.get("accepted", jnp.int32(-1)))
+            st["head"], st.get("accepted", jnp.int32(-1)),
+            st.get("spec_ticks", jnp.int32(-1)),
+            st.get("spec_ema", jnp.float32(-1.0)))
 
 
 @lru_cache(maxsize=None)
 def _run_fn(cfg, gen, n_slots, max_len, admit_group, kv_quant,
-            spec_k=0, ngram_n=3):
+            spec_k=0, ngram_n=3, spec_threshold=None,
+            probe_every=16, chunk=32):
     return jax.jit(partial(
         _run_impl, cfg=cfg, gen=gen, n_slots=n_slots, max_len=max_len,
         admit_group=admit_group, kv_quant=kv_quant, spec_k=spec_k,
-        ngram_n=ngram_n))
+        ngram_n=ngram_n, spec_threshold=spec_threshold,
+        probe_every=probe_every, chunk=chunk))
 
 
 def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
@@ -476,6 +549,8 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
                 admit_group: int = 8,
                 kv_quant: Optional[str] = None,
                 spec_lookup: int = 0, ngram_n: int = 3,
+                spec_threshold: Optional[float] = None,
+                spec_probe_every: int = 16, spec_chunk: int = 32,
                 queue_omics: Optional[Dict[str, np.ndarray]] = None,
                 rng: Optional[jax.Array] = None,
                 ) -> Dict[str, np.ndarray]:
@@ -491,10 +566,29 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
     spec_lookup: draft tokens per prompt-lookup speculation round
     (0 = plain one-token ticks). Greedy outputs stay token-identical;
     sampled outputs stay distribution-identical (point-mass rejection
-    rule); rounds shrink by the acceptance rate. Returns
+    rule); rounds shrink by the acceptance rate.
+    spec_threshold: with spec_lookup > 0, turn on the ACCEPTANCE-ADAPTIVE
+    ring: speculation runs only while its acceptance-rate EMA sits above
+    this threshold, re-probed periodically, so a no-match workload pays
+    ~the plain-ring cost instead of the measured 0.45x batched
+    zero-acceptance floor (benchmarks/README "In-ring speculation").
+    Break-even at batch 32 is ≈ 1.2/spec_k accepted drafts per round;
+    0.2 is a sane default for k=8. Mode flips happen at bounded-chunk
+    boundaries (never per tick) — spec_chunk ticks per flip decision,
+    one spec probe chunk every spec_probe_every chunks. Each chunk
+    boundary is a lax.cond the KV pool crosses (a real copy, the module
+    docstring's pathology amortized), so bigger chunks cost less overhead
+    but flip slower; on-chip: chunk 32 ≈ 78% of plain-ring throughput on
+    a zero-acceptance workload, chunk 128 + probe 32 recovers more
+    (benchmarks/README "acceptance-adaptive ring"). Both tick types are
+    token-exact
+    (greedy) / distribution-exact (sampled), so adaptivity never changes
+    outputs — only which executable produced them. Returns
     {"tokens": [N, T] int32, "lengths": [N], "ticks": int,
-    "decode_ticks": int, "accepted": int}; row i holds request i's
-    generated tokens (EOS included), first ``lengths[i]`` valid.
+    "decode_ticks": int, "accepted": int, "spec_ticks": int (adaptive:
+    rounds that ran speculatively; -1 otherwise), "spec_ema": float};
+    row i holds request i's generated tokens (EOS included), first
+    ``lengths[i]`` valid.
     """
     N = queue_ids.shape[0]
     assert N >= 1
@@ -528,13 +622,15 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
             omics[kk] = np.concatenate(
                 [v, np.full((pad,) + v.shape[1:], fill, np.int32)])
     fn = _run_fn(cfg, gen, n_slots, max_len, k, kv_quant,
-                 spec_lookup, ngram_n)
+                 spec_lookup, ngram_n, spec_threshold,
+                 spec_probe_every, spec_chunk)
     rng = rng if rng is not None else jax.random.key(0)
-    res, lens, ticks, head, accepted = fn(
+    res, lens, ticks, head, accepted, spec_ticks, spec_ema = fn(
         params, jnp.asarray(queue_ids, jnp.int32),
         jnp.asarray(queue_mask, jnp.int32), jnp.asarray(caps),
         {kk: jnp.asarray(v) for kk, v in omics.items()}, rng)
     res, lens = np.asarray(res[:N]), np.asarray(lens[:N])
     return {"tokens": res, "lengths": lens,
             "ticks": int(ticks), "decode_ticks": int(head),
-            "accepted": int(accepted)}
+            "accepted": int(accepted), "spec_ticks": int(spec_ticks),
+            "spec_ema": float(spec_ema)}

@@ -404,6 +404,19 @@ def test_offline_spec_near_full_acceptance_trained_copy():
     assert spec["decode_ticks"] <= 14, (spec["decode_ticks"],
                                         spec["accepted"])
     assert spec["accepted"] >= 0.75 * (n * 24 - n), spec["accepted"]
+    # the acceptance-adaptive ring must KEEP speculation on here (EMA
+    # stays near 1) and match both fixed modes token-for-token
+    adapt = run_offline(params, cfg, gen, ids, mask, n_slots=4,
+                        max_len=96, admit_group=4, spec_lookup=5,
+                        spec_threshold=0.2)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            adapt["tokens"][i, :adapt["lengths"][i]],
+            plain["tokens"][i, :plain["lengths"][i]], err_msg=str(i))
+    assert adapt["spec_ema"] > 0.6, adapt["spec_ema"]
+    assert adapt["spec_ticks"] == adapt["decode_ticks"], (
+        adapt["spec_ticks"], adapt["decode_ticks"])
+    assert adapt["decode_ticks"] <= 16, adapt["decode_ticks"]
 
 
 def test_offline_moe_int8_experts_matches_online():
@@ -463,3 +476,54 @@ def test_offline_moe_spec_lookup_token_exact():
         np.testing.assert_array_equal(
             spec["tokens"][i, :spec["lengths"][i]],
             plain["tokens"][i, :plain["lengths"][i]])
+
+
+def test_offline_spec_adaptive_token_exact(setup):
+    """Acceptance-adaptive ring (spec_threshold set): greedy outputs must
+    equal the plain ring token-for-token REGARDLESS of where the
+    spec/plain mode flips land — both tick types are token-exact, and the
+    adaptive plain tick keeps the per-row dense ring columns + token
+    history that the spec cycles rely on."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=16, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 10, 4
+    ids, mask = _queue(n, bucket, seed=5)
+    plain = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                        max_len=96, admit_group=2)
+    for thr in (0.2, 0.95):  # spec-mostly and plain-mostly policies
+        adapt = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                            max_len=96, admit_group=2, spec_lookup=4,
+                            spec_threshold=thr)
+        np.testing.assert_array_equal(adapt["lengths"], plain["lengths"])
+        for i in range(n):
+            np.testing.assert_array_equal(
+                adapt["tokens"][i, :adapt["lengths"][i]],
+                plain["tokens"][i, :plain["lengths"][i]],
+                err_msg=f"thr={thr} request {i}")
+        assert adapt["spec_ticks"] >= 0
+        assert adapt["spec_ema"] >= 0.0
+
+
+def test_offline_spec_adaptive_flips_off_on_no_match(setup):
+    """Sampled no-match workload (random prompts, temperature sampling on
+    random weights: drafted n-grams almost never accepted): the
+    acceptance EMA must decay below threshold and flip the ring to plain
+    ticks — only the periodic probe chunks stay speculative."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=24, do_sample=True,
+                           temperature=1.0, top_k=0, top_p=1.0,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    bucket, n, n_slots = 16, 16, 4
+    ids, mask = _queue(n, bucket, seed=9)
+    out = run_offline(params, cfg, gen, ids, mask, n_slots=n_slots,
+                      max_len=96, admit_group=4, spec_lookup=4,
+                      spec_threshold=0.3)
+    assert (out["lengths"] == 24).all()
+    assert out["spec_ema"] < 0.3, out["spec_ema"]
+    # most rounds must have run plain: spec rounds are the optimistic
+    # start plus periodic probes, a strict minority
+    assert 0 < out["spec_ticks"] < 0.5 * out["decode_ticks"], (
+        out["spec_ticks"], out["decode_ticks"])
