@@ -173,9 +173,11 @@ def main():
                          "flip decision (each chunk boundary is a "
                          "lax.cond the KV pool crosses — bigger chunks "
                          "amortize the copy, flip slower)")
-    ap.add_argument("--spec-adapt-probe", type=int, default=16,
-                    help="adaptive ring: re-probe speculation every N "
-                         "chunks while the EMA sits below threshold")
+    ap.add_argument("--spec-adapt-probe", type=int, default=0,
+                    help="adaptive ring: ALSO force a real spec chunk "
+                         "every N chunks while the EMA sits below "
+                         "threshold (0 = rely on the free shadow-draft "
+                         "estimator in the plain ticks, the default)")
     ap.add_argument("--lora-bank", type=int, default=0,
                     help="serve mode: stack N random adapters and route "
                          "requests round-robin (multi-LoRA overhead "

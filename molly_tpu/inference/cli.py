@@ -114,7 +114,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    metavar="THRESHOLD",
                    help="with --ring-spec: acceptance-adaptive ring — "
                         "speculate only while the acceptance-rate EMA "
-                        "stays above THRESHOLD (re-probed periodically); "
+                        "stays above THRESHOLD (plain ticks keep the EMA "
+                        "live for free via shadow-draft estimation); "
                         "break-even ≈ 1.2/k at batch 32, so 0.2 is sane "
                         "for k=8. Outputs are unchanged either way")
     p.add_argument("--serve-adapter", action="append", default=[],

@@ -157,7 +157,8 @@ def _admit(params, st, rng, *, cfg, gen, n_slots, admit_group, bucket,
     return st
 
 
-def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
+def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols,
+                 spec_k=0, ngram_n=3):
     """One decode step for every active slot — mirrors server._decode_impl
     (ring-buffer column shared by all slots per global tick).
 
@@ -167,7 +168,20 @@ def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
     each row's own next column, not the global head's — otherwise it
     lands inside another row's still-live span. The adaptive variant
     therefore keys columns off gen_cols and keeps tok_hist/presence in
-    sync so a later spec cycle drafts from a complete history."""
+    sync so a later spec cycle drafts from a complete history.
+
+    Shadow-draft estimation (adaptive mode, ``spec_ema`` in the state):
+    each plain tick ALSO computes the prompt-lookup draft's first token
+    and compares it to the token the model actually emitted. Greedy: a
+    match is exactly "draft 1 would have been accepted". Sampled: the
+    emitted token is one draw from the processed distribution, so
+    P(match) = p(d_1) — an unbiased Bernoulli sample of the acceptance
+    probability. The per-tick match fraction extrapolates to a full
+    k-draft acceptance-rate estimate as sum_{i=1..k} frac^i / k (i.i.d.
+    chain approximation) and feeds the same EMA the spec rounds update,
+    so the ring notices a workload turning quotable WITHOUT spending any
+    speculative probe rounds. Cost: one [B, max_len] n-gram scan per
+    tick — noise next to the model forward."""
     B = st["n_real"].shape[0]
     rows = jnp.arange(B)
     emb = qwen3.embed_tokens(params["text"], st["last_tok"][:, None])
@@ -207,6 +221,20 @@ def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
     if "gen_cols" in st:  # adaptive mode: keep spec bookkeeping current
         st["gen_cols"] = st["gen_cols"] + st["active"]
         Hh = st["tok_hist"].shape[1]
+        if "spec_ema" in st and spec_k:
+            # shadow draft (see docstring): would draft 1 have matched?
+            # MUST run on the pre-update history — the no-match fallback
+            # reads hist[nr+1], which the real spec tick sees unwritten
+            # (-1 -> id 0, a guaranteed reject); drafting after the
+            # emitted token lands there would always "match"
+            d1 = _lookup_draft(st["tok_hist"], st["n_real"],
+                               ngram_n=ngram_n, spec_k=1)[:, 0]
+            n_act = jnp.maximum(jnp.sum(st["active"].astype(jnp.int32)), 1)
+            frac = jnp.sum((st["active"] & (d1 == nxt)).astype(
+                jnp.float32)) / n_act
+            rate_est = sum(frac ** i
+                           for i in range(1, spec_k + 1)) / spec_k
+            st["spec_ema"] = 0.8 * st["spec_ema"] + 0.2 * rate_est
         dst = jnp.where(st["active"], st["n_real"] + 1, Hh)
         st["tok_hist"] = st["tok_hist"].at[rows, dst].set(nxt, mode="drop")
     st["n_real"] = st["n_real"] + st["active"]
@@ -215,6 +243,33 @@ def _decode_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols):
         (nxt == gen.eos_token_id) | (st["out_len"] >= st["cap"]))
     st["active"] = st["active"] & ~newly_done
     return st
+
+
+def _lookup_draft(hist, nr, *, ngram_n, spec_k):
+    """Prompt-lookup draft: for each row, find the most recent PRIOR
+    occurrence (window end i < nr) of the trailing ``ngram_n``-gram ending
+    at hist[nr] and return the ``spec_k`` tokens that followed it
+    ([B, spec_k]; unwritten/-1 positions clamp to id 0, which a verify
+    will reject). Shared by the speculative round (the real draft) and
+    the adaptive ring's shadow estimator in the plain tick."""
+    B, Hh = hist.shape
+    patt_idx = nr[:, None] - (ngram_n - 1) + jnp.arange(ngram_n)[None]
+    pattern = jnp.take_along_axis(hist, jnp.maximum(patt_idx, 0), axis=1)
+    idx = jnp.arange(Hh)
+    ok = jnp.ones((B, Hh), bool)
+    for j in range(ngram_n):  # window ending at i matches pattern[n-1-j]
+        shifted = (jnp.concatenate(
+            [jnp.full((B, j), -1, hist.dtype), hist[:, :Hh - j]], axis=1)
+            if j else hist)
+        ok = ok & (shifted == pattern[:, ngram_n - 1 - j][:, None])
+    cand = jnp.where(
+        ok & (idx[None] >= ngram_n - 1) & (idx[None] <= nr[:, None] - 1),
+        idx[None], -1)
+    p = jnp.max(cand, axis=1)
+    p = jnp.where(p < 0, nr, p)   # no match -> unwritten region (-1 hist)
+    d_idx = p[:, None] + 1 + jnp.arange(spec_k)[None]
+    drafts = jnp.take_along_axis(hist, jnp.minimum(d_idx, Hh - 1), axis=1)
+    return jnp.maximum(drafts, 0)            # -1 (unwritten) -> id 0
 
 
 def _spec_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols,
@@ -249,24 +304,9 @@ def _spec_tick(params, st, rng, *, tcfg, gen, prompt_cols, ring_cols,
     nr = st["n_real"]          # position of the pending token (= fed[0])
 
     # ---- draft: trailing n-gram ending at hist[nr] (the pending token);
-    # find the most recent PRIOR window end i < nr with the same n-gram
-    patt_idx = nr[:, None] - (ngram_n - 1) + jnp.arange(ngram_n)[None]
-    pattern = jnp.take_along_axis(hist, jnp.maximum(patt_idx, 0), axis=1)
+    # most recent PRIOR occurrence supplies the next spec_k tokens
+    drafts = _lookup_draft(hist, nr, ngram_n=ngram_n, spec_k=spec_k)
     idx = jnp.arange(Hh)
-    ok = jnp.ones((B, Hh), bool)
-    for j in range(ngram_n):  # window ending at i matches pattern[n-1-j]
-        shifted = (jnp.concatenate(
-            [jnp.full((B, j), -1, hist.dtype), hist[:, :Hh - j]], axis=1)
-            if j else hist)
-        ok = ok & (shifted == pattern[:, ngram_n - 1 - j][:, None])
-    cand = jnp.where(
-        ok & (idx[None] >= ngram_n - 1) & (idx[None] <= nr[:, None] - 1),
-        idx[None], -1)
-    p = jnp.max(cand, axis=1)
-    p = jnp.where(p < 0, nr, p)   # no match -> unwritten region (-1 hist)
-    d_idx = p[:, None] + 1 + jnp.arange(spec_k)[None]
-    drafts = jnp.take_along_axis(hist, jnp.minimum(d_idx, Hh - 1), axis=1)
-    drafts = jnp.maximum(drafts, 0)          # -1 (unwritten) -> id 0
 
     # ---- verify forward: [pending, d_1..d_k] at per-row dense columns
     fed = jnp.concatenate([st["last_tok"][:, None], drafts], axis=1)
@@ -396,7 +436,8 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
               max_len: int, admit_group: int, kv_quant: Optional[str],
               spec_k: int = 0, ngram_n: int = 3,
               spec_threshold: Optional[float] = None,
-              probe_every: int = 16, chunk: int = 32):
+              probe_every: int = 0, chunk: int = 32,
+              spec_initial_ema: float = 1.0):
     tcfg = cfg.text
     N, bucket = queue_ids.shape
     prompt_cols = bucket
@@ -433,9 +474,11 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
         st["gen_cols"] = jnp.zeros((n_slots,), jnp.int32)
         st["accepted"] = jnp.int32(0)
     if adaptive:
-        # start optimistic (spec on); a no-match workload decays the EMA
-        # below threshold within ~10 rounds (0.8^10 ≈ 0.11)
-        st["spec_ema"] = jnp.float32(1.0)
+        # start optimistic by default (spec on); a no-match workload
+        # decays the EMA below threshold within ~10 rounds (0.8^10 ≈
+        # 0.11). spec_initial_ema < threshold starts plain instead — the
+        # shadow estimator raises the EMA if the workload is quotable.
+        st["spec_ema"] = jnp.float32(spec_initial_ema)
         st["spec_ticks"] = jnp.int32(0)
         st["cycle"] = jnp.int32(0)
         st["chunk_start"] = jnp.int32(0)
@@ -490,11 +533,13 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
         # cond — never per tick, which would copy the multi-GB cache
         # across a cond boundary every iteration (the measured 5x
         # pathology in the module docstring). While the acceptance EMA
-        # sits below threshold the ring runs plain ticks, re-probing one
-        # spec chunk every ``probe_every`` chunks so a workload that
-        # turns quotable flips speculation back on (worst-case probe
-        # overhead: chunk/(chunk*probe_every) ≈ 6% of ticks at the
-        # measured 0.45x zero-acceptance floor).
+        # sits below threshold the ring runs plain ticks whose SHADOW
+        # estimator (see _decode_tick) keeps the EMA live for free, so a
+        # workload that turns quotable flips speculation back on without
+        # spending speculative rounds. ``probe_every`` > 0 additionally
+        # forces one real spec chunk every N chunks (off by default —
+        # the shadow makes it redundant; kept as a belt-and-suspenders
+        # knob and for A/B-measuring the shadow itself).
         def chunk_cond(s):
             return jnp.logical_and(decode_cond(s),
                                    s["tick"] - s["chunk_start"] < chunk)
@@ -507,13 +552,16 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
                 r = jax.random.fold_in(rng, ss["tick"])
                 ss = _decode_tick(params, ss, r, tcfg=tcfg, gen=gen,
                                   prompt_cols=prompt_cols,
-                                  ring_cols=ring_cols)
+                                  ring_cols=ring_cols,
+                                  spec_k=spec_k, ngram_n=ngram_n)
                 ss["tick"] = ss["tick"] + 1
                 return ss
             return jax.lax.while_loop(chunk_cond, body, s)
 
-        probe = jax.lax.rem(st["cycle"], probe_every) == 0
-        use_spec = jnp.logical_or(st["spec_ema"] >= spec_threshold, probe)
+        use_spec = st["spec_ema"] >= spec_threshold
+        if probe_every > 0:
+            probe = jax.lax.rem(st["cycle"], probe_every) == 0
+            use_spec = jnp.logical_or(use_spec, probe)
         st["cycle"] = st["cycle"] + 1
         st["chunk_start"] = st["tick"]
         return jax.lax.cond(use_spec, spec_chunk, plain_chunk, st)
@@ -534,12 +582,13 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
 @lru_cache(maxsize=None)
 def _run_fn(cfg, gen, n_slots, max_len, admit_group, kv_quant,
             spec_k=0, ngram_n=3, spec_threshold=None,
-            probe_every=16, chunk=32):
+            probe_every=0, chunk=32, spec_initial_ema=1.0):
     return jax.jit(partial(
         _run_impl, cfg=cfg, gen=gen, n_slots=n_slots, max_len=max_len,
         admit_group=admit_group, kv_quant=kv_quant, spec_k=spec_k,
         ngram_n=ngram_n, spec_threshold=spec_threshold,
-        probe_every=probe_every, chunk=chunk))
+        probe_every=probe_every, chunk=chunk,
+        spec_initial_ema=spec_initial_ema))
 
 
 def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
@@ -550,7 +599,8 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
                 kv_quant: Optional[str] = None,
                 spec_lookup: int = 0, ngram_n: int = 3,
                 spec_threshold: Optional[float] = None,
-                spec_probe_every: int = 16, spec_chunk: int = 32,
+                spec_probe_every: int = 0, spec_chunk: int = 32,
+                spec_initial_ema: float = 1.0,
                 queue_omics: Optional[Dict[str, np.ndarray]] = None,
                 rng: Optional[jax.Array] = None,
                 ) -> Dict[str, np.ndarray]:
@@ -569,19 +619,27 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
     rule); rounds shrink by the acceptance rate.
     spec_threshold: with spec_lookup > 0, turn on the ACCEPTANCE-ADAPTIVE
     ring: speculation runs only while its acceptance-rate EMA sits above
-    this threshold, re-probed periodically, so a no-match workload pays
-    ~the plain-ring cost instead of the measured 0.45x batched
-    zero-acceptance floor (benchmarks/README "In-ring speculation").
+    this threshold, so a no-match workload pays ~the plain-ring cost
+    instead of the measured 0.45x batched zero-acceptance floor
+    (benchmarks/README "In-ring speculation"). While running plain, each
+    tick updates the same EMA for free via SHADOW-DRAFT estimation (the
+    lookup draft's first token vs the actually-emitted token — an
+    unbiased sample of the acceptance probability, extrapolated to the
+    k-chain), so the ring notices a workload turning quotable without
+    spending speculative rounds; spec_probe_every > 0 additionally
+    forces one real spec chunk every N chunks (default 0 = shadow only).
     Break-even at batch 32 is ≈ 1.2/spec_k accepted drafts per round;
     0.2 is a sane default for k=8. Mode flips happen at bounded-chunk
-    boundaries (never per tick) — spec_chunk ticks per flip decision,
-    one spec probe chunk every spec_probe_every chunks. Each chunk
-    boundary is a lax.cond the KV pool crosses (a real copy, the module
-    docstring's pathology amortized), so bigger chunks cost less overhead
-    but flip slower; on-chip: chunk 32 ≈ 78% of plain-ring throughput on
-    a zero-acceptance workload, chunk 128 + probe 32 recovers more
-    (benchmarks/README "acceptance-adaptive ring"). Both tick types are
-    token-exact
+    boundaries (never per tick) — spec_chunk ticks per flip decision.
+    Each chunk boundary is a lax.cond the KV pool crosses (a real copy,
+    the module docstring's pathology amortized), so bigger chunks cost
+    less overhead but flip slower; the shadow keeps big chunks safe
+    because detection runs inside the plain chunk itself. On-chip:
+    chunk 32 + probe 16 ≈ 78% of plain-ring throughput on a
+    zero-acceptance workload (benchmarks/README "acceptance-adaptive
+    ring"). spec_initial_ema sets the starting EMA (default 1.0 =
+    optimistic, first chunk speculates; set below threshold to start
+    plain for known-random workloads). Both tick types are token-exact
     (greedy) / distribution-exact (sampled), so adaptivity never changes
     outputs — only which executable produced them. Returns
     {"tokens": [N, T] int32, "lengths": [N], "ticks": int,
@@ -623,7 +681,7 @@ def run_offline(params, cfg: FusionConfig, gen: GenerationConfig,
                 [v, np.full((pad,) + v.shape[1:], fill, np.int32)])
     fn = _run_fn(cfg, gen, n_slots, max_len, k, kv_quant,
                  spec_lookup, ngram_n, spec_threshold,
-                 spec_probe_every, spec_chunk)
+                 spec_probe_every, spec_chunk, spec_initial_ema)
     rng = rng if rng is not None else jax.random.key(0)
     res, lens, ticks, head, accepted, spec_ticks, spec_ema = fn(
         params, jnp.asarray(queue_ids, jnp.int32),

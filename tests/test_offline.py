@@ -417,6 +417,23 @@ def test_offline_spec_near_full_acceptance_trained_copy():
     assert adapt["spec_ticks"] == adapt["decode_ticks"], (
         adapt["spec_ticks"], adapt["decode_ticks"])
     assert adapt["decode_ticks"] <= 16, adapt["decode_ticks"]
+    # shadow flip-ON: start the EMA BELOW threshold (plain mode, no
+    # probes) — the shadow-draft estimator in the plain ticks must
+    # detect the quotable workload and turn speculation on by itself,
+    # still token-exact vs the plain ring
+    flip = run_offline(params, cfg, gen, ids, mask, n_slots=4,
+                       max_len=96, admit_group=4, spec_lookup=5,
+                       spec_threshold=0.2, spec_chunk=8,
+                       spec_initial_ema=0.0)
+    for i in range(n):
+        np.testing.assert_array_equal(
+            flip["tokens"][i, :flip["lengths"][i]],
+            plain["tokens"][i, :plain["lengths"][i]], err_msg=str(i))
+    assert flip["spec_ticks"] > 0, flip
+    assert flip["spec_ticks"] < flip["decode_ticks"], flip
+    assert flip["spec_ema"] > 0.6, flip["spec_ema"]
+    assert flip["decode_ticks"] < plain["decode_ticks"], (
+        flip["decode_ticks"], plain["decode_ticks"])
 
 
 def test_offline_moe_int8_experts_matches_online():
