@@ -108,7 +108,7 @@ def main():
     ap.add_argument("--train-batch", type=int, default=4,
                     help="--mode train micro-batch size")
     ap.add_argument("--remat", default="full",
-                    choices=["full", "dots", "attn", "none"],
+                    choices=["full", "dots", "attn", "hot", "none"],
                     help="--mode train remat: full recompute, save-dots, "
                          "save-attention-outputs-only, or no remat "
                          "(max speed, max memory)")
@@ -829,7 +829,7 @@ def bench_train(args):
     text = dataclasses.replace(QWEN3_PRESETS[args.preset],
                                remat=args.remat != "none",
                                remat_policy=(args.remat
-                                             if args.remat in ("dots", "attn")
+                                             if args.remat in ("dots", "attn", "hot")
                                              else "full"))
     cfg = FusionConfig(
         text=text,

@@ -91,14 +91,14 @@ def build(preset, remat, B, S, K, tiny):
     if tiny:
         from molly_tpu.models.configs import tiny_esm, tiny_qwen3
         text = tiny_qwen3(remat=remat != "none",
-                          remat_policy=remat if remat in ("dots", "attn") else "full")
+                          remat_policy=remat if remat in ("dots", "attn", "hot") else "full")
         enc = tiny_esm(dtype="bfloat16")
         cfg = FusionConfig(text=text, dna_rna=enc, protein=enc,
                            dna_rna_k_tokens=K, protein_k_tokens=K)
     else:
         text = dataclasses.replace(
             QWEN3_PRESETS[preset], remat=remat != "none",
-            remat_policy=remat if remat in ("dots", "attn") else "full")
+            remat_policy=remat if remat in ("dots", "attn", "hot") else "full")
         cfg = FusionConfig(
             text=text,
             dna_rna=dataclasses.replace(ESM_PRESETS["nt-500m"],
@@ -182,7 +182,7 @@ def main(argv=None):
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--k-tokens", type=int, default=128)
     ap.add_argument("--remat", nargs="+", default=["dots"],
-                    choices=["full", "dots", "attn", "none"])
+                    choices=["full", "dots", "attn", "hot", "none"])
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--only", nargs="+", default=None,
                     help="restrict to these variant names")

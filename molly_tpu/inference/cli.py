@@ -109,15 +109,23 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ring-spec", type=int, default=0,
                    help="with --offline-ring: prompt-lookup speculation, "
                         "N draft tokens per round (greedy token-exact, "
-                        "sampled distribution-exact)")
+                        "sampled distribution-exact). Regime: pays when "
+                        "decode is weight-stream-bound (few slots and/or "
+                        "a big model); at 32 slots on a 0.6B the (k+1)-"
+                        "wide verify tick costs ~2.1x a plain tick and "
+                        "loses even at high acceptance (measured, "
+                        "benchmarks/README.md)")
     p.add_argument("--ring-spec-adapt", type=float, default=None,
                    metavar="THRESHOLD",
                    help="with --ring-spec: acceptance-adaptive ring — "
                         "speculate only while the acceptance-rate EMA "
                         "stays above THRESHOLD (plain ticks keep the EMA "
-                        "live for free via shadow-draft estimation); "
-                        "break-even ≈ 1.2/k at batch 32, so 0.2 is sane "
-                        "for k=8. Outputs are unchanged either way")
+                        "live for free via shadow-draft estimation). "
+                        "Break-even acceptance scales with the spec/plain "
+                        "tick-cost ratio (rises with slot count, falls "
+                        "with model size); 0.2 suits small-batch serving, "
+                        "large-batch 0.6B-class rings should leave spec "
+                        "off entirely. Outputs are unchanged either way")
     p.add_argument("--serve-adapter", action="append", default=[],
                    metavar="NAME=PATH",
                    help="multi-LoRA serving under --api-serve: load a "

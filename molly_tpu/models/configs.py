@@ -33,7 +33,11 @@ class Qwen3Config:
     # backward (min memory); "dots" saves matmul outputs and recomputes
     # only the cheap elementwise chain (jax
     # dots_with_no_batch_dims_saveable) — ~1 fwd less recompute per step
-    # where memory allows
+    # where memory allows; "attn" saves only flash-attention outputs;
+    # "hot" saves the narrow attention-side tensors (post-RoPE q/k, v,
+    # attn out, o out) and recomputes only the wide gate/up MLP
+    # intermediates — ~0.6x the memory of "dots" at ~30% of "full"'s
+    # recompute (see qwen3._remat_policy)
     remat_policy: str = "full"
     # context parallelism: shard the sequence over the mesh "seq" axis and
     # run ring attention (parallel.ring_attention) — long-context training

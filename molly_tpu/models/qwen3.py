@@ -169,6 +169,11 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         v = qkv[..., cfg.q_dim + cfg.kv_dim :].reshape(B, S, Nkv, Dh)
         qk = rms_norm(qk, p["qk_norm"], cfg.rms_norm_eps)
         qk = apply_rope(qk, cos, sin)
+        # remat_policy="hot" saves the post-RoPE q/k (and v): flash
+        # attention's backward consumes exactly these, so saving them
+        # makes the attention side of the layer recompute-free
+        qk = checkpoint_name(qk, "qk_rope")
+        v = checkpoint_name(v, "v_out")
         q, kk = qk[:, :, :Nq], qk[:, :, Nq:]
     else:
         q = proj(x, "q_proj").reshape(B, S, Nq, Dh)
@@ -180,6 +185,9 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         kk = rms_norm(kk, p["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
+        q = checkpoint_name(q, "qk_rope")
+        kk = checkpoint_name(kk, "qk_rope")
+        v = checkpoint_name(v, "v_out")
 
     if cache_kv is None:
         if cfg.context_parallel:
@@ -246,6 +254,9 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         new_cache = (ckv, csc)
     attn_flat = attn.reshape(B, S, Nq * Dh)
     attn = proj(attn_flat, "o_proj")
+    # "hot" saves the o-projection output so the MLP-side backward
+    # (which needs rms_norm(hidden + attn)) never re-runs attention
+    attn = checkpoint_name(attn, "o_out")
     hidden = hidden + attn
 
     x = rms_norm(hidden, p["post_attn_norm"], cfg.rms_norm_eps)
@@ -415,6 +426,18 @@ def _remat_policy(cfg: Qwen3Config):
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if cfg.remat_policy == "attn":
         return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if cfg.remat_policy == "hot":
+        # Between "dots" (saves EVERY matmul output incl. the [B,S,2I]
+        # gate/up intermediates — OOM at batch 16) and "full" (recomputes
+        # the whole layer — a 25% counted-MFU tax at full-FT): save the
+        # NARROW attention-side tensors (post-RoPE q/k, v, flash output,
+        # o-projection output ≈ 7.2k elems/token/layer on 0.6B) and
+        # recompute only the wide gate/up projections (~40% of body fwd
+        # FLOPs) plus elementwise ops. Memory ≈ 0.6x dots; recompute
+        # ≈ 0.3x full (gate/up only; the down matmul DCEs away because
+        # the residual add needs no saved output).
+        return jax.checkpoint_policies.save_only_these_names(
+            "qk_rope", "v_out", "attn_out", "o_out")
     return None
 
 

@@ -61,7 +61,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gradient-checkpointing", type=str2bool, default=False)
     p.add_argument("--remat-policy", default="full",
-                   choices=["full", "dots", "attn"],
+                   choices=["full", "dots", "attn", "hot"],
                    help="with --gradient-checkpointing: 'dots' saves "
                         "matmul outputs and recomputes only elementwise "
                         "ops (faster where memory allows); 'attn' saves "

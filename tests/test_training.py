@@ -343,7 +343,7 @@ def test_qlora_merge_dequantizes_base(setup):
                                rtol=0.2, atol=0.05)
 
 
-@pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+@pytest.mark.parametrize("policy", ["full", "dots", "attn", "hot"])
 def test_remat_policies_match_no_remat(setup, policy):
     """jax.checkpoint policies (incl. the 'attn' save-flash-outputs-only
     policy) change memory, never values: loss and grads must equal the
