@@ -178,6 +178,16 @@ def main():
                          "every N chunks while the EMA sits below "
                          "threshold (0 = rely on the free shadow-draft "
                          "estimator in the plain ticks, the default)")
+    ap.add_argument("--paged", action="store_true",
+                    help="serve mode: paged-KV engine (inference.paged) "
+                         "instead of the dense slot ring — per-sequence "
+                         "page chains, HBM scales with tokens held")
+    ap.add_argument("--page-size", type=int, default=64,
+                    help="--paged: tokens per KV page")
+    ap.add_argument("--kv-pages", type=int, default=None,
+                    help="--paged: per-layer pool size (default fully "
+                         "provisioned; lower to oversubscribe and "
+                         "exercise preemption)")
     ap.add_argument("--lora-bank", type=int, default=0,
                     help="serve mode: stack N random adapters and route "
                          "requests round-robin (multi-LoRA overhead "
@@ -748,7 +758,37 @@ def bench_serve(args):
                   f"dispatches=1{spec_note}", file=sys.stderr)
         return total, dt
 
-    run_engine = run_ring if args.offline else run_once
+    def run_paged(report=False):
+        from molly_tpu.inference.paged import PagedServingEngine
+        assert not args.kv_int8 and not s_pre, (
+            "--paged: bf16 pages, no shared prefix")
+        P = args.page_size
+        eng = PagedServingEngine(
+            params, cfg, gen, n_slots=n_slots, page_size=P,
+            n_pages=args.kv_pages,
+            prefill_buckets=(-(-prompt // P) * P,),
+            decode_chunk=1 if args.smoke else args.decode_chunk,
+            admit_batch=args.admit_batch, lora_bank=bank)
+        eng.precompile()
+        t0 = time.perf_counter()
+        results = eng.run(mk_reqs())
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in results.values())
+        if report:
+            import sys
+            st = eng.stats
+            print(f"[paged] useful={total} wall={dt:.2f}s "
+                  f"rounds={st['rounds']} "
+                  f"fused_dispatches={st['fused_dispatches']} "
+                  f"decode_dispatches={st['decode_dispatches']} "
+                  f"pages={eng.n_pages} pages_peak={st['pages_peak']} "
+                  f"preemptions={st['preemptions']} "
+                  f"fetch_wait={st['fetch_wait_s']:.2f}s",
+                  file=sys.stderr)
+        return total, dt
+
+    run_engine = (run_ring if args.offline
+                  else run_paged if args.paged else run_once)
     run_engine()   # warmup/compile
     run_static()
     total, dt = run_engine(report=True)
@@ -761,8 +801,11 @@ def bench_serve(args):
         total, dt = run_once(use_prefix=True, report=True)
         prefix_note = (f", {s_pre}-token shared prefix KV-cached "
                        f"(non-cached engine: {plain_rate:.0f} tok/s)")
-    engine_name = ("device-side admission ring (1-dispatch offline)"
-                   if args.offline else "continuous-batching serving")
+    engine_name = (
+        "device-side admission ring (1-dispatch offline)" if args.offline
+        else f"paged-KV serving (page {args.page_size}"
+             f"{f', pool {args.kv_pages}' if args.kv_pages else ''})"
+        if args.paged else "continuous-batching serving")
     print(json.dumps({
         "metric": f"{args.preset if not args.smoke else 'smoke'} "
                   f"{engine_name} "

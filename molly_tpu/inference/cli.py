@@ -93,6 +93,22 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="draft tokens per lookup round")
     p.add_argument("--lookup-n", type=int, default=3,
                    help="n-gram length matched against the history")
+    p.add_argument("--serve-paged", action="store_true",
+                   help="with --serve: paged KV (inference.paged) — the "
+                        "cache is a pool of fixed-size pages allocated "
+                        "per sequence on demand instead of a per-slot "
+                        "[max_length + cap] rectangle. HBM scales with "
+                        "tokens actually held; the pool may be "
+                        "oversubscribed (--kv-pages), preempting the "
+                        "youngest request when it runs dry. The enabler "
+                        "for many-slot serving at the reference's "
+                        "max_new_tokens=3072 (inference_nt_lora.sh)")
+    p.add_argument("--page-size", type=int, default=64,
+                   help="tokens per KV page under --serve-paged")
+    p.add_argument("--kv-pages", type=int, default=None,
+                   help="per-layer page-pool size under --serve-paged; "
+                        "default fully provisions slots x (prompt + cap), "
+                        "lower it to oversubscribe HBM")
     p.add_argument("--serve-kv-int8", action="store_true",
                    help="int8 KV slot pool under --serve / --offline-ring "
                         "(halves KV memory/bandwidth; ~1e-2 logit noise)")
@@ -367,18 +383,32 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
     from ..data import collate_test, iterate_batches
     from .server import Request, ServingEngine
 
-    # every molly prompt starts with the dataset's fixed system prompt —
-    # its KV is computed once and shared across all requests; buckets
-    # bound the per-request SUFFIX
-    prefix_ids = ds.encoder.system_prompt_ids
-    s_pre = len(prefix_ids)
-    eng = ServingEngine(params, cfg, gen, n_slots=args.batch_size,
-                        max_len=args.max_length + gen.max_new_tokens,
-                        prefill_buckets=(args.max_length - s_pre,),
-                        decode_chunk=args.serve_chunk,
-                        admit_batch=args.serve_admit,
-                        kv_quant="int8" if args.serve_kv_int8 else None,
-                        prefix_ids=prefix_ids, rng=rng)
+    if args.serve_paged:
+        assert not args.serve_kv_int8, (
+            "--serve-paged stores the model dtype; int8 KV is the dense "
+            "ring's option")
+        from .paged import PagedServingEngine
+        P = args.page_size
+        bucket = -(-args.max_length // P) * P
+        eng = PagedServingEngine(
+            params, cfg, gen, n_slots=args.batch_size, page_size=P,
+            n_pages=args.kv_pages, prefill_buckets=(bucket,),
+            decode_chunk=args.serve_chunk, admit_batch=args.serve_admit,
+            rng=rng)
+    else:
+        # every molly prompt starts with the dataset's fixed system
+        # prompt — its KV is computed once and shared across all
+        # requests; buckets bound the per-request SUFFIX
+        prefix_ids = ds.encoder.system_prompt_ids
+        s_pre = len(prefix_ids)
+        eng = ServingEngine(params, cfg, gen, n_slots=args.batch_size,
+                            max_len=args.max_length + gen.max_new_tokens,
+                            prefill_buckets=(args.max_length - s_pre,),
+                            decode_chunk=args.serve_chunk,
+                            admit_batch=args.serve_admit,
+                            kv_quant="int8" if args.serve_kv_int8
+                            else None,
+                            prefix_ids=prefix_ids, rng=rng)
     meta = {}
     arr_keys = ("input_ids", "attention_mask", "dna_rna_tokens",
                 "dna_rna_pos", "protein_tokens", "protein_pos")

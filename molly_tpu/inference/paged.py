@@ -1,0 +1,583 @@
+"""Paged-KV serving engine: vLLM-style block allocation, TPU-native.
+
+The reference serves with ``max_new_tokens=3072``
+(/root/reference/src/inference_lora.py:284-321,
+scripts/infer/inference_nt_lora.sh:25-36). The dense ring engine
+(inference/server.py) reserves a [prompt_cols + cap] rectangle per slot,
+so a 3072 cap costs every slot ~3072 columns of HBM whether or not its
+request generates that much — at 64 slots on a 1.7B model that is a
+>25 GiB pool, beyond a 16 GiB chip. This engine stores each sequence as
+a chain of fixed-size KV pages allocated on demand:
+
+  - HBM scales with tokens ACTUALLY HELD, not slots x worst-case cap;
+  - pages recycle the moment a request finishes (or is cancelled);
+  - the pool can be OVERSUBSCRIBED (slots x cap > pool): when it runs
+    dry, the youngest request is preempted — its partial generation is
+    stashed host-side and the request requeues as a continuation
+    (prompt + generated-so-far re-prefills later), vLLM's "recompute"
+    preemption policy.
+
+Decode attention runs through ops/paged_attention.py (the Pallas TPU
+flash-decode kernel over page tables; an XLA gather reference off-TPU).
+Page layout: ONE pool [Nkv, L * n_pages + 1, page, Dh] shared by all
+layers — page p of layer li lives at pool row ``li * n_pages + p`` (pure
+index arithmetic, no [L, ...] slicing) — plus a final scratch row that
+absorbs writes from inactive slots. The page table [slots,
+pages_per_seq] holds LAYER-RELATIVE ids and is host-managed: the
+allocator is plain Python (free list) mutating a tiny int32 device array
+between dispatches, so the jitted decode path stays static-shaped.
+
+Scheduling, admission batching, fused prefill+decode dispatches,
+streaming, cancellation, and multi-LoRA all come from ServingEngine
+unchanged — this class only swaps the KV layout underneath.
+
+Differences from the dense ring (documented semantics):
+  - prompts are packed (right-padded), so per-slot positions are true
+    lengths and attention masks collapse to one length scalar per slot;
+  - repetition-penalty presence sets rebuild from scratch when a
+    preempted request resumes (its stashed tokens count as prompt);
+  - per-token logprobs of a preempted request cover only the
+    continuation;
+  - int8 KV and shared-prefix caching are dense-ring-only for now.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import qwen3
+from ..models.fusion import FusionConfig
+from .engine import GenerationConfig
+from .sampling import sample_tokens_rowwise
+from .server import (Request, ServingEngine, _advance_slots,
+                     _decode_chunk_impl, _insert_request_rows,
+                     _prefill_decode_impl, _split_state)
+
+
+def pages_for_budget(cfg: FusionConfig, budget_bytes: int,
+                     page_size: int) -> int:
+    """Per-layer page count such that the K+V pools fit budget_bytes."""
+    tcfg = cfg.text
+    per_page = (tcfg.num_key_value_heads * page_size * tcfg.head_dim
+                * 2 * jnp.dtype(tcfg.dtype).itemsize)  # K and V rows
+    return max(1, budget_bytes // (per_page * tcfg.num_hidden_layers))
+
+
+# ---------------------------------------------------------------------------
+# jitted cores
+# ---------------------------------------------------------------------------
+
+
+def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
+                        table_rows, *, cfg: FusionConfig,
+                        gen: GenerationConfig, page_size: int,
+                        n_pages: int):
+    """Embed (with omics injection) + prefill + first-token sample + page
+    scatter for a group of k same-bucket requests, one dispatch.
+
+    batch is RIGHT-padded to the bucket (tokens packed at positions
+    [0, n_real)); ``table_rows`` [k, pages_per_seq] int32 holds each
+    request's layer-relative page chain, -1 beyond the allocated length
+    (prompt-pad chunks there spill to the scratch row; reads never reach
+    them — the kernel masks by length)."""
+    state = {**hot, **cold}
+    from ..models import fusion
+    tcfg = cfg.text
+    embed_keys = ("input_ids", "dna_rna_tokens", "dna_rna_pos",
+                  "protein_tokens", "protein_pos")
+    embeds = fusion.build_inputs_embeds(
+        params, cfg, {k: batch[k] for k in embed_keys if k in batch})
+    mask = batch["attention_mask"]
+    k, Sb = mask.shape
+    P, Dh, L = page_size, tcfg.head_dim, tcfg.num_hidden_layers
+    assert Sb % P == 0, (Sb, P)
+    cache = qwen3.init_cache(tcfg, k, Sb)
+    positions = jnp.maximum(
+        jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
+    bank = params.get("lora_bank")
+    hidden, cache = qwen3.forward_hidden(
+        params["text"], tcfg, inputs_embeds=embeds, attention_mask=mask,
+        positions=positions, cache=cache, cache_index=0, lora=bank,
+        lora_slots=samp.get("adapter") if bank is not None else None)
+    n_real = jnp.sum(mask.astype(jnp.int32), axis=1)
+    rows_k = jnp.arange(k)
+    # right-pad: the last REAL token's hidden state drives tok0
+    logits = qwen3.logits_from_hidden(
+        params["text"], tcfg, hidden[rows_k, n_real - 1])
+    presence = jnp.zeros((k, tcfg.vocab_size), bool)
+    tok0 = sample_tokens_rowwise(logits, rng, samp, presence,
+                                 max_top_k=gen.top_k)
+    presence = presence.at[rows_k, tok0].set(True)
+
+    s = dict(state)
+    # scatter the prompt KV into the pool: bucket column t of request b
+    # lands in global page row li*n_pages + table[b, t // P], offset t % P
+    kv = cache["kv"]                                  # [L, k, Nkv, Sb, 2Dh]
+    kvc = kv.reshape(L, k, tcfg.num_key_value_heads, Sb // P, P, 2 * Dh)
+    kvc = jnp.moveaxis(kvc, 2, 0)                     # [Nkv, L, k, C, P, :]
+    ct = table_rows[:, :Sb // P]                      # [k, C]
+    dest = jnp.where(ct >= 0,
+                     jnp.arange(L)[:, None, None] * n_pages + ct[None],
+                     L * n_pages)                     # [L, k, C] global rows
+    dt = s["k_pages"].dtype
+    s["k_pages"] = s["k_pages"].at[:, dest].set(kvc[..., :Dh].astype(dt))
+    s["v_pages"] = s["v_pages"].at[:, dest].set(kvc[..., Dh:].astype(dt))
+    s["page_table"] = s["page_table"].at[slots].set(
+        jnp.maximum(table_rows, 0))  # clamp -1: kernel prefetch stays
+    #                                  in-bounds; host tracks real chains
+    s["n_real"] = s["n_real"].at[slots].set(n_real)
+    s = _insert_request_rows(s, slots, caps, samp, tok0, presence, logits,
+                             gen=gen)
+    return _split_state(s)
+
+
+def _paged_decode_impl(params, state, rng, *, cfg: FusionConfig,
+                       gen: GenerationConfig):
+    """One decode step over the page pool: write each active slot's
+    last-token KV at its true length (inactive slots -> scratch row),
+    attend via the paged kernel, then the shared sample/advance tail."""
+    tcfg = cfg.text
+    s = dict(state)
+    emb = qwen3.embed_tokens(params["text"], s["last_tok"][:, None])
+    idx = jnp.where(s["active"], s["n_real"], -1)
+    lengths = jnp.maximum(jnp.where(s["active"], s["n_real"] + 1, 1), 1)
+    cache_in = {"k_pages": s["k_pages"], "v_pages": s["v_pages"],
+                "page_table": s["page_table"], "lengths": lengths}
+    bank = params.get("lora_bank")
+    hidden, cache = qwen3.forward_hidden(
+        params["text"], tcfg, inputs_embeds=emb,
+        positions=s["n_real"][:, None], cache=cache_in, cache_index=idx,
+        causal=False, lora=bank,
+        lora_slots=s.get("adapter_id") if bank is not None else None)
+    s["k_pages"] = cache["k_pages"]
+    s["v_pages"] = cache["v_pages"]
+    return _advance_slots(params, s, hidden, rng, cfg=cfg, gen=gen)
+
+
+@lru_cache(maxsize=None)
+def _paged_prefill_fn(cfg, gen, page_size, n_pages):
+    return jax.jit(partial(_paged_prefill_impl, cfg=cfg, gen=gen,
+                           page_size=page_size, n_pages=n_pages),
+                   donate_argnums=(1,))
+
+
+@lru_cache(maxsize=None)
+def _paged_decode_fn(cfg, gen, n_steps):
+    return jax.jit(
+        partial(_decode_chunk_impl,
+                step=partial(_paged_decode_impl, cfg=cfg, gen=gen),
+                n_steps=n_steps),
+        donate_argnums=(1,))
+
+
+@lru_cache(maxsize=None)
+def _paged_prefill_decode_fn(cfg, gen, page_size, n_pages, n_steps):
+    return jax.jit(
+        partial(_prefill_decode_impl,
+                prefill=partial(_paged_prefill_impl, cfg=cfg, gen=gen,
+                                page_size=page_size, n_pages=n_pages),
+                step=partial(_paged_decode_impl, cfg=cfg, gen=gen),
+                n_steps=n_steps),
+        donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# host-side batch packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip surrounding padding from a single-sample batch so tokens are
+    packed at positions [0, n_real) — the paged layout's contract (the
+    kernel attends positions [0, len), so interior pads would leak)."""
+    ids = np.asarray(batch["input_ids"])
+    mask = np.asarray(batch.get("attention_mask",
+                                np.ones_like(ids, np.int32)))
+    m = mask[0].astype(bool)
+    if m.all():
+        out = dict(batch)
+        out["attention_mask"] = mask.astype(np.int32)
+        return out
+    nz = np.nonzero(m)[0]
+    if nz.size == 0:
+        raise ValueError("empty prompt")
+    start, end = int(nz[0]), int(nz[-1]) + 1
+    if not m[start:end].all():
+        raise ValueError("interior padding is not supported by the "
+                         "paged engine — pack the prompt")
+    out = dict(batch)
+    out["input_ids"] = ids[:, start:end]
+    out["attention_mask"] = np.ones((1, end - start), np.int32)
+    for key in ("dna_rna_pos", "protein_pos"):
+        if key in batch:
+            pos = np.asarray(batch[key])
+            shifted = np.where(pos >= 0, pos - start, pos)
+            if (shifted[pos >= 0] < 0).any():
+                raise ValueError("omics segment outside the packed prompt")
+            out[key] = shifted
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+class PagedServingEngine(ServingEngine):
+    """ServingEngine over a paged KV pool (module docstring).
+
+    Usage::
+
+        eng = PagedServingEngine(params, cfg, gen, n_slots=16,
+                                 page_size=64, n_pages=2048)
+        results = eng.run([Request(uid=i, batch=b) for i, b in ...])
+
+    ``n_pages`` is PER LAYER; total pool HBM = n_pages * page_size tokens
+    * (L * Nkv * 2*Dh * dtype) bytes. ``pages_for_budget`` converts an
+    HBM byte budget. Oversubscription (n_pages * page_size <
+    n_slots * (prompt + cap)) is legal — preemption kicks in.
+    """
+
+    def __init__(self, params: Dict[str, Any], cfg: FusionConfig,
+                 gen: GenerationConfig, *, n_slots: int = 8,
+                 page_size: int = 64,
+                 n_pages: Optional[int] = None,
+                 pages_per_seq: Optional[int] = None,
+                 prefill_buckets=(64, 128, 256, 512, 1024),
+                 decode_chunk: int = 1,
+                 admit_batch: int = 8,
+                 stream_cb=None,
+                 logprobs: bool = False,
+                 lora_bank: Optional[Dict[str, Any]] = None,
+                 rng: Optional[jax.Array] = None):
+        assert all(b % page_size == 0 for b in prefill_buckets), (
+            "prefill buckets must be multiples of the page size",
+            prefill_buckets, page_size)
+        self.page_size = page_size
+        if pages_per_seq is None:
+            pages_per_seq = math.ceil(
+                (max(prefill_buckets) + gen.max_new_tokens) / page_size)
+        self.pages_per_seq = pages_per_seq
+        if n_pages is None:  # fully provisioned: no preemption possible
+            n_pages = n_slots * pages_per_seq
+        self.n_pages = n_pages
+        self._partial: Dict[Any, np.ndarray] = {}
+        if stream_cb is not None:
+            user_cb = stream_cb
+
+            def stream_cb(uid, toks):  # continuation-aware delivery
+                pre = self._partial.get(uid)
+                user_cb(uid, toks if pre is None
+                        else np.concatenate([pre, toks]))
+
+        super().__init__(
+            params, cfg, gen, n_slots=n_slots,
+            max_len=pages_per_seq * page_size + 1,
+            prefill_buckets=prefill_buckets, decode_chunk=decode_chunk,
+            admit_batch=admit_batch, kv_quant=None, prefix_ids=None,
+            stream_cb=stream_cb, logprobs=logprobs, lora_bank=lora_bank,
+            rng=rng)
+        self._pad_side = "right"
+        # host-side page allocator (layer-relative page ids)
+        self._free_pages: List[int] = list(range(n_pages))
+        self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
+        self._slot_ub = [0] * n_slots    # conservative tokens-held bound
+        self._slot_max = [0] * n_slots   # prompt + cap (growth ceiling)
+        self._slot_req: List[Optional[Request]] = [None] * n_slots
+        self._slot_seq = [0] * n_slots   # admission order (preemption age)
+        self._admit_seq = 0
+        self._admit_tables: Dict[int, np.ndarray] = {}
+        self.stats["preemptions"] = 0
+        self.stats["pages_peak"] = 0
+
+    # ---- engine-layout overrides ---------------------------------------
+
+    def _build_dispatch_fns(self, decode_chunk: int) -> None:
+        self.decode_chunk = decode_chunk
+        cfg, gen = self.cfg, self.gen
+        self._prefill_insert = _paged_prefill_fn(cfg, gen, self.page_size,
+                                                 self.n_pages)
+        self._decode = _paged_decode_fn(cfg, gen, decode_chunk)
+        self._prefill_decode = _paged_prefill_decode_fn(
+            cfg, gen, self.page_size, self.n_pages, decode_chunk)
+
+    def _make_state(self, *, kv_quant, logprobs, multi_lora):
+        assert kv_quant is None, "paged KV stores the model dtype " \
+            "(int8 scale pages: dense-ring only for now)"
+        tcfg = self.cfg.text
+        B = self.n_slots
+        pool_rows = tcfg.num_hidden_layers * self.n_pages + 1  # + scratch
+        shape = (tcfg.num_key_value_heads, pool_rows, self.page_size,
+                 tcfg.head_dim)
+        dt = jnp.dtype(tcfg.dtype)
+        return {
+            "k_pages": jnp.zeros(shape, dt),
+            "v_pages": jnp.zeros(shape, dt),
+            "page_table": jnp.zeros((B, self.pages_per_seq), jnp.int32),
+            **self._common_state(logprobs, multi_lora),
+        }
+
+    def precompile(self, group_sizes=None, with_decode: bool = True):
+        """AOT-compile the (bucket, group-size) fused variants + decode.
+        Dummy admissions use all -1 page chains: every write lands on the
+        scratch row, so no allocator interaction and no pool pollution."""
+        sizes = group_sizes or [1 << i
+                                for i in range(self.n_slots.bit_length())
+                                if (1 << i) <= self.n_slots]
+        dummy = jnp.full((1, self.pages_per_seq), -1, jnp.int32)
+        for b in self.buckets:
+            for k in sizes:
+                batch = {"input_ids": jnp.ones((k, b), jnp.int32),
+                         "attention_mask": jnp.ones((k, b), jnp.int32)}
+                slots = jnp.arange(k, dtype=jnp.int32) % self.n_slots
+                caps = jnp.full((k,), 2, jnp.int32)
+                samp = self._samp_arrays([Request(uid=None, batch={})
+                                          for _ in range(k)])
+                self.rng, r = jax.random.split(self.rng)
+                self.hot, self.cold = self._prefill_decode(
+                    self.params, self.hot, self.cold, batch, slots, caps,
+                    samp, r, jnp.tile(dummy, (k, 1)), jnp.int32(1))
+        if with_decode:
+            for stop in (0, 1):
+                self.rng, r = jax.random.split(self.rng)
+                self.hot, self.cold = self._decode(
+                    self.params, self.hot, self.cold, r, jnp.int32(stop))
+        self.hot, self.cold = _split_state(self._init_state())
+        self._slot_uid = [None] * self.n_slots
+        self._cancel = set()
+        self._streamed = [0] * self.n_slots
+        self._stale = None
+        self._stale_cold = None
+        self._stale_skip = frozenset()
+        self._round_admitted = []
+
+    def _eff_batch(self, req: Request):
+        return _pack_batch(req.batch)
+
+    def _eff_len(self, req: Request) -> int:
+        ids = np.asarray(req.batch["input_ids"])
+        mask = req.batch.get("attention_mask")
+        return (int(np.asarray(mask).sum()) if mask is not None
+                else ids.shape[1])
+
+    # ---- page accounting ------------------------------------------------
+
+    def _cap_for(self, req: Request) -> int:
+        return max(1, min(req.max_new_tokens or self.gen.max_new_tokens,
+                          self.gen.max_new_tokens, self.ring_cols))
+
+    def _alloc(self, n: int) -> Optional[List[int]]:
+        if len(self._free_pages) < n:
+            return None
+        out = self._free_pages[-n:]
+        del self._free_pages[-n:]
+        used = self.n_pages - len(self._free_pages)
+        self.stats["pages_peak"] = max(self.stats["pages_peak"], used)
+        return out
+
+    def _release(self, slot: int) -> None:
+        self._free_pages.extend(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        self._slot_req[slot] = None
+        self._slot_ub[slot] = 0
+        self._slot_max[slot] = 0
+
+    def _pages_needed(self, tokens: int) -> int:
+        return math.ceil(tokens / self.page_size)
+
+    def _reclaim_finished(self) -> bool:
+        """Pool pressure relief valve #1: harvest slots that finished
+        since the last stale snapshot (frees their pages NOW instead of
+        next round). One small sync fetch; only called on alloc failure."""
+        act, fin, olen = jax.device_get(
+            (self.cold["active"], self.cold["finished"],
+             self.cold["out_len"]))
+        saved, self._stale_skip = self._stale_skip, frozenset()
+        try:  # current-truth snapshot: nothing is stale for it
+            freed = self._collect(fin, olen, self.cold)
+        finally:
+            self._stale_skip = saved
+        return bool(freed)
+
+    def _preempt_one(self, exclude: frozenset) -> bool:
+        """Pool pressure relief valve #2: force the YOUNGEST preemptible
+        request out of its slot — stash its partial generation, free its
+        pages, requeue it as a continuation (prompt + generated tokens
+        re-prefill when pages free up). Returns False if no candidate."""
+        fin = np.asarray(jax.device_get(self.cold["finished"]))
+        cands = [i for i in range(self.n_slots)
+                 if self._slot_uid[i] is not None and i not in exclude
+                 and not fin[i] and self._slot_req[i] is not None]
+        if not cands:
+            return False
+        slot = None
+        for j in sorted(cands, key=lambda i: -self._slot_seq[i]):
+            uid = self._slot_uid[j]
+            req = self._slot_req[j]
+            n = int(jax.device_get(self.cold["out_len"][j]))
+            toks = np.asarray(
+                jax.device_get(self.cold["out_buf"][j]))[:n].astype(
+                    np.int32)
+            stash = np.concatenate(
+                [self._partial.get(uid, np.zeros((0,), np.int32)), toks])
+            packed = _pack_batch(req.batch)
+            ids = np.concatenate(
+                [np.asarray(packed["input_ids"])[0], stash])
+            cap0 = self._cap_for(req)
+            if (ids.size <= self.buckets[-1]
+                    and cap0 - int(stash.size) >= 1):
+                slot = j
+                break
+        if slot is None:
+            return False  # no continuation would fit — unpreemptible
+        self._partial[uid] = stash
+        nb = dict(packed)
+        nb["input_ids"] = ids[None]
+        nb["attention_mask"] = np.ones((1, ids.size), np.int32)
+        cont = Request(uid=uid, batch=nb,
+                       max_new_tokens=cap0 - int(stash.size),
+                       sampling=req.sampling, adapter=req.adapter)
+        # deactivate on device (do NOT set finished — the harvest path
+        # must not treat the partial row as a final result)
+        self.cold["active"] = self.cold["active"].at[slot].set(False)
+        self._slot_uid[slot] = None
+        self._release(slot)
+        self._pending.insert(0, cont)
+        self.stats["preemptions"] += 1
+        return True
+
+    def _grow_row(self, slot: int, need: int, updates: list,
+                  exclude: frozenset) -> bool:
+        pages = self._alloc(need)
+        while pages is None:
+            if not (self._reclaim_finished()
+                    or self._preempt_one(exclude)):
+                raise RuntimeError(
+                    f"page pool exhausted: {self.n_pages} pages of "
+                    f"{self.page_size} cannot hold the working set and "
+                    "nothing is preemptible — raise n_pages or lower "
+                    "n_slots")
+            pages = self._alloc(need)
+        base = len(self._slot_pages[slot])
+        for j, p in enumerate(pages):
+            updates.append((slot, base + j, p))
+        self._slot_pages[slot].extend(pages)
+        return True
+
+    def _before_decode_dispatch(self, groups):
+        """Per-round page management, host-side, pre-dispatch:
+        1. grow mid-flight slots' chains to cover this round's decode
+           chunk (they NEVER yield to new admissions);
+        2. allocate chains for the round's admission groups — requests
+           that don't fit requeue to the front of the queue;
+        3. push all table updates to the device in one eager write."""
+        chunk = self.decode_chunk
+        updates: list = []
+        stale_fin = self._stale[1] if self._stale is not None else None
+        for i in range(self.n_slots):
+            if self._slot_uid[i] is None:
+                continue
+            if (stale_fin is not None and i not in self._stale_skip
+                    and stale_fin[i]):
+                continue  # finished by last snapshot: no growth needed
+            self._slot_ub[i] = min(self._slot_ub[i] + chunk,
+                                   self._slot_max[i])
+            need = (self._pages_needed(self._slot_ub[i])
+                    - len(self._slot_pages[i]))
+            if need > 0:
+                self._grow_row(i, need, updates, frozenset({i}))
+        kept = []
+        for reqs, slots in groups:
+            k_reqs, k_slots = [], []
+            for r, slot in zip(reqs, slots):
+                if self._slot_uid[slot] is not None:
+                    # slot was re-bound?? cannot happen: admission only
+                    # assigns free slots; preemption frees others
+                    raise AssertionError(slot)
+                plen = self._eff_len(r)
+                cap = self._cap_for(r)
+                maxtok = plen + cap  # KV ceiling (last token never writes)
+                ub = min(plen + chunk, maxtok)
+                pages = self._alloc(self._pages_needed(ub))
+                if pages is None:
+                    self._reclaim_finished()
+                    pages = self._alloc(self._pages_needed(ub))
+                if pages is None:  # pool tight: delay admission, do NOT
+                    #                preempt mid-flight work for new work
+                    self._pending.insert(0, r)
+                    continue
+                self._slot_pages[slot] = pages
+                self._slot_ub[slot] = ub
+                self._slot_max[slot] = maxtok
+                row = np.full((self.pages_per_seq,), -1, np.int32)
+                row[:len(pages)] = pages
+                self._admit_tables[slot] = row
+                k_reqs.append(r)
+                k_slots.append(slot)
+            if k_reqs:
+                kept.append((k_reqs, k_slots))
+        if updates:
+            sl, co, pg = zip(*updates)
+            self.cold["page_table"] = self.cold["page_table"].at[
+                jnp.asarray(sl, jnp.int32),
+                jnp.asarray(co, jnp.int32)].set(
+                    jnp.asarray(pg, jnp.int32))
+        return kept
+
+    # ---- dispatch overrides (page-table argument in the kv_pre slot) ---
+
+    def _group_tables(self, slots: List[int]) -> jnp.ndarray:
+        return jnp.asarray(
+            np.stack([self._admit_tables.pop(s) for s in slots]))
+
+    def _start_group(self, reqs, slots) -> None:
+        jb, slots_arr, caps, samp = self._assemble(reqs, slots)
+        table_rows = self._group_tables(slots)
+        self.rng, r1 = jax.random.split(self.rng)
+        self.hot, self.cold = self._prefill_insert(
+            self.params, self.hot, self.cold, jb, slots_arr, caps, samp,
+            r1, table_rows)
+        self.stats["prefill_dispatches"] += 1
+        self.stats["prefill_rows"] += len(reqs)
+        self._bind_slots(reqs, slots)
+
+    def _start_group_fused(self, reqs, slots, stop_free) -> None:
+        jb, slots_arr, caps, samp = self._assemble(reqs, slots)
+        table_rows = self._group_tables(slots)
+        self.rng, r1 = jax.random.split(self.rng)
+        self.hot, self.cold = self._prefill_decode(
+            self.params, self.hot, self.cold, jb, slots_arr, caps, samp,
+            r1, table_rows, jnp.int32(stop_free))
+        self.stats["fused_dispatches"] += 1
+        self.stats["prefill_rows"] += len(reqs)
+        self._bind_slots(reqs, slots)
+
+    def _bind_slots(self, reqs, slots) -> None:
+        super()._bind_slots(reqs, slots)
+        for r, s in zip(reqs, slots):
+            self._slot_req[s] = r
+            self._admit_seq += 1
+            self._slot_seq[s] = self._admit_seq
+
+    def _collect(self, fin, olen, cold_src) -> List[int]:
+        idxs = super()._collect(fin, olen, cold_src)
+        for i in idxs:
+            self._release(i)
+        return idxs
+
+    def _materialize(self) -> Dict[Any, np.ndarray]:
+        out = super()._materialize()
+        for uid in list(self._partial):
+            if uid in out:  # re-prefix preempted requests' stashed tokens
+                merged = np.concatenate(
+                    [self._partial.pop(uid),
+                     np.asarray(out[uid], np.int32)])
+                self._results[uid] = merged
+                out[uid] = merged
+        return out

@@ -66,24 +66,28 @@ class Request:
 
 
 def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
-                   pad_id: int) -> Dict[str, np.ndarray]:
-    """Left-pad a single-sample batch to the bucket length, shifting omics
-    segment start positions (mirrors the dataset's test-mode left pad,
-    /root/reference/src/dataset/omics_dataset.py:384-391)."""
+                   pad_id: int, side: str = "left"
+                   ) -> Dict[str, np.ndarray]:
+    """Pad a single-sample batch to the bucket length. side="left" mirrors
+    the dataset's test-mode left pad and shifts omics segment start
+    positions (/root/reference/src/dataset/omics_dataset.py:384-391);
+    side="right" keeps content at position 0 (the paged engine packs
+    tokens from the start of each page chain, inference/paged.py)."""
     ids = np.asarray(batch["input_ids"])
     S = ids.shape[1]
     d = bucket - S
     assert d >= 0, (S, bucket)
+    pad = (d, 0) if side == "left" else (0, d)
     out = dict(batch)
-    out["input_ids"] = np.pad(ids, ((0, 0), (d, 0)),
-                              constant_values=pad_id)
+    out["input_ids"] = np.pad(ids, ((0, 0), pad), constant_values=pad_id)
     mask = np.asarray(batch.get("attention_mask",
                                 np.ones_like(ids, np.int32)))
-    out["attention_mask"] = np.pad(mask, ((0, 0), (d, 0)))
-    for key in ("dna_rna_pos", "protein_pos"):
-        if key in batch:
-            pos = np.asarray(batch[key])
-            out[key] = np.where(pos >= 0, pos + d, pos)
+    out["attention_mask"] = np.pad(mask, ((0, 0), pad))
+    if side == "left":
+        for key in ("dna_rna_pos", "protein_pos"):
+            if key in batch:
+                pos = np.asarray(batch[key])
+                out[key] = np.where(pos >= 0, pos + d, pos)
     return out
 
 
@@ -96,8 +100,10 @@ def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
 # loop updates in place — donated into every dispatch) and COLD scalars/
 # rows (never donated, so the scheduler can fetch a pre-dispatch snapshot
 # WHILE the next chunk runs on device — pipelined scheduling).
-# "kv_scale" exists only with kv_quant="int8" (per-column KV scales).
-_HOT_KEYS = ("cache", "kv_scale", "valid", "presence")
+# "kv_scale" exists only with kv_quant="int8" (per-column KV scales);
+# "k_pages"/"v_pages" only in the paged engine (inference/paged.py).
+_HOT_KEYS = ("cache", "kv_scale", "valid", "presence",
+             "k_pages", "v_pages")
 
 
 def _split_state(s):
@@ -171,6 +177,18 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, samp,
     rows = rows.at[:, :s_pre + Sb].set(full_mask)
     s["valid"] = s["valid"].at[slots].set(rows)
     s["n_real"] = s["n_real"].at[slots].set(jnp.sum(full_mask, axis=1))
+    s = _insert_request_rows(s, slots, caps, samp, tok0, presence, logits,
+                             gen=gen)
+    return _split_state(s)
+
+
+def _insert_request_rows(s, slots, caps, samp, tok0, presence, logits, *,
+                         gen: GenerationConfig):
+    """Admission bookkeeping shared by the dense-ring and paged engines:
+    per-slot sampler state, output buffers, caps, and active/finished
+    flags — everything EXCEPT the KV storage itself (which is layout-
+    specific: slot-pool insert above, page scatter in inference/paged.py)."""
+    k = tok0.shape[0]
     s["last_tok"] = s["last_tok"].at[slots].set(tok0)
     s["presence"] = s["presence"].at[slots].set(presence)
     out_rows = jnp.full((k, s["out_buf"].shape[1]), gen.pad_token_id,
@@ -195,15 +213,13 @@ def _prefill_insert_impl(params, hot, cold, batch, slots, caps, samp,
     done0 = jnp.logical_or(tok0 == gen.eos_token_id, caps <= 1)
     s["active"] = s["active"].at[slots].set(~done0)
     s["finished"] = s["finished"].at[slots].set(done0)
-    return _split_state(s)
+    return s
 
 
 def _decode_impl(params, state, rng, *, cfg: FusionConfig,
                  gen: GenerationConfig, prompt_cols: int, ring_cols: int):
     tcfg = cfg.text
     s = dict(state)
-    B = s["n_real"].shape[0]
-    rows = jnp.arange(B)
     emb = qwen3.embed_tokens(params["text"], s["last_tok"][:, None])
     # every slot writes the SAME ring column this tick (scalar-index cache
     # update — the fast path); the column becomes attendable only for
@@ -224,7 +240,18 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
         s["kv_scale"] = cache["kv_scale"]
     s["valid"] = valid2
     s["head"] = s["head"] + 1
-    logits = qwen3.logits_from_hidden(params["text"], tcfg, hidden[:, 0])
+    return _advance_slots(params, s, hidden, rng, cfg=cfg, gen=gen)
+
+
+def _advance_slots(params, s, hidden, rng, *, cfg: FusionConfig,
+                   gen: GenerationConfig):
+    """Post-attention half of a decode step, shared by the dense-ring and
+    paged engines: sample next tokens for active slots, advance output
+    buffers / presence sets / lengths, flip EOS- or cap-terminated slots
+    to finished."""
+    rows = jnp.arange(s["n_real"].shape[0])
+    logits = qwen3.logits_from_hidden(params["text"], cfg.text,
+                                      hidden[:, 0])
     nxt = sample_tokens_rowwise(logits, rng, _samp_from_state(s),
                                 s["presence"], max_top_k=gen.top_k)
     nxt = jnp.where(s["active"], nxt, gen.pad_token_id)
@@ -251,24 +278,26 @@ def _decode_impl(params, state, rng, *, cfg: FusionConfig,
 
 
 def _prefill_decode_impl(params, hot, cold, batch, slots, caps, samp,
-                         rng, kv_pre, stop_free, *, cfg, gen, s_pre,
-                         prompt_cols, ring_cols, n_steps):
+                         rng, kv_pre, stop_free, *, prefill, step,
+                         n_steps):
     """Admission group prefill + decode chunk in ONE dispatch. The
     scheduler's steady state is admit-then-decode every round; dispatching
     them separately pays two ~38 ms tunnel round trips (measured in
     benchmarks/README.md 'dispatch overhead') where one suffices — at 64
-    slots one dispatch is worth ~440 slot-ticks of decode throughput."""
+    slots one dispatch is worth ~440 slot-ticks of decode throughput.
+
+    ``prefill``/``step`` are the engine's bound impls (dense-ring here,
+    page-pool variants in inference/paged.py — the scheduler, chunk loop,
+    and dispatch fusion are layout-agnostic)."""
     r1, r2 = jax.random.split(rng)
-    hot, cold = _prefill_insert_impl(params, hot, cold, batch, slots,
-                                     caps, samp, r1, kv_pre, cfg=cfg,
-                                     gen=gen, s_pre=s_pre)
-    return _decode_chunk_impl(params, hot, cold, r2, stop_free, cfg=cfg,
-                              gen=gen, prompt_cols=prompt_cols,
-                              ring_cols=ring_cols, n_steps=n_steps)
+    hot, cold = prefill(params, hot, cold, batch, slots, caps, samp, r1,
+                        kv_pre)
+    return _decode_chunk_impl(params, hot, cold, r2, stop_free, step=step,
+                              n_steps=n_steps)
 
 
-def _decode_chunk_impl(params, hot, cold, rng, stop_free, *, cfg, gen,
-                       prompt_cols, ring_cols, n_steps):
+def _decode_chunk_impl(params, hot, cold, rng, stop_free, *, step,
+                       n_steps):
     """Up to n_steps decode steps in ONE dispatch (early exit when every
     slot finishes). Scheduler host syncs (flag reads, rng splits) cost
     ~10-25 ms each over a tunneled TPU — chunking amortizes them.
@@ -290,9 +319,7 @@ def _decode_chunk_impl(params, hot, cold, rng, stop_free, *, cfg, gen,
 
     def body(carry):
         st, i = carry
-        st = _decode_impl(params, st, jax.random.fold_in(rng, i),
-                          cfg=cfg, gen=gen, prompt_cols=prompt_cols,
-                          ring_cols=ring_cols)
+        st = step(params, st, jax.random.fold_in(rng, i))
         return st, i + 1
 
     state, _ = jax.lax.while_loop(cond, body, ({**hot, **cold},
@@ -328,8 +355,12 @@ def _prefix_kv_fn(cfg):
 @lru_cache(maxsize=None)
 def _prefill_decode_fn(cfg, gen, s_pre, prompt_cols, ring_cols, n_steps):
     return jax.jit(
-        partial(_prefill_decode_impl, cfg=cfg, gen=gen, s_pre=s_pre,
-                prompt_cols=prompt_cols, ring_cols=ring_cols,
+        partial(_prefill_decode_impl,
+                prefill=partial(_prefill_insert_impl, cfg=cfg, gen=gen,
+                                s_pre=s_pre),
+                step=partial(_decode_impl, cfg=cfg, gen=gen,
+                             prompt_cols=prompt_cols,
+                             ring_cols=ring_cols),
                 n_steps=n_steps),
         donate_argnums=(1,))
 
@@ -337,8 +368,10 @@ def _prefill_decode_fn(cfg, gen, s_pre, prompt_cols, ring_cols, n_steps):
 @lru_cache(maxsize=None)
 def _decode_fn(cfg, gen, prompt_cols, ring_cols, n_steps):
     return jax.jit(
-        partial(_decode_chunk_impl, cfg=cfg, gen=gen,
-                prompt_cols=prompt_cols, ring_cols=ring_cols,
+        partial(_decode_chunk_impl,
+                step=partial(_decode_impl, cfg=cfg, gen=gen,
+                             prompt_cols=prompt_cols,
+                             ring_cols=ring_cols),
                 n_steps=n_steps),
         donate_argnums=(1,))
 
@@ -421,51 +454,12 @@ class ServingEngine:
         self.prompt_cols = self.s_pre + self.buckets[-1]
         self.ring_cols = max_len - self.prompt_cols
         self.rng = rng if rng is not None else jax.random.key(0)
-        self._prefill_insert = _prefill_insert_fn(cfg, gen, self.s_pre)
-        self._decode = _decode_fn(cfg, gen, self.prompt_cols,
-                                  self.ring_cols, decode_chunk)
-        self._prefill_decode = _prefill_decode_fn(
-            cfg, gen, self.s_pre, self.prompt_cols, self.ring_cols,
-            decode_chunk)
-        tcfg = cfg.text
-
-        # materialize the state with one jitted executable (single dispatch
-        # instead of a dozen eager zeros/full ops over the tunnel)
-        @jax.jit
-        def init_state():
-            B, T = n_slots, gen.max_new_tokens
-            c = qwen3.init_cache(tcfg, B, max_len, quant=kv_quant)
-            return {
-                "cache": c["kv"],
-                **({"kv_scale": c["kv_scale"]} if "kv_scale" in c else {}),
-                "valid": jnp.zeros((B, max_len), jnp.int32),
-                "head": jnp.int32(0),                  # global ring tick
-                "n_real": jnp.zeros((B,), jnp.int32),  # non-pad tokens
-                "last_tok": jnp.zeros((B,), jnp.int32),
-                "presence": jnp.zeros((B, tcfg.vocab_size), bool),
-                "out_buf": jnp.full((B, T), gen.pad_token_id, jnp.int32),
-                **({"logp_buf": jnp.zeros((B, T), jnp.float32)}
-                   if logprobs else {}),
-                "out_len": jnp.zeros((B,), jnp.int32),
-                "cap": jnp.full((B,), T, jnp.int32),
-                "active": jnp.zeros((B,), bool),
-                "finished": jnp.zeros((B,), bool),
-                # per-slot sampling params (cold [B] rows, written at
-                # admission) — one compiled program serves any mix
-                "samp_greedy": jnp.full((B,), not gen.do_sample),
-                "samp_temp": jnp.full((B,), gen.temperature,
-                                      jnp.float32),
-                "samp_top_k": jnp.full((B,), max(gen.top_k, 1),
-                                       jnp.int32),
-                "samp_top_p": jnp.full((B,), gen.top_p, jnp.float32),
-                "samp_pen": jnp.full((B,), gen.repetition_penalty,
-                                     jnp.float32),
-                **({"adapter_id": jnp.zeros((B,), jnp.int32)}
-                   if lora_bank is not None else {}),
-            }
-
-        self._init_state = init_state
-        self.hot, self.cold = _split_state(init_state())
+        self._pad_side = "left"
+        self._build_dispatch_fns(decode_chunk)
+        self._init_state = jax.jit(partial(
+            self._make_state, kv_quant=kv_quant, logprobs=logprobs,
+            multi_lora=lora_bank is not None))
+        self.hot, self.cold = _split_state(self._init_state())
         self._slot_uid: List[Any] = [None] * n_slots
         self._pending: List[Request] = []
         self._cancel: set = set()
@@ -482,6 +476,60 @@ class ServingEngine:
                       "fused_dispatches": 0,
                       "prefill_dispatches": 0, "prefill_rows": 0,
                       "fetch_wait_s": 0.0}
+
+    def _build_dispatch_fns(self, decode_chunk: int) -> None:
+        """Bind the engine's three jitted dispatches (module-level
+        lru_cached so same-config engines share executables). The paged
+        engine overrides this with page-pool variants."""
+        cfg, gen = self.cfg, self.gen
+        self._prefill_insert = _prefill_insert_fn(cfg, gen, self.s_pre)
+        self._decode = _decode_fn(cfg, gen, self.prompt_cols,
+                                  self.ring_cols, decode_chunk)
+        self._prefill_decode = _prefill_decode_fn(
+            cfg, gen, self.s_pre, self.prompt_cols, self.ring_cols,
+            decode_chunk)
+
+    def _common_state(self, logprobs: bool, multi_lora: bool):
+        """Layout-independent slot state (sampler rows, output buffers,
+        flags) — the KV storage itself comes from _make_state."""
+        B, T = self.n_slots, self.gen.max_new_tokens
+        gen, tcfg = self.gen, self.cfg.text
+        return {
+            "n_real": jnp.zeros((B,), jnp.int32),  # non-pad tokens held
+            "last_tok": jnp.zeros((B,), jnp.int32),
+            "presence": jnp.zeros((B, tcfg.vocab_size), bool),
+            "out_buf": jnp.full((B, T), gen.pad_token_id, jnp.int32),
+            **({"logp_buf": jnp.zeros((B, T), jnp.float32)}
+               if logprobs else {}),
+            "out_len": jnp.zeros((B,), jnp.int32),
+            "cap": jnp.full((B,), T, jnp.int32),
+            "active": jnp.zeros((B,), bool),
+            "finished": jnp.zeros((B,), bool),
+            # per-slot sampling params (cold [B] rows, written at
+            # admission) — one compiled program serves any mix
+            "samp_greedy": jnp.full((B,), not gen.do_sample),
+            "samp_temp": jnp.full((B,), gen.temperature, jnp.float32),
+            "samp_top_k": jnp.full((B,), max(gen.top_k, 1), jnp.int32),
+            "samp_top_p": jnp.full((B,), gen.top_p, jnp.float32),
+            "samp_pen": jnp.full((B,), gen.repetition_penalty,
+                                 jnp.float32),
+            **({"adapter_id": jnp.zeros((B,), jnp.int32)}
+               if multi_lora else {}),
+        }
+
+    def _make_state(self, *, kv_quant, logprobs, multi_lora):
+        # materialized via ONE jitted executable (single dispatch instead
+        # of a dozen eager zeros/full ops over the tunnel)
+        B = self.n_slots
+        c = qwen3.init_cache(self.cfg.text, B, self.max_len,
+                             quant=kv_quant)
+        return {
+            "cache": c["kv"],
+            **({"kv_scale": c["kv_scale"]} if "kv_scale" in c else {}),
+            "valid": jnp.zeros((B, self.max_len), jnp.int32),
+            "head": jnp.int32(0),                  # global ring tick
+            **self._common_state(logprobs, multi_lora),
+        }
 
     def precompile(self, group_sizes=None, with_decode: bool = True):
         """Ahead-of-time compile every (bucket, group-size) FUSED
@@ -593,7 +641,8 @@ class ServingEngine:
         batches = [self._eff_batch(r) for r in reqs]
         bucket = self._bucket_for(
             np.asarray(batches[0]["input_ids"]).shape[1])
-        padded = [_pad_to_bucket(b, bucket, self.gen.pad_token_id)
+        padded = [_pad_to_bucket(b, bucket, self.gen.pad_token_id,
+                                 self._pad_side)
                   for b in batches]
         keys = set().union(*(p.keys() for p in padded))
         jb = {}
@@ -739,6 +788,12 @@ class ServingEngine:
             out[uid] = v
         return out
 
+    def _before_decode_dispatch(self, groups):
+        """Hook called once per scheduling round, after admission groups
+        are formed but before anything dispatches. May mutate engine state
+        (e.g. page allocation) and return a filtered group list."""
+        return groups
+
     def submit(self, req: Request) -> None:
         self._pending.append(req)
 
@@ -809,6 +864,10 @@ class ServingEngine:
             groups.append((group, [free.pop(0) for _ in group]))
         if groups or bool(np.any(act)):
             prev_cold = self.cold
+            # layout hook: the paged engine grows page chains for active
+            # slots (and preempts on pool exhaustion) BEFORE the round's
+            # decode chunk dispatches; no-op for the dense ring
+            groups = self._before_decode_dispatch(groups)
             # arm device-side early exit while a backfill group's worth of
             # work is queued; drain at full chunk length otherwise
             stop_free = (min(len(self._pending), self.admit_batch)

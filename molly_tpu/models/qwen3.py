@@ -18,7 +18,7 @@ TPU-first design choices:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +126,21 @@ def quantize_kv(kv_new: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q8.astype(jnp.int8).reshape(lead + (two_dh,)), scale
 
 
+class PagedCache(NamedTuple):
+    """Per-layer view of a paged KV pool threaded through the decode scan
+    (ops/paged_attention.py; pool/allocator in inference/paged.py). All
+    layers share ONE page space: page p of layer ``layer`` lives at pool
+    row ``layer * pages_per_layer + p``, so per-layer access is index
+    arithmetic — no [L, ...] slicing ever materializes. The LAST pool row
+    is a scratch page that absorbs writes from inactive slots."""
+    k_pages: jnp.ndarray    # [Nkv, L * pages_per_layer + 1, P, Dh]
+    v_pages: jnp.ndarray
+    layer: jnp.ndarray      # scalar int32 (scan carry)
+    table: jnp.ndarray      # [B, pages_per_seq] int32 (layer-relative)
+    lengths: jnp.ndarray    # [B] int32: attend over positions [0, len)
+    pages_per_layer: int
+
+
 def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
            cache_kv, cache_index, lora_layer=None, lora_scale=1.0,
            lora_dropout=0.0, dropout_rng=None, lora_slots=None):
@@ -208,6 +223,32 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         # OOMs at large batch)
         attn = checkpoint_name(attn, "attn_out")
         new_cache = None
+    elif isinstance(cache_kv, PagedCache):
+        # paged decode (S == 1): write this token's K/V row into its
+        # slot's current page, then attend over the slot's page chain
+        # (length-masked — no per-column valid bits). cache_index [B] is
+        # the write POSITION (= tokens already held); < 0 marks an
+        # inactive slot, redirected to the scratch page.
+        assert S == 1, "paged KV is a decode-only path (S == 1)"
+        pc = cache_kv
+        kp, vp = pc.k_pages, pc.v_pages
+        P = kp.shape[2]
+        idx = cache_index
+        safe = jnp.maximum(idx, 0)
+        page_of = jnp.take_along_axis(
+            pc.table, (safe // P)[:, None], axis=1)[:, 0]
+        page = jnp.where(idx >= 0, pc.layer * pc.pages_per_layer + page_of,
+                         kp.shape[1] - 1)
+        off = jnp.where(idx >= 0, safe % P, 0)
+        kp = kp.at[:, page, off, :].set(
+            kk[:, 0].transpose(1, 0, 2).astype(kp.dtype))
+        vp = vp.at[:, page, off, :].set(
+            v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+        from ..ops.paged_attention import paged_attention
+        layer_table = pc.layer * pc.pages_per_layer + pc.table
+        attn = paged_attention(q[:, 0], kp, vp, pc.lengths, layer_table,
+                               scale=Dh ** -0.5)[:, None]
+        new_cache = (kp, vp)
     else:
         # full [L, B, Nkv, Smax, 2*Dh] cache + layer index: write ONLY the
         # new token rows (k ‖ v, one update), then read this layer's window
@@ -387,6 +428,31 @@ def forward_hidden(
         if output_hidden_states:
             out = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
             return out, new_cache, per_layer
+    elif "k_pages" in cache:
+        # paged decode pool (inference/paged.py): pools ride the scan
+        # carry like the dense cache; the page table and lengths are
+        # scan-invariant (host-managed between dispatches)
+        table, lengths = cache["page_table"], cache["lengths"]
+        npl = (cache["k_pages"].shape[1] - 1) // cfg.num_hidden_layers
+
+        def body(carry, xs):
+            h, kp, vp, li = carry
+            layer_params, lora_l, rng = xs
+            pc = PagedCache(kp, vp, li, table, lengths, npl)
+            h, (kp, vp), _ = _layer(cfg, h, layer_params, cos, sin, None,
+                                    False, pc, cache_index, lora_l,
+                                    lora_scale, lora_dropout, rng,
+                                    lora_slots)
+            return (h, kp, vp, li + 1), None
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        (hidden, kp, vp, _), _ = jax.lax.scan(
+            body, (hidden, cache["k_pages"], cache["v_pages"],
+                   jnp.int32(0)),
+            (lp, lora_layers, layer_rngs))
+        new_cache = {"k_pages": kp, "v_pages": vp, "page_table": table,
+                     "lengths": lengths}
     else:
         # cache rides the scan CARRY (per-layer dynamic updates in place)
         # instead of being re-stacked as scan ys — avoids rewriting the

@@ -1,0 +1,327 @@
+"""Paged-KV serving engine tests: op-level parity of the paged-attention
+reference, greedy parity with the dense-ring engine (same scheduler, page
+pool underneath), page growth across boundaries, pool exhaustion ->
+preemption-and-continuation, and allocator hygiene (all pages return)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from molly_tpu.inference.engine import GenerationConfig
+from molly_tpu.inference.paged import PagedServingEngine, _pack_batch
+from molly_tpu.inference.server import Request, ServingEngine
+from molly_tpu.models import fusion, tiny_esm, tiny_qwen3
+from molly_tpu.models.fusion import FusionConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8),
+        dna_rna=tiny_esm(vocab_size=16),
+        protein=tiny_esm(vocab_size=20),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    return cfg, params
+
+
+def _text_request(uid, S, seed, vocab=64):
+    rng = np.random.default_rng(seed)
+    return Request(uid=uid, batch={
+        "input_ids": rng.integers(1, vocab, (1, S)).astype(np.int32),
+        "attention_mask": np.ones((1, S), np.int32),
+    })
+
+
+def _dense_ref(params, cfg, gen, reqs, **kw):
+    eng = ServingEngine(params, cfg, gen, n_slots=max(2, len(reqs)),
+                        max_len=64, prefill_buckets=(16,), **kw)
+    return eng.run([Request(r.uid, dict(r.batch),
+                            max_new_tokens=r.max_new_tokens) for r in reqs])
+
+
+def test_paged_attention_op_matches_direct():
+    """XLA reference of the paged op == direct softmax attention over the
+    gathered sequence, including GQA head grouping and length masking."""
+    from molly_tpu.ops.paged_attention import paged_attention
+    rng = np.random.default_rng(0)
+    B, Nq, Nkv, Dh, P, NP, PPS = 3, 4, 2, 16, 4, 10, 3
+    q = jnp.asarray(rng.normal(size=(B, Nq, Dh)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(Nkv, NP, P, Dh)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(Nkv, NP, P, Dh)).astype(np.float32))
+    table = jnp.asarray(rng.permutation(NP - 1)[:B * PPS].reshape(B, PPS))
+    lengths = jnp.asarray([5, 12, 1], jnp.int32)
+    out = paged_attention(q, kp, vp, lengths, table, impl="xla")
+
+    for b in range(B):
+        seq_k = np.concatenate([np.asarray(kp[:, table[b, c]])
+                                for c in range(PPS)], axis=1)  # [Nkv,S,Dh]
+        seq_v = np.concatenate([np.asarray(vp[:, table[b, c]])
+                                for c in range(PPS)], axis=1)
+        n = int(lengths[b])
+        for h in range(Nq):
+            kv_h = h // (Nq // Nkv)
+            logits = (np.asarray(q[b, h]) @ seq_k[kv_h, :n].T) * Dh**-0.5
+            w = np.exp(logits - logits.max())
+            w = w / w.sum()
+            ref = w @ seq_v[kv_h, :n]
+            np.testing.assert_allclose(np.asarray(out[b, h]), ref,
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_paged_greedy_parity_mixed_lengths(setup):
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [_text_request(i, s, seed=i) for i, s in
+            enumerate([5, 12, 16, 7])]
+    ref = _dense_ref(params, cfg, gen, reqs)
+    eng = PagedServingEngine(params, cfg, gen, n_slots=4, page_size=4,
+                             prefill_buckets=(8, 16))
+    got = eng.run(list(reqs))
+    assert set(got) == {0, 1, 2, 3}
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    # allocator hygiene: every page back on the free list
+    assert len(eng._free_pages) == eng.n_pages
+    assert all(not p for p in eng._slot_pages)
+
+
+def test_paged_left_padded_input_packs(setup):
+    """Left-padded prompts (the dataset's test-mode layout) are packed at
+    admission; outputs match the dense engine on the same prompts."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    base = _text_request(0, 9, seed=33)
+    ids = np.pad(base.batch["input_ids"], ((0, 0), (5, 0)))
+    mask = np.pad(base.batch["attention_mask"], ((0, 0), (5, 0)))
+    padded = Request(uid=0, batch={"input_ids": ids,
+                                   "attention_mask": mask})
+    ref = _dense_ref(params, cfg, gen, [base])
+    got = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             prefill_buckets=(16,)).run([padded])
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_paged_fusion_prompt_parity(setup):
+    """Omics-injected prompts through the paged engine: position keys
+    shift with packing; outputs match the dense engine."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(3)
+    S = 14
+    batch = {
+        "input_ids": rng.integers(1, 64, (1, S)).astype(np.int32),
+        "attention_mask": np.ones((1, S), np.int32),
+        "dna_rna_tokens": rng.integers(2, 16, (1, 1, 4)).astype(np.int32),
+        "dna_rna_pos": np.asarray([[2]], np.int32),
+        "protein_tokens": np.full((1, 1, 4), 1, np.int32),
+        "protein_pos": np.asarray([[-1]], np.int32),
+    }
+    req = Request(uid="omics", batch=batch)
+    ref = _dense_ref(params, cfg, gen, [req])
+    got = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             prefill_buckets=(16,)).run(
+        [Request(uid="omics", batch=dict(batch))])
+    np.testing.assert_array_equal(got["omics"], ref["omics"])
+
+
+def test_paged_growth_across_pages(setup):
+    """Generations crossing several page boundaries (page_size 4, 14 new
+    tokens) with chunked decode: chains grow mid-flight, outputs match."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=14, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [_text_request(i, 6 + 3 * i, seed=90 + i) for i in range(3)]
+    ref = _dense_ref(params, cfg, gen, reqs)
+    eng = PagedServingEngine(params, cfg, gen, n_slots=3, page_size=4,
+                             prefill_buckets=(16,), decode_chunk=3)
+    got = eng.run(list(reqs))
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    assert len(eng._free_pages) == eng.n_pages
+
+
+def test_paged_slot_reuse_and_caps(setup):
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [Request(uid=f"r{i}",
+                    batch=_text_request(0, 6 + i, seed=10 + i).batch,
+                    max_new_tokens=3 + (i % 4))
+            for i in range(7)]
+    ref = _dense_ref(params, cfg, gen, reqs)
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             prefill_buckets=(16,))
+    got = eng.run([Request(r.uid, dict(r.batch),
+                           max_new_tokens=r.max_new_tokens) for r in reqs])
+    assert len(got) == 7
+    for i in range(7):
+        assert len(got[f"r{i}"]) == 3 + (i % 4)
+        np.testing.assert_array_equal(got[f"r{i}"], ref[f"r{i}"])
+
+
+def test_paged_preemption_oversubscribed_pool(setup):
+    """A pool too small for both long-cap requests at once: the younger
+    one is preempted (partial stashed, pages freed), the older finishes,
+    the continuation re-prefills — greedy outputs still match the dense
+    engine, and the preemption counter proves the path actually ran."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [_text_request(i, 6, seed=130 + i) for i in range(2)]
+    ref = _dense_ref(params, cfg, gen, reqs)
+    # each request needs ceil((6 + 10) / 4) = 4 pages; 6 < 8 forces a
+    # preemption once both slots try to grow
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             n_pages=6, prefill_buckets=(16,),
+                             decode_chunk=2)
+    got = eng.run(list(reqs))
+    assert eng.stats["preemptions"] >= 1
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    assert len(eng._free_pages) == eng.n_pages
+
+
+def test_paged_streaming_monotone_under_preemption(setup):
+    """stream_cb prefixes stay monotone even across a preemption (the
+    stashed partial is re-prefixed on delivery)."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+    streamed = {}
+
+    def cb(uid, toks):
+        prev = streamed.setdefault(uid, [])
+        if prev:
+            np.testing.assert_array_equal(prev[-1], toks[:len(prev[-1])])
+        prev.append(np.array(toks))
+
+    reqs = [_text_request(i, 6, seed=130 + i) for i in range(2)]
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             n_pages=6, prefill_buckets=(16,),
+                             decode_chunk=2, stream_cb=cb)
+    results = eng.run(list(reqs))
+    assert eng.stats["preemptions"] >= 1
+    for uid, chunks in streamed.items():
+        np.testing.assert_array_equal(chunks[-1], results[uid])
+
+
+def test_paged_eos_and_cancel_free_pages(setup):
+    """EOS termination and cancellation both recycle pages."""
+    cfg, params = setup
+    gen0 = GenerationConfig(max_new_tokens=6, do_sample=False,
+                            repetition_penalty=1.0, eos_token_id=-1,
+                            pad_token_id=0)
+    req = _text_request("a", 10, seed=42)
+    eng0 = PagedServingEngine(params, cfg, gen0, n_slots=1, page_size=4,
+                              prefill_buckets=(16,))
+    first = eng0.run([req])["a"]
+    eos = int(first[2])
+
+    gen1 = GenerationConfig(max_new_tokens=6, do_sample=False,
+                            repetition_penalty=1.0, eos_token_id=eos,
+                            pad_token_id=0)
+    eng = PagedServingEngine(params, cfg, gen1, n_slots=1, page_size=4,
+                             prefill_buckets=(16,))
+    results = eng.run([Request(uid="a", batch=req.batch),
+                       Request(uid="b", batch=req.batch)])
+    stop = int(np.argmax(first == eos)) + 1
+    np.testing.assert_array_equal(results["a"], first[:stop])
+    np.testing.assert_array_equal(results["b"], first[:stop])
+    assert len(eng._free_pages) == eng.n_pages
+
+    # cancel an in-flight request: pages come back too
+    canceled = []
+
+    def cb(uid, toks):
+        if uid == "c" and len(toks) >= 2 and not canceled:
+            canceled.append(uid)
+            eng2.cancel("c")
+
+    eng2 = PagedServingEngine(params, cfg, gen0, n_slots=1, page_size=4,
+                              prefill_buckets=(16,), stream_cb=cb)
+    out = eng2.run([Request(uid="c", batch=req.batch)])
+    assert 2 <= len(out["c"]) <= 6
+    assert len(eng2._free_pages) == eng2.n_pages
+
+
+def test_paged_per_request_sampling(setup):
+    """Greedy per-request overrides inside a sampling-default paged pool
+    match the dense engine's greedy rows."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=True,
+                           temperature=0.8, top_k=8, top_p=0.95,
+                           repetition_penalty=1.1, eos_token_id=-1,
+                           pad_token_id=0)
+    greedy = GenerationConfig(max_new_tokens=6, do_sample=False,
+                              repetition_penalty=1.1, eos_token_id=-1,
+                              pad_token_id=0)
+    reqs = [_text_request(i, 6 + i, seed=40 + i) for i in range(3)]
+    reqs[0].sampling = {"temperature": 0}
+    reqs[1].sampling = {"greedy": True}
+    eng = PagedServingEngine(params, cfg, gen, n_slots=3, page_size=4,
+                             prefill_buckets=(16,))
+    results = eng.run(list(reqs))
+    ref = _dense_ref(params, cfg, greedy, reqs[:2])
+    for i in (0, 1):
+        np.testing.assert_array_equal(results[i], ref[i])
+    assert len(results[2]) == 6
+
+
+def test_inference_cli_serve_paged_matches_static(tmp_path):
+    """--serve --serve-paged produces the same greedy JSONL outputs as
+    static batching through the real CLI (tiny model, tiny parquet)."""
+    import json
+    from test_train_cli import _toy_parquet
+    from molly_tpu.inference.cli import main as infer_main
+
+    data = str(tmp_path / "d.parquet")
+    _toy_parquet(data, 6)
+    common = [
+        "--input-file", data, "--tiny", "--greedy",
+        "--max-length", "256", "--max-new-tokens", "6",
+        "--dna-rna-k-tokens", "4", "--protein-k-tokens", "4",
+        "--batch-size", "3",
+    ]
+    static_out = str(tmp_path / "static.jsonl")
+    infer_main(common + ["--output-file", static_out])
+    paged_out = str(tmp_path / "paged.jsonl")
+    infer_main(common + ["--output-file", paged_out, "--serve",
+                         "--serve-paged", "--page-size", "32",
+                         "--serve-chunk", "2"])
+
+    static = [json.loads(l) for l in open(static_out)]
+    paged = [json.loads(l) for l in open(paged_out)]
+    assert len(static) == len(paged) == 6
+    s_by_input = {r["input"]: r for r in static}
+    for r in paged:
+        ref = s_by_input[r["input"]]
+        assert r["decoded_output"] == ref["decoded_output"]
+        assert r["task"] == ref["task"]
+
+
+def test_pack_batch():
+    b = {"input_ids": np.asarray([[0, 0, 5, 6, 7, 0]], np.int32),
+         "attention_mask": np.asarray([[0, 0, 1, 1, 1, 0]], np.int32),
+         "dna_rna_pos": np.asarray([[3, -1]], np.int32)}
+    out = _pack_batch(b)
+    np.testing.assert_array_equal(out["input_ids"], [[5, 6, 7]])
+    np.testing.assert_array_equal(out["attention_mask"], [[1, 1, 1]])
+    np.testing.assert_array_equal(out["dna_rna_pos"], [[1, -1]])
+    with pytest.raises(ValueError):
+        _pack_batch({"input_ids": np.asarray([[1, 2, 3]], np.int32),
+                     "attention_mask": np.asarray([[1, 0, 1]], np.int32)})
