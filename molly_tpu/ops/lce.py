@@ -51,7 +51,7 @@ def _chunk_nll(h_c, w, labels_c, valid_c, z_loss):
     return nll
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_linear_cross_entropy(
     hidden: jnp.ndarray,   # [T, H] (flattened tokens)
     w: jnp.ndarray,        # [H, V]
@@ -59,9 +59,19 @@ def fused_linear_cross_entropy(
     chunk_size: int = DEFAULT_CHUNK,
     z_loss: float = 0.0,
     ignore_index: int = IGNORE_INDEX,
+    need_dw: bool = True,
 ) -> jnp.ndarray:
-    """Per-token nll [T] (0 at ignored positions), without [T, V] logits."""
-    nll, _ = _lce_fwd(hidden, w, labels, chunk_size, z_loss, ignore_index)
+    """Per-token nll [T] (0 at ignored positions), without [T, V] logits.
+
+    need_dw=False: the lm-head weight is FROZEN (LoRA/QLoRA or
+    --train-llm false — tools.py:set_up_trainable_param) — skip the
+    [H, V] weight-gradient accumulation in the backward chunk loop.
+    A custom-VJP backward is opaque to JAX's DCE and the dw matmul is a
+    scan carry XLA cannot eliminate, so without the flag every frozen-head
+    step pays a full dead d_w = h^T @ dlogits per chunk (~1/3 of the
+    lm-head backward FLOPs)."""
+    nll, _ = _lce_fwd(hidden, w, labels, chunk_size, z_loss, ignore_index,
+                      need_dw)
     return nll
 
 
@@ -74,7 +84,8 @@ def _pad_chunks(x, chunk, pad_value=0):
     return jnp.pad(x, pads, constant_values=pad_value)
 
 
-def _lce_fwd(hidden, w, labels, chunk_size, z_loss, ignore_index):
+def _lce_fwd(hidden, w, labels, chunk_size, z_loss, ignore_index,
+             need_dw=True):
     T = hidden.shape[0]
     C = min(chunk_size, T)
     hp = _pad_chunks(hidden, C)
@@ -94,7 +105,7 @@ def _lce_fwd(hidden, w, labels, chunk_size, z_loss, ignore_index):
     return nll.reshape(-1)[:T], (hidden, w, labels)
 
 
-def _lce_bwd(chunk_size, z_loss, ignore_index, res, g):
+def _lce_bwd(chunk_size, z_loss, ignore_index, need_dw, res, g):
     hidden, w, labels = res
     T, H = hidden.shape
     V = w.shape[1]
@@ -107,8 +118,7 @@ def _lce_bwd(chunk_size, z_loss, ignore_index, res, g):
     ls = lp.reshape(n_chunks, C)
     gs = gp.reshape(n_chunks, C)
 
-    def body(dw_acc, xs):
-        h_c, l_c, g_c = xs
+    def dlogits_for(h_c, l_c, g_c):
         valid = (l_c != ignore_index).astype(jnp.float32)
         safe = jnp.where(l_c == ignore_index, 0, l_c)
         logits = _mm(h_c, w)                           # [C, V] recompute
@@ -121,14 +131,30 @@ def _lce_bwd(chunk_size, z_loss, ignore_index, res, g):
             dlogits = dlogits + (2.0 * z_loss * lse * g_c * valid)[:, None] * p
         # grad matmuls in the weight's storage dtype (f32 in, f32 out —
         # unchanged; bf16 in, full MXU rate with f32 accumulation)
-        dl = dlogits.astype(w.dtype)
-        dh_c = _mm(dl, w.T)
-        dw_acc = dw_acc + _mm(h_c.T, dl)
-        return dw_acc, dh_c
+        return dlogits.astype(w.dtype)
 
-    dw, dh = jax.lax.scan(body, jnp.zeros((H, V), jnp.float32), (hs, ls, gs))
+    if need_dw:
+        def body(dw_acc, xs):
+            h_c, l_c, g_c = xs
+            dl = dlogits_for(h_c, l_c, g_c)
+            dh_c = _mm(dl, w.T)
+            dw_acc = dw_acc + _mm(h_c.T, dl)
+            return dw_acc, dh_c
+
+        dw, dh = jax.lax.scan(body, jnp.zeros((H, V), jnp.float32),
+                              (hs, ls, gs))
+        dw = dw.astype(w.dtype)
+    else:
+        # frozen head: no dw carry, no h^T @ dlogits matmul at all
+        def body(_, xs):
+            h_c, l_c, g_c = xs
+            return None, _mm(dlogits_for(h_c, l_c, g_c), w.T)
+
+        _, dh = jax.lax.scan(body, None, (hs, ls, gs))
+        dw = jnp.zeros_like(w)  # discarded cotangent (head is a constant
+        #                         to autodiff); XLA DCEs the broadcast
     dh = dh.reshape(-1, H)[:T].astype(hidden.dtype)
-    return dh, dw.astype(w.dtype), None
+    return dh, dw, None
 
 
 fused_linear_cross_entropy.defvjp(_lce_fwd, _lce_bwd)
@@ -142,6 +168,7 @@ def causal_lm_loss(
     chunk_size: int = DEFAULT_CHUNK,
     z_loss: float = 0.0,
     pre_shifted: bool = False,
+    need_dw: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Next-token LM loss without logit materialization.
 
@@ -158,7 +185,8 @@ def causal_lm_loss(
         h, l = hidden.reshape(-1, H), labels.reshape(-1)
     else:
         h, l = hidden[:, :-1].reshape(-1, H), labels[:, 1:].reshape(-1)
-    nll = fused_linear_cross_entropy(h, w, l, chunk_size, z_loss)
+    nll = fused_linear_cross_entropy(h, w, l, chunk_size, z_loss,
+                                     IGNORE_INDEX, need_dw)
     nll = nll.reshape(B, -1)
     valid = (labels != IGNORE_INDEX) if pre_shifted else (
         labels[:, 1:] != IGNORE_INDEX)

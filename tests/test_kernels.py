@@ -66,6 +66,24 @@ def test_lce_grads_match_naive(z_loss):
                                    err_msg=name)
 
 
+def test_lce_need_dw_false_same_dh():
+    """need_dw=False (frozen lm-head, LoRA regime): dh is bit-identical to
+    the need_dw=True path — only the dead h^T @ dlogits matmul is skipped."""
+    rng = np.random.default_rng(2)
+    T, H, V = 24, 12, 30
+    h = jnp.asarray(rng.normal(size=(T, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, V, T))
+
+    def loss(h, need_dw):
+        return jnp.sum(fused_linear_cross_entropy(h, w, labels, 8, 0.0,
+                                                  -100, need_dw))
+
+    dh_full = jax.grad(lambda x: loss(x, True))(h)
+    dh_skip = jax.grad(lambda x: loss(x, False))(h)
+    np.testing.assert_array_equal(np.asarray(dh_full), np.asarray(dh_skip))
+
+
 def test_causal_lm_loss_matches_fusion_ce():
     from molly_tpu.models.fusion import cross_entropy_loss
 
