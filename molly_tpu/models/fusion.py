@@ -106,10 +106,32 @@ def inject(hidden: jnp.ndarray, proj_emb: jnp.ndarray,
 
 
 def build_inputs_embeds(params: Params, cfg: FusionConfig,
-                        batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+                        batch: Dict[str, jnp.ndarray], *,
+                        hidden_spec=None) -> jnp.ndarray:
     """Token embeddings with omics segments injected — the prompt-side half
-    of OmicsOne.forward (omics_one.py:163-173)."""
-    hidden = qwen3.embed_tokens(params["text"], batch["input_ids"])
+    of OmicsOne.forward (omics_one.py:163-173).
+
+    hidden_spec: optional PartitionSpec pinned on the embedding BEFORE
+    injection. Under context parallelism the caller passes a seq-REPLICATED
+    spec: the inject scatter writes rows anywhere in S, which XLA's SPMD
+    partitioner can only realize on a seq-sharded operand by involuntary
+    full rematerialization (replicate + re-partition, a silent perf bug on
+    a real slice). Gathering the seq axis around injection turns that into
+    one explicit all-gather + one free re-slice.
+    """
+    text_params = params["text"]
+    if hidden_spec is not None:
+        # Gather the embed table FIRST (FSDP all-gathers every weight at
+        # use anyway): a gather from a sharded table into a batch-sharded
+        # output is a transition XLA-SPMD realizes by replicating the
+        # gather operand with an involuntary-full-remat warning.
+        from jax.sharding import PartitionSpec
+        text_params = {**text_params,
+                       "embed": jax.lax.with_sharding_constraint(
+                           text_params["embed"], PartitionSpec(None, None))}
+    hidden = qwen3.embed_tokens(text_params, batch["input_ids"])
+    if hidden_spec is not None:
+        hidden = jax.lax.with_sharding_constraint(hidden, hidden_spec)
     if "dna_rna_tokens" in batch:
         demb = encode_and_project(params, cfg.dna_rna, "dna_rna_projector",
                                   "dna_rna", batch["dna_rna_tokens"])
@@ -118,6 +140,13 @@ def build_inputs_embeds(params: Params, cfg: FusionConfig,
         pemb = encode_and_project(params, cfg.protein, "protein_projector",
                                   "protein", batch["protein_tokens"])
         hidden = inject(hidden, pemb, batch["protein_pos"])
+    if hidden_spec is not None:
+        # Pin the OUTPUT too: wsc's transpose constrains the cotangent, so
+        # the inject-backward gather sees a batch-sharded d_hidden instead
+        # of whatever layout the decoder backward produced (under expert
+        # parallelism: token-sharded over the expert axis -> involuntary
+        # full remat on the gather).
+        hidden = jax.lax.with_sharding_constraint(hidden, hidden_spec)
     return hidden
 
 
@@ -191,11 +220,13 @@ def loss_from_hidden(
     params: Params, cfg: FusionConfig, hidden: jnp.ndarray,
     batch: Dict[str, jnp.ndarray], *, z_loss: float = 0.0,
     fused_lce: bool = True, chunk_size: int = 256,
-    pre_shifted: bool = False,
+    pre_shifted: bool = False, lce_need_dw: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """LM loss + metrics from final hidden states. fused_lce avoids the
     [B, S, V] logit tensor (ops.lce); the naive path materializes it.
-    pre_shifted: see causal_lm_loss (zigzag context-parallel streams)."""
+    pre_shifted: see causal_lm_loss (zigzag context-parallel streams).
+    lce_need_dw=False skips the dead lm-head weight gradient when the
+    text tower is frozen (LoRA/QLoRA) — see ops.lce."""
     labels = batch["labels"]
     task_label = batch.get("task_label")
     if not fused_lce:
@@ -206,7 +237,7 @@ def loss_from_hidden(
     w = lm_head_weight(params, cfg.text)
     loss, per_nll, per_tok = causal_lm_loss(
         hidden, w, labels, chunk_size=chunk_size, z_loss=z_loss,
-        pre_shifted=pre_shifted)
+        pre_shifted=pre_shifted, need_dw=lce_need_dw)
     metrics: Dict[str, jnp.ndarray] = {
         "loss": loss, "tokens": jnp.sum(per_tok)}
     if task_label is not None:

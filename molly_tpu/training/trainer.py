@@ -217,45 +217,83 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
                               z_loss=train_cfg.z_loss)
     else:
         def loss_fn(params, batch, rng):
+            from jax.sharding import PartitionSpec as P
+
             from ..models import qwen3
-            embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
-            mask = batch.get("attention_mask")
+            from ..parallel.sharding import DATA_AXIS, FSDP_AXIS, SEQ_AXIS
             text_cfg, positions, pre_shifted = model_cfg.text, None, False
-            if text_cfg.context_parallel and text_cfg.context_parallel_zigzag:
+            wsc = jax.lax.with_sharding_constraint
+            baxes = (DATA_AXIS, FSDP_AXIS)
+            mesh = jax.sharding.get_abstract_mesh()
+            axes = dict(mesh.shape) if mesh is not None else {}
+            on_mesh = DATA_AXIS in axes and FSDP_AXIS in axes
+            n_seq = axes.get(SEQ_AXIS, 1) if text_cfg.context_parallel else 1
+            if on_mesh:
+                # Pin the embedding stream BATCH-sharded before injection.
+                # Without the constraint, GSPMD propagation can pick a
+                # hidden-sharded layout (from the [V, H@fsdp] embed table)
+                # for the inject scatter/gather, and — since the scatter
+                # rows are data-dependent — realize the transition by
+                # involuntary full rematerialization (replicate +
+                # re-partition; silent perf bug on a real slice,
+                # MULTICHIP_r04 rc=1 and the EP-leg sibling). Under
+                # context parallelism this additionally keeps injection
+                # seq-REPLICATED: one explicit all-gather in, one free
+                # re-slice out.
+                embeds = fusion.build_inputs_embeds(
+                    params, model_cfg, batch,
+                    hidden_spec=P(baxes, None, None))
+                mask = batch.get("attention_mask")
+                if n_seq > 1:
+                    if mask is not None:
+                        mask = wsc(mask, P(baxes, None))
+                    batch = {**batch,
+                             "labels": wsc(batch["labels"], P(baxes, None))}
+            else:
+                embeds = fusion.build_inputs_embeds(params, model_cfg, batch)
+                mask = batch.get("attention_mask")
+            if (n_seq > 1 and text_cfg.context_parallel_zigzag):
                 # end-to-end zigzag: permute the stream ONCE (embeddings,
                 # mask, RoPE positions, pre-shifted labels) instead of
                 # q/k/v/out once per layer — every op between attentions
                 # is position-independent, attention causality tracks
                 # per-token position vectors, and the token-summed loss
                 # is permutation-invariant once labels ride along.
-                mesh = jax.sharding.get_abstract_mesh()
-                n_seq = mesh.shape.get("seq", 1) if mesh is not None else 1
-                if n_seq > 1:
-                    import dataclasses
+                import dataclasses
 
-                    from ..parallel.ring_attention import zigzag_order
-                    B, S, _ = embeds.shape
-                    order = zigzag_order(S, n_seq)
-                    if mask is None:
-                        positions = jnp.broadcast_to(
-                            jnp.arange(S)[None], (B, S))
-                    else:
-                        positions = jnp.maximum(
-                            jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1,
-                            0)
-                    lbl = batch["labels"]  # align BEFORE permuting
-                    lbl = jnp.concatenate(
-                        [lbl[:, 1:],
-                         jnp.full((B, 1), fusion.LABEL_IGNORE, lbl.dtype)],
-                        axis=1)
-                    embeds = jnp.take(embeds, order, axis=1)
-                    positions = jnp.take(positions, order, axis=1)
-                    if mask is not None:
-                        mask = jnp.take(mask, order, axis=1)
-                    batch = {**batch, "labels": jnp.take(lbl, order, axis=1)}
-                    text_cfg = dataclasses.replace(
-                        text_cfg, context_parallel_prepermuted=True)
-                    pre_shifted = True
+                from ..parallel.ring_attention import zigzag_order
+                B, S, _ = embeds.shape
+                order = zigzag_order(S, n_seq)
+                if mask is None:
+                    positions = jnp.broadcast_to(
+                        jnp.arange(S)[None], (B, S))
+                else:
+                    positions = jnp.maximum(
+                        jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1,
+                        0)
+                lbl = batch["labels"]  # align BEFORE permuting
+                lbl = jnp.concatenate(
+                    [lbl[:, 1:],
+                     jnp.full((B, 1), fusion.LABEL_IGNORE, lbl.dtype)],
+                    axis=1)
+                embeds = jnp.take(embeds, order, axis=1)
+                positions = jnp.take(positions, order, axis=1)
+                if mask is not None:
+                    mask = jnp.take(mask, order, axis=1)
+                batch = {**batch, "labels": jnp.take(lbl, order, axis=1)}
+                text_cfg = dataclasses.replace(
+                    text_cfg, context_parallel_prepermuted=True)
+                pre_shifted = True
+            if n_seq > 1:
+                # hand the decoder a cleanly seq-sharded stream (the
+                # replicated->sharded transition is a local slice)
+                embeds = wsc(embeds, P(baxes, SEQ_AXIS, None))
+                if mask is not None:
+                    mask = wsc(mask, P(baxes, SEQ_AXIS))
+                if positions is not None:
+                    positions = wsc(positions, P(baxes, SEQ_AXIS))
+                batch = {**batch,
+                         "labels": wsc(batch["labels"], P(baxes, SEQ_AXIS))}
             hidden, aux_out = qwen3.forward_hidden(
                 params["text"], text_cfg, inputs_embeds=embeds,
                 attention_mask=mask, positions=positions,
@@ -267,7 +305,10 @@ def make_train_step(model_cfg: FusionConfig, train_cfg: TrainConfig):
             loss, metrics = fusion.loss_from_hidden(
                 params, model_cfg, hidden, batch, z_loss=train_cfg.z_loss,
                 fused_lce=train_cfg.fused_lce, pre_shifted=pre_shifted,
-                chunk_size=train_cfg.lce_chunk)
+                chunk_size=train_cfg.lce_chunk,
+                # frozen head (LoRA or --train-llm false): the lm-head /
+                # tied-embed weight gradient is dead — skip its matmul
+                lce_need_dw=(train_cfg.lora is None and train_cfg.train_llm))
             if text_cfg.num_experts and aux_out is not None:
                 # MoE router load-balance aux loss (ops.moe); z-loss for
                 # the router rides the same coefficient family as the HF
