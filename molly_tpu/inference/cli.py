@@ -110,8 +110,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "default fully provisions slots x (prompt + cap), "
                         "lower it to oversubscribe HBM")
     p.add_argument("--serve-kv-int8", action="store_true",
-                   help="int8 KV slot pool under --serve / --offline-ring "
-                        "(halves KV memory/bandwidth; ~1e-2 logit noise)")
+                   help="int8 KV under --serve / --serve-paged / "
+                        "--offline-ring (halves KV memory/bandwidth; "
+                        "~1e-2 logit noise)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache in the batch engine (halves the "
                         "[L,B,Nkv,S,2Dh] pool — the single-chip enabler "
@@ -384,9 +385,6 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
     from .server import Request, ServingEngine
 
     if args.serve_paged:
-        assert not args.serve_kv_int8, (
-            "--serve-paged stores the model dtype; int8 KV is the dense "
-            "ring's option")
         from .paged import PagedServingEngine
         P = args.page_size
         bucket = -(-args.max_length // P) * P
@@ -394,6 +392,7 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
             params, cfg, gen, n_slots=args.batch_size, page_size=P,
             n_pages=args.kv_pages, prefill_buckets=(bucket,),
             decode_chunk=args.serve_chunk, admit_batch=args.serve_admit,
+            kv_quant="int8" if args.serve_kv_int8 else None,
             rng=rng)
     else:
         # every molly prompt starts with the dataset's fixed system

@@ -38,7 +38,12 @@ Differences from the dense ring (documented semantics):
     preempted request resumes (its stashed tokens count as prompt);
   - per-token logprobs of a preempted request cover only the
     continuation;
-  - int8 KV and shared-prefix caching are dense-ring-only for now.
+  - int8 KV pages (kv_quant="int8"): pages store int8 with one f32 scale
+    per (head, page, offset) Dh row — the shipped kernel's
+    QuantizedTensor contract, dequantized in-VMEM after the page DMA, so
+    the decode HBM read halves like the dense ring's int8 mode;
+  - shared-prefix caching is dense-ring-only for now (page-table prefix
+    sharing is the natural paged equivalent; not yet implemented).
 """
 
 from __future__ import annotations
@@ -61,11 +66,14 @@ from .server import (Request, ServingEngine, _advance_slots,
 
 
 def pages_for_budget(cfg: FusionConfig, budget_bytes: int,
-                     page_size: int) -> int:
+                     page_size: int, kv_quant: Optional[str] = None) -> int:
     """Per-layer page count such that the K+V pools fit budget_bytes."""
     tcfg = cfg.text
-    per_page = (tcfg.num_key_value_heads * page_size * tcfg.head_dim
-                * 2 * jnp.dtype(tcfg.dtype).itemsize)  # K and V rows
+    if kv_quant == "int8":  # 1 byte/elem + one f32 scale per Dh row
+        per_row = tcfg.head_dim + 4
+    else:
+        per_row = tcfg.head_dim * jnp.dtype(tcfg.dtype).itemsize
+    per_page = tcfg.num_key_value_heads * page_size * 2 * per_row
     return max(1, budget_bytes // (per_page * tcfg.num_hidden_layers))
 
 
@@ -77,7 +85,7 @@ def pages_for_budget(cfg: FusionConfig, budget_bytes: int,
 def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
                         table_rows, *, cfg: FusionConfig,
                         gen: GenerationConfig, page_size: int,
-                        n_pages: int):
+                        n_pages: int, kv_quant: Optional[str] = None):
     """Embed (with omics injection) + prefill + first-token sample + page
     scatter for a group of k same-bucket requests, one dispatch.
 
@@ -126,8 +134,14 @@ def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
                      jnp.arange(L)[:, None, None] * n_pages + ct[None],
                      L * n_pages)                     # [L, k, C] global rows
     dt = s["k_pages"].dtype
-    s["k_pages"] = s["k_pages"].at[:, dest].set(kvc[..., :Dh].astype(dt))
-    s["v_pages"] = s["v_pages"].at[:, dest].set(kvc[..., Dh:].astype(dt))
+    k_half, v_half = kvc[..., :Dh], kvc[..., Dh:]
+    if kv_quant == "int8":  # quantize the prompt rows page-wise
+        k_half, k_sc = qwen3.quantize_page_rows(k_half)
+        v_half, v_sc = qwen3.quantize_page_rows(v_half)
+        s["k_scales"] = s["k_scales"].at[:, dest].set(k_sc)
+        s["v_scales"] = s["v_scales"].at[:, dest].set(v_sc)
+    s["k_pages"] = s["k_pages"].at[:, dest].set(k_half.astype(dt))
+    s["v_pages"] = s["v_pages"].at[:, dest].set(v_half.astype(dt))
     s["page_table"] = s["page_table"].at[slots].set(
         jnp.maximum(table_rows, 0))  # clamp -1: kernel prefetch stays
     #                                  in-bounds; host tracks real chains
@@ -149,6 +163,9 @@ def _paged_decode_impl(params, state, rng, *, cfg: FusionConfig,
     lengths = jnp.maximum(jnp.where(s["active"], s["n_real"] + 1, 1), 1)
     cache_in = {"k_pages": s["k_pages"], "v_pages": s["v_pages"],
                 "page_table": s["page_table"], "lengths": lengths}
+    if "k_scales" in s:
+        cache_in["k_scales"] = s["k_scales"]
+        cache_in["v_scales"] = s["v_scales"]
     bank = params.get("lora_bank")
     hidden, cache = qwen3.forward_hidden(
         params["text"], tcfg, inputs_embeds=emb,
@@ -157,13 +174,17 @@ def _paged_decode_impl(params, state, rng, *, cfg: FusionConfig,
         lora_slots=s.get("adapter_id") if bank is not None else None)
     s["k_pages"] = cache["k_pages"]
     s["v_pages"] = cache["v_pages"]
+    if "k_scales" in cache:
+        s["k_scales"] = cache["k_scales"]
+        s["v_scales"] = cache["v_scales"]
     return _advance_slots(params, s, hidden, rng, cfg=cfg, gen=gen)
 
 
 @lru_cache(maxsize=None)
-def _paged_prefill_fn(cfg, gen, page_size, n_pages):
+def _paged_prefill_fn(cfg, gen, page_size, n_pages, kv_quant=None):
     return jax.jit(partial(_paged_prefill_impl, cfg=cfg, gen=gen,
-                           page_size=page_size, n_pages=n_pages),
+                           page_size=page_size, n_pages=n_pages,
+                           kv_quant=kv_quant),
                    donate_argnums=(1,))
 
 
@@ -177,11 +198,13 @@ def _paged_decode_fn(cfg, gen, n_steps):
 
 
 @lru_cache(maxsize=None)
-def _paged_prefill_decode_fn(cfg, gen, page_size, n_pages, n_steps):
+def _paged_prefill_decode_fn(cfg, gen, page_size, n_pages, n_steps,
+                             kv_quant=None):
     return jax.jit(
         partial(_prefill_decode_impl,
                 prefill=partial(_paged_prefill_impl, cfg=cfg, gen=gen,
-                                page_size=page_size, n_pages=n_pages),
+                                page_size=page_size, n_pages=n_pages,
+                                kv_quant=kv_quant),
                 step=partial(_paged_decode_impl, cfg=cfg, gen=gen),
                 n_steps=n_steps),
         donate_argnums=(1,))
@@ -252,6 +275,7 @@ class PagedServingEngine(ServingEngine):
                  prefill_buckets=(64, 128, 256, 512, 1024),
                  decode_chunk: int = 1,
                  admit_batch: int = 8,
+                 kv_quant: Optional[str] = None,
                  stream_cb=None,
                  logprobs: bool = False,
                  lora_bank: Optional[Dict[str, Any]] = None,
@@ -259,6 +283,8 @@ class PagedServingEngine(ServingEngine):
         assert all(b % page_size == 0 for b in prefill_buckets), (
             "prefill buckets must be multiples of the page size",
             prefill_buckets, page_size)
+        assert kv_quant in (None, "int8"), kv_quant
+        self.kv_quant = kv_quant
         self.page_size = page_size
         if pages_per_seq is None:
             pages_per_seq = math.ceil(
@@ -280,7 +306,7 @@ class PagedServingEngine(ServingEngine):
             params, cfg, gen, n_slots=n_slots,
             max_len=pages_per_seq * page_size + 1,
             prefill_buckets=prefill_buckets, decode_chunk=decode_chunk,
-            admit_batch=admit_batch, kv_quant=None, prefix_ids=None,
+            admit_batch=admit_batch, kv_quant=kv_quant, prefix_ids=None,
             stream_cb=stream_cb, logprobs=logprobs, lora_bank=lora_bank,
             rng=rng)
         self._pad_side = "right"
@@ -302,26 +328,31 @@ class PagedServingEngine(ServingEngine):
         self.decode_chunk = decode_chunk
         cfg, gen = self.cfg, self.gen
         self._prefill_insert = _paged_prefill_fn(cfg, gen, self.page_size,
-                                                 self.n_pages)
+                                                 self.n_pages,
+                                                 self.kv_quant)
         self._decode = _paged_decode_fn(cfg, gen, decode_chunk)
         self._prefill_decode = _paged_prefill_decode_fn(
-            cfg, gen, self.page_size, self.n_pages, decode_chunk)
+            cfg, gen, self.page_size, self.n_pages, decode_chunk,
+            self.kv_quant)
 
     def _make_state(self, *, kv_quant, logprobs, multi_lora):
-        assert kv_quant is None, "paged KV stores the model dtype " \
-            "(int8 scale pages: dense-ring only for now)"
         tcfg = self.cfg.text
         B = self.n_slots
         pool_rows = tcfg.num_hidden_layers * self.n_pages + 1  # + scratch
         shape = (tcfg.num_key_value_heads, pool_rows, self.page_size,
                  tcfg.head_dim)
-        dt = jnp.dtype(tcfg.dtype)
-        return {
+        dt = jnp.int8 if kv_quant == "int8" else jnp.dtype(tcfg.dtype)
+        state = {
             "k_pages": jnp.zeros(shape, dt),
             "v_pages": jnp.zeros(shape, dt),
             "page_table": jnp.zeros((B, self.pages_per_seq), jnp.int32),
             **self._common_state(logprobs, multi_lora),
         }
+        if kv_quant == "int8":  # per-(head, page, offset) row scales
+            sshape = shape[:-1] + (1,)
+            state["k_scales"] = jnp.zeros(sshape, jnp.float32)
+            state["v_scales"] = jnp.zeros(sshape, jnp.float32)
+        return state
 
     def precompile(self, group_sizes=None, with_decode: bool = True):
         """AOT-compile the (bucket, group-size) fused variants + decode.

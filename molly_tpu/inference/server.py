@@ -103,7 +103,7 @@ def _pad_to_bucket(batch: Dict[str, np.ndarray], bucket: int,
 # "kv_scale" exists only with kv_quant="int8" (per-column KV scales);
 # "k_pages"/"v_pages" only in the paged engine (inference/paged.py).
 _HOT_KEYS = ("cache", "kv_scale", "valid", "presence",
-             "k_pages", "v_pages")
+             "k_pages", "v_pages", "k_scales", "v_scales")
 
 
 def _split_state(s):

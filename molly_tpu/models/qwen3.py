@@ -139,6 +139,25 @@ class PagedCache(NamedTuple):
     table: jnp.ndarray      # [B, pages_per_seq] int32 (layer-relative)
     lengths: jnp.ndarray    # [B] int32: attend over positions [0, len)
     pages_per_layer: int
+    # int8 pools: per-(head, page, offset) symmetric scales (|max| over the
+    # Dh row — the shipped kernel's QuantizedTensor convention, dequant =
+    # w * scale / 127.5); None for model-dtype pools
+    k_scales: Optional[jnp.ndarray] = None  # [Nkv, rows, P, 1] f32
+    v_scales: Optional[jnp.ndarray] = None
+
+
+PAGED_QUANT_MAX = 127.5  # kernel convention (quantization_utils.MAX_INT8)
+
+
+def quantize_page_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the trailing (Dh) dim in the paged kernel's
+    convention: returns (int8 same shape, scales [..., 1] f32) with
+    dequant = w * scale / 127.5."""
+    h = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                            keepdims=True), 1e-6)
+    w = jnp.clip(jnp.round(x.astype(jnp.float32) * (PAGED_QUANT_MAX / h)),
+                 -127, 127)
+    return w.astype(jnp.int8), h.astype(jnp.float32)
 
 
 def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
@@ -240,15 +259,22 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         page = jnp.where(idx >= 0, pc.layer * pc.pages_per_layer + page_of,
                          kp.shape[1] - 1)
         off = jnp.where(idx >= 0, safe % P, 0)
-        kp = kp.at[:, page, off, :].set(
-            kk[:, 0].transpose(1, 0, 2).astype(kp.dtype))
-        vp = vp.at[:, page, off, :].set(
-            v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+        k_row = kk[:, 0].transpose(1, 0, 2)  # [Nkv, B, Dh]
+        v_row = v[:, 0].transpose(1, 0, 2)
+        ks, vs = pc.k_scales, pc.v_scales
+        if ks is not None:  # int8 pool: quantize the fresh rows
+            k_row, k_sc = quantize_page_rows(k_row)
+            v_row, v_sc = quantize_page_rows(v_row)
+            ks = ks.at[:, page, off, :].set(k_sc)
+            vs = vs.at[:, page, off, :].set(v_sc)
+        kp = kp.at[:, page, off, :].set(k_row.astype(kp.dtype))
+        vp = vp.at[:, page, off, :].set(v_row.astype(vp.dtype))
         from ..ops.paged_attention import paged_attention
         layer_table = pc.layer * pc.pages_per_layer + pc.table
         attn = paged_attention(q[:, 0], kp, vp, pc.lengths, layer_table,
-                               scale=Dh ** -0.5)[:, None]
-        new_cache = (kp, vp)
+                               scale=Dh ** -0.5, k_scales=ks,
+                               v_scales=vs)[:, None]
+        new_cache = (kp, vp, ks, vs)
     else:
         # full [L, B, Nkv, Smax, 2*Dh] cache + layer index: write ONLY the
         # new token rows (k ‖ v, one update), then read this layer's window
@@ -436,23 +462,27 @@ def forward_hidden(
         npl = (cache["k_pages"].shape[1] - 1) // cfg.num_hidden_layers
 
         def body(carry, xs):
-            h, kp, vp, li = carry
+            h, kp, vp, ks, vs, li = carry
             layer_params, lora_l, rng = xs
-            pc = PagedCache(kp, vp, li, table, lengths, npl)
-            h, (kp, vp), _ = _layer(cfg, h, layer_params, cos, sin, None,
-                                    False, pc, cache_index, lora_l,
-                                    lora_scale, lora_dropout, rng,
-                                    lora_slots)
-            return (h, kp, vp, li + 1), None
+            pc = PagedCache(kp, vp, li, table, lengths, npl, ks, vs)
+            h, (kp, vp, ks, vs), _ = _layer(
+                cfg, h, layer_params, cos, sin, None,
+                False, pc, cache_index, lora_l,
+                lora_scale, lora_dropout, rng,
+                lora_slots)
+            return (h, kp, vp, ks, vs, li + 1), None
 
         if cfg.remat:
             body = jax.checkpoint(body)
-        (hidden, kp, vp, _), _ = jax.lax.scan(
+        (hidden, kp, vp, ks, vs, _), _ = jax.lax.scan(
             body, (hidden, cache["k_pages"], cache["v_pages"],
+                   cache.get("k_scales"), cache.get("v_scales"),
                    jnp.int32(0)),
             (lp, lora_layers, layer_rngs))
         new_cache = {"k_pages": kp, "v_pages": vp, "page_table": table,
                      "lengths": lengths}
+        if ks is not None:
+            new_cache["k_scales"], new_cache["v_scales"] = ks, vs
     else:
         # cache rides the scan CARRY (per-layer dynamic updates in place)
         # instead of being re-stacked as scan ys — avoids rewriting the

@@ -53,7 +53,7 @@ def _default_block(pages_per_seq: int, page_size: int) -> int:
 
 def paged_attention(
     q: jnp.ndarray,             # [B, Nq, Dh]
-    k_pages: jnp.ndarray,       # [Nkv, n_pages, P, Dh]
+    k_pages: jnp.ndarray,       # [Nkv, n_pages, P, Dh] (model dtype | int8)
     v_pages: jnp.ndarray,
     lengths: jnp.ndarray,       # [B] int32
     page_indices: jnp.ndarray,  # [B, pages_per_seq] int32
@@ -61,8 +61,16 @@ def paged_attention(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
     pages_per_compute_block: Optional[int] = None,
+    k_scales: Optional[jnp.ndarray] = None,  # [Nkv, n_pages, P, 1] f32
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Decode attention over a paged KV pool; returns [B, Nq, Dh]."""
+    """Decode attention over a paged KV pool; returns [B, Nq, Dh].
+
+    k_scales/v_scales: int8 pools' per-row symmetric scales (dequant =
+    w * scale / 127.5 — the shipped kernel's QuantizedTensor convention,
+    quantization_utils.MAX_INT8). The Pallas kernel dequantizes in-VMEM
+    after the page DMA, so the HBM read is half the bf16 pool's.
+    """
     dh = q.shape[-1]
     if scale is None:
         scale = dh ** -0.5
@@ -76,21 +84,29 @@ def paged_attention(
         impl = "xla"
     if impl == "flash":
         from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention as _kernel)
+            paged_attention as _kernel, quantization_utils)
         pages_per_seq = page_indices.shape[1]
         blk = pages_per_compute_block or _default_block(
             pages_per_seq, k_pages.shape[2])
+        kq = (quantization_utils.QuantizedTensor(k_pages, k_scales)
+              if k_scales is not None else k_pages)
+        vq = (quantization_utils.QuantizedTensor(v_pages, v_scales)
+              if v_scales is not None else v_pages)
         # the kernel applies no logit scale — fold it into q
         return _kernel(
             (q.astype(jnp.float32) * scale).astype(q.dtype),
-            k_pages, v_pages, lengths.astype(jnp.int32), page_indices,
+            kq, vq, lengths.astype(jnp.int32), page_indices,
             pages_per_compute_block=blk).astype(q.dtype)
     return _xla_paged_attention(q, k_pages, v_pages, lengths,
-                                page_indices, scale)
+                                page_indices, scale,
+                                k_scales=k_scales, v_scales=v_scales)
+
+
+PAGED_QUANT_MAX = 127.5  # quantization_utils.MAX_INT8
 
 
 def _xla_paged_attention(q, k_pages, v_pages, lengths, page_indices,
-                         scale):
+                         scale, k_scales=None, v_scales=None):
     """Gather-based reference: materializes each slot's pages (fine for
     tests/CPU; the TPU kernel exists precisely to avoid this copy)."""
     b, nq, dh = q.shape
@@ -99,6 +115,12 @@ def _xla_paged_attention(q, k_pages, v_pages, lengths, page_indices,
     # [Nkv, B, pages_per_seq, P, Dh] -> [B, Nkv, S, Dh]
     k = jnp.moveaxis(k_pages[:, page_indices], 1, 0)
     v = jnp.moveaxis(v_pages[:, page_indices], 1, 0)
+    if k_scales is not None:  # dequantize int8 pages
+        ksc = jnp.moveaxis(k_scales[:, page_indices], 1, 0)
+        vsc = jnp.moveaxis(v_scales[:, page_indices], 1, 0)
+        k = k.astype(jnp.float32) * (ksc / PAGED_QUANT_MAX)
+        v = v.astype(jnp.float32) * (vsc / PAGED_QUANT_MAX)
+        v = v.astype(q.dtype)
     s = k.shape[2] * p
     k = k.reshape(b, nkv, s, dh)
     v = v.reshape(b, nkv, s, dh)

@@ -73,6 +73,58 @@ def test_paged_attention_op_matches_direct():
                                        rtol=2e-5, atol=2e-5)
 
 
+def test_paged_attention_int8_pages_close_to_f32():
+    """int8 pages + per-row scales through the XLA reference track the f32
+    pool within quantization tolerance (kernel QuantizedTensor convention:
+    dequant = w * scale / 127.5)."""
+    from molly_tpu.models.qwen3 import quantize_page_rows
+    from molly_tpu.ops.paged_attention import paged_attention
+    rng = np.random.default_rng(1)
+    B, Nq, Nkv, Dh, P, NP, PPS = 3, 4, 2, 16, 4, 10, 3
+    q = jnp.asarray(rng.normal(size=(B, Nq, Dh)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(Nkv, NP, P, Dh)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(Nkv, NP, P, Dh)).astype(np.float32))
+    table = jnp.asarray(rng.permutation(NP - 1)[:B * PPS].reshape(B, PPS))
+    lengths = jnp.asarray([5, 12, 1], jnp.int32)
+    kq, ksc = quantize_page_rows(kp)
+    vq, vsc = quantize_page_rows(vp)
+    assert kq.dtype == jnp.int8 and ksc.shape == (Nkv, NP, P, 1)
+    out8 = paged_attention(q, kq, vq, lengths, table, impl="xla",
+                           k_scales=ksc, v_scales=vsc)
+    ref = paged_attention(q, kp, vp, lengths, table, impl="xla")
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref),
+                               rtol=0.06, atol=0.06)
+
+
+def test_paged_engine_int8_kv(setup):
+    """kv_quant="int8": pools are int8 + scale pages; greedy output matches
+    the bf16-paged engine on a tiny model (prefill first tokens are exact —
+    sampled pre-pool; decode tokens tolerate rare argmax flips)."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [_text_request(i, s, seed=10 + i) for i, s in
+            enumerate([5, 12, 7])]
+    ref = PagedServingEngine(params, cfg, gen, n_slots=3, page_size=4,
+                             prefill_buckets=(8, 16)).run(
+        [Request(r.uid, dict(r.batch)) for r in reqs])
+    eng = PagedServingEngine(params, cfg, gen, n_slots=3, page_size=4,
+                             prefill_buckets=(8, 16), kv_quant="int8")
+    assert eng.hot["k_pages"].dtype == jnp.int8
+    assert eng.hot["k_scales"].dtype == jnp.float32
+    got = eng.run(list(reqs))
+    assert set(got) == set(ref)
+    flips = 0
+    for uid in ref:
+        assert len(got[uid]) == len(ref[uid])
+        assert got[uid][0] == ref[uid][0]  # prefill token: pre-pool, exact
+        flips += int(np.sum(np.asarray(got[uid]) != np.asarray(ref[uid])))
+    assert flips <= 3, flips  # quantization may flip isolated argmaxes
+    # allocator hygiene unchanged under int8
+    assert len(eng._free_pages) == eng.n_pages
+
+
 def test_paged_greedy_parity_mixed_lengths(setup):
     cfg, params = setup
     gen = GenerationConfig(max_new_tokens=6, do_sample=False,
@@ -303,15 +355,25 @@ def test_inference_cli_serve_paged_matches_static(tmp_path):
     infer_main(common + ["--output-file", paged_out, "--serve",
                          "--serve-paged", "--page-size", "32",
                          "--serve-chunk", "2"])
+    paged8_out = str(tmp_path / "paged8.jsonl")
+    infer_main(common + ["--output-file", paged8_out, "--serve",
+                         "--serve-paged", "--serve-kv-int8",
+                         "--page-size", "32", "--serve-chunk", "2"])
 
     static = [json.loads(l) for l in open(static_out)]
     paged = [json.loads(l) for l in open(paged_out)]
-    assert len(static) == len(paged) == 6
+    paged8 = [json.loads(l) for l in open(paged8_out)]
+    assert len(static) == len(paged) == len(paged8) == 6
     s_by_input = {r["input"]: r for r in static}
     for r in paged:
         ref = s_by_input[r["input"]]
         assert r["decoded_output"] == ref["decoded_output"]
         assert r["task"] == ref["task"]
+    # int8 pages through the CLI: same schema; greedy tokens may flip on
+    # a random tiny model under quantization — only shape-check here (the
+    # close-tracking check is test_paged_engine_int8_kv)
+    for r in paged8:
+        assert r["input"] in s_by_input
 
 
 def test_pack_batch():
