@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops import quant
 from ..ops.attention import dot_product_attention
 from ..ops.norms import layer_norm
 from ..ops.rope import apply_rope, rope_cos_sin
@@ -31,6 +32,33 @@ from .configs import EsmConfig
 Params = Dict[str, Any]
 
 MASK_RATIO_TRAIN = 0.15 * 0.8  # hardcoded in ESM (modeling_esm.py:217)
+
+_LINEAR_NAMES = ("q", "k", "v", "attn_out", "ffn_in", "ffn_out", "ffn_gate")
+
+
+def quantize_for_decode(params: Params) -> Params:
+    """Int8-quantize the encoder's stacked linear weights for serving.
+
+    The frozen NT-500M + ESM2-650M encoders sit in HBM as ~2.3 GB of bf16
+    at the reference operating point (/root/reference/scripts/infer/
+    inference_nt_lora.sh:25-36 loads both at batch 32); int8 weights halve
+    that, freeing room for larger decode batches on a 16 GB chip. Per-layer
+    per-output-column symmetric scales; embeddings and layernorms stay in
+    the model dtype. lax.scan slices the stacked {w_q, scale} dicts
+    per-layer, so ops.quant.linear dispatches with no layer-loop changes.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _LINEAR_NAMES:
+        if name not in layers:
+            continue
+        w = layers[name].astype(jnp.float32)          # [L, K, N]
+        amax = jnp.max(jnp.abs(w), axis=1)            # [L, N]
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        w_q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127)
+        layers[name] = {"w_q": w_q.astype(jnp.int8), "scale": scale}
+    out["layers"] = layers
+    return out
 
 
 def erf_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -79,9 +107,11 @@ def _layer(cfg: EsmConfig, hidden, p, cos, sin, mask):
 
     x = layer_norm(hidden, p["attn_ln"]["weight"], p["attn_ln"]["bias"],
                    cfg.layer_norm_eps)
-    q = (x @ p["q"] + p["q_b"]).reshape(B, S, N, Dh)
-    k = (x @ p["k"] + p["k_b"]).reshape(B, S, N, Dh)
-    v = (x @ p["v"] + p["v_b"]).reshape(B, S, N, Dh)
+    # quant.linear dispatches int8 {w_q, scale} dicts (quantize_for_decode)
+    # or plain bf16 matrices
+    q = (quant.linear(x, p["q"]) + p["q_b"]).reshape(B, S, N, Dh)
+    k = (quant.linear(x, p["k"]) + p["k_b"]).reshape(B, S, N, Dh)
+    v = (quant.linear(x, p["v"]) + p["v_b"]).reshape(B, S, N, Dh)
     # ESM scales Q before rotary (modeling_esm.py:360-366), so attention
     # itself runs with scale=1.
     q = q * (Dh ** -0.5)
@@ -89,16 +119,17 @@ def _layer(cfg: EsmConfig, hidden, p, cos, sin, mask):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
     attn = dot_product_attention(q, k, v, mask=mask, causal=False, scale=1.0)
-    attn = attn.reshape(B, S, H) @ p["attn_out"] + p["attn_out_b"]
+    attn = quant.linear(attn.reshape(B, S, H), p["attn_out"]) + p["attn_out_b"]
     hidden = hidden + attn
 
     x = layer_norm(hidden, p["ffn_ln"]["weight"], p["ffn_ln"]["bias"],
                    cfg.layer_norm_eps)
     if cfg.mlp_type == "swiglu":
-        x = jax.nn.silu(x @ p["ffn_gate"]) * (x @ p["ffn_in"])
+        x = jax.nn.silu(quant.linear(x, p["ffn_gate"])) * quant.linear(
+            x, p["ffn_in"])
     else:
-        x = erf_gelu(x @ p["ffn_in"] + p["ffn_in_b"])
-    x = x @ p["ffn_out"]
+        x = erf_gelu(quant.linear(x, p["ffn_in"]) + p["ffn_in_b"])
+    x = quant.linear(x, p["ffn_out"])
     if cfg.mlp_bias:
         x = x + p["ffn_out_b"]
     return hidden + x

@@ -69,3 +69,24 @@ def test_quantized_cache_decode_runs():
         cache=cache, cache_index=0)
     logits = qwen3.logits_from_hidden(params, cfg, hidden)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_esm_int8_encoder_close_to_bf16():
+    """esm.quantize_for_decode: int8 stacked linears through quant.linear
+    track the full-precision encoder closely (frozen-encoder serving —
+    frees ~1.1 GB HBM at the 8B reference op point)."""
+    from molly_tpu.models import esm, tiny_esm
+    cfg = tiny_esm(vocab_size=32, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   dtype="float32")
+    params = esm.init_params(cfg, jax.random.key(0))
+    qparams = esm.quantize_for_decode(params)
+    assert qparams["layers"]["q"]["w_q"].dtype == jnp.int8
+    assert qparams["layers"]["q"]["scale"].shape == (2, 32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(4, 30, (2, 12)))
+    mask = jnp.ones((2, 12), jnp.int32)
+    h = np.asarray(esm.forward_hidden(params, cfg, ids, mask))
+    hq = np.asarray(esm.forward_hidden(qparams, cfg, ids, mask))
+    # final layer_norm bounds the scale; int8 error stays small
+    assert np.abs(h - hq).max() < 0.15, np.abs(h - hq).max()
+    assert np.abs(h - hq).mean() < 0.02
