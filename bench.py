@@ -101,6 +101,11 @@ def main():
                          "other modes")
     ap.add_argument("--preset", default="qwen3-1.7b",
                     help="decoder preset (e.g. qwen3-8b with --int8)")
+    ap.add_argument("--int8-encoders", action="store_true",
+                    help="fusion mode: int8-quantize the frozen NT/ESM "
+                         "encoder weights (esm.quantize_for_decode) — "
+                         "frees ~1.1 GB HBM at the 8B op point to unlock "
+                         "batch 8")
     ap.add_argument("--int8-experts", action="store_true",
                     help="MoE presets with --int8: also quantize the "
                          "expert stacks (ops.moe.quantize_experts) — "
@@ -168,6 +173,12 @@ def main():
                          "speculate only while the acceptance EMA stays "
                          "above THRESHOLD (periodic re-probe); measures "
                          "the auto-policy against both fixed modes")
+    ap.add_argument("--spec-calibrate", action="store_true",
+                    help="offline ring: derive the adaptive threshold "
+                         "from MEASURED plain-tick vs spec-round costs at "
+                         "this operating point (offline."
+                         "calibrate_spec_threshold) instead of the fixed "
+                         "--spec-adapt value")
     ap.add_argument("--spec-adapt-chunk", type=int, default=32,
                     help="adaptive ring: decode ticks per spec-vs-plain "
                          "flip decision (each chunk boundary is a "
@@ -725,20 +736,36 @@ def bench_serve(args):
             total += sum(r.max_new_tokens for r in chunk)
         return total, time.perf_counter() - t0
 
+    spec_threshold = args.spec_adapt
+
     def run_ring(report=False):
         """Device-side admission ring: one dispatch for the workload."""
-        from molly_tpu.inference.offline import run_offline
+        nonlocal spec_threshold
+        from molly_tpu.inference.offline import (calibrate_spec_threshold,
+                                                 run_offline)
         reqs = mk_reqs()
         ids = np.concatenate([r.batch["input_ids"] for r in reqs])
         mask = np.ones(ids.shape, np.int32)
         ocaps = np.asarray([r.max_new_tokens for r in reqs], np.int32)
+        if args.spec_calibrate and args.spec_lookup:
+            import sys
+            cal = calibrate_spec_threshold(
+                params, cfg, gen, n_slots=n_slots, max_len=max_len,
+                bucket=ids.shape[1], spec_k=args.spec_lookup,
+                kv_quant="int8" if args.kv_int8 else None)
+            spec_threshold = cal["threshold"]
+            print(f"[calibrate] t_plain_tick={cal['t_plain_tick']*1e3:.2f}ms"
+                  f" t_spec_round={cal['t_spec_round']*1e3:.2f}ms"
+                  f" ratio={cal['ratio']:.3f}"
+                  f" threshold={spec_threshold:.4f}", file=sys.stderr)
+            args.spec_calibrate = False  # once per process
         t0 = time.perf_counter()
         out = run_offline(params, cfg, gen, ids, mask, ocaps,
                           n_slots=n_slots, max_len=max_len,
                           admit_group=args.admit_batch,
                           kv_quant="int8" if args.kv_int8 else None,
                           spec_lookup=args.spec_lookup,
-                          spec_threshold=args.spec_adapt,
+                          spec_threshold=spec_threshold,
                           spec_probe_every=args.spec_adapt_probe,
                           spec_chunk=args.spec_adapt_chunk)
         dt = time.perf_counter() - t0
@@ -760,15 +787,15 @@ def bench_serve(args):
 
     def run_paged(report=False):
         from molly_tpu.inference.paged import PagedServingEngine
-        assert not args.kv_int8 and not s_pre, (
-            "--paged: bf16 pages, no shared prefix")
+        assert not s_pre, "--paged: no shared prefix"
         P = args.page_size
         eng = PagedServingEngine(
             params, cfg, gen, n_slots=n_slots, page_size=P,
             n_pages=args.kv_pages,
             prefill_buckets=(-(-prompt // P) * P,),
             decode_chunk=1 if args.smoke else args.decode_chunk,
-            admit_batch=args.admit_batch, lora_bank=bank)
+            admit_batch=args.admit_batch,
+            kv_quant="int8" if args.kv_int8 else None, lora_bank=bank)
         eng.precompile()
         t0 = time.perf_counter()
         results = eng.run(mk_reqs())
@@ -812,7 +839,7 @@ def bench_serve(args):
                   f"({'int8' if args.int8 else 'bf16'}"
                   f"{', int8 KV' if args.kv_int8 else ''}"
                   f"{f', lookup-spec k={args.spec_lookup}' if args.spec_lookup else ''}"
-                  f"{f' adaptive@{args.spec_adapt}' if args.spec_adapt is not None else ''}"
+                  f"""{f" adaptive@{spec_threshold:.3f}{' (cost-calibrated)' if spec_threshold != args.spec_adapt else ''}" if spec_threshold is not None else ''}"""
                   f"{', copy-trained span-quoting workload (greedy)' if args.spec_workload == 'copy' else ''}"
                   f"{f', multi-LoRA bank of {args.lora_bank} (r=16)' if args.lora_bank else ''}"
                   f", {n_slots} slots, "
@@ -981,11 +1008,15 @@ def bench_fusion(args):
         protein=dataclasses.replace(ESM_PRESETS["esm2-650m"],
                                     dtype="bfloat16"),
         dna_rna_k_tokens=K, protein_k_tokens=K)
+    def enc_params(ecfg, key):
+        p = esm.init_params(ecfg, key)
+        return esm.quantize_for_decode(p) if args.int8_encoders else p
+
     params = {
         "text": (_random_int8_params(cfg.text) if args.int8 else
                  qwen3.init_params(cfg.text, jax.random.key(0))),
-        "dna_rna": esm.init_params(cfg.dna_rna, jax.random.key(1)),
-        "protein": esm.init_params(cfg.protein, jax.random.key(2)),
+        "dna_rna": enc_params(cfg.dna_rna, jax.random.key(1)),
+        "protein": enc_params(cfg.protein, jax.random.key(2)),
         "dna_rna_projector": {
             "kernel": jnp.zeros((cfg.dna_rna.hidden_size,
                                  cfg.text.hidden_size), jnp.bfloat16),
@@ -1028,7 +1059,9 @@ def bench_fusion(args):
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
         "metric": f"{args.preset} tri-encoder fusion inference (1 chip, "
-                  f"{'int8' if args.int8 else 'bf16'} decoder, batch {B}, "
+                  f"{'int8' if args.int8 else 'bf16'} decoder, "
+                  f"{'int8' if args.int8_encoders else 'bf16'} encoders, "
+                  f"batch {B}, "
                   f"prompt {S} incl 2x{K}-token injected segments, gen {T})",
         "value": round(B * T / dt, 1), "unit": "tokens/sec/chip",
         "vs_baseline": round(B * T / dt / A100_BASELINES.get(

@@ -579,6 +579,73 @@ def _run_impl(params, queue_ids, queue_mask, queue_caps, queue_omics,
             st.get("spec_ema", jnp.float32(-1.0)))
 
 
+def spec_break_even_threshold(t_plain_tick: float, t_spec_round: float,
+                              spec_k: int) -> float:
+    """Acceptance rate a* where speculation breaks even against plain
+    ticks. A plain tick emits 1 token/row in t_plain; a spec round emits
+    1 + a*k tokens/row in t_spec. Equal throughput at
+    (1 + a*k) / t_spec = 1 / t_plain  =>  a* = (t_spec/t_plain - 1) / k.
+
+    Round 4 measured that a FIXED threshold mispredicts: the spec/plain
+    tick-cost ratio is an operating-point property — ~1 when decode is
+    weight-bound (B=1 large model: verifying k+1 tokens reads the same
+    weights) but grows with batch (32-slot 0.6B: the k+1-token verify
+    turns compute-bound and spec LOSES even at high acceptance, 6,105 vs
+    6,788 tok/s — benchmarks/README "in-ring speculation on the
+    copy-trained workload"). Deriving a* from MEASURED tick costs makes
+    the adaptive ring pick correctly at both points."""
+    r = t_spec_round / max(t_plain_tick, 1e-12)
+    return max(0.0, (r - 1.0) / spec_k)
+
+
+def calibrate_spec_threshold(
+    params, cfg: FusionConfig, gen: GenerationConfig, *,
+    n_slots: int, max_len: int, bucket: int, spec_k: int,
+    ngram_n: int = 3, kv_quant: Optional[str] = None,
+    cal_tokens: int = 64, safety: float = 1.0,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, float]:
+    """Measure plain-tick and spec-round costs at THIS operating point and
+    derive the adaptive ring's break-even threshold.
+
+    Runs two short random-prompt workloads (acceptance ~ 0, so every spec
+    round emits ~1 token/row — its cost is read directly off the wall
+    clock): one plain, one always-spec. Both executables are the ones the
+    real run uses (same shapes, same _run_fn cache), so the plain leg's
+    compile is the only extra cost. Returns {"threshold", "t_plain_tick",
+    "t_spec_round", "ratio"}; pass threshold to run_offline's
+    spec_threshold. safety > 1 demands that margin of win before
+    speculating."""
+    import time as _time
+
+    rng = rng if rng is not None else jax.random.key(7)
+    r_np = np.random.default_rng(11)
+    N = n_slots  # one admission, decode-dominated
+    ids = r_np.integers(4, cfg.text.vocab_size - 4, (N, bucket)).astype(
+        np.int32)
+    mask = np.ones((N, bucket), np.int32)
+    import dataclasses
+    cal_gen = dataclasses.replace(gen, max_new_tokens=cal_tokens,
+                                  eos_token_id=-1)
+
+    def timed(spec):
+        kw = dict(n_slots=n_slots, max_len=max_len, admit_group=n_slots,
+                  kv_quant=kv_quant, rng=rng)
+        if spec:
+            kw.update(spec_lookup=spec_k, ngram_n=ngram_n)
+        run_offline(params, cfg, cal_gen, ids, mask, **kw)  # compile+warm
+        t0 = _time.perf_counter()
+        out = run_offline(params, cfg, cal_gen, ids, mask, **kw)
+        dt = _time.perf_counter() - t0
+        return dt / max(out["decode_ticks"], 1)
+
+    t_plain = timed(False)
+    t_spec = timed(True)
+    thr = spec_break_even_threshold(t_plain, t_spec * safety, spec_k)
+    return {"threshold": thr, "t_plain_tick": t_plain,
+            "t_spec_round": t_spec, "ratio": t_spec / t_plain}
+
+
 @lru_cache(maxsize=None)
 def _run_fn(cfg, gen, n_slots, max_len, admit_group, kv_quant,
             spec_k=0, ngram_n=3, spec_threshold=None,

@@ -544,3 +544,50 @@ def test_offline_spec_adaptive_flips_off_on_no_match(setup):
     # start plus periodic probes, a strict minority
     assert 0 < out["spec_ticks"] < 0.5 * out["decode_ticks"], (
         out["spec_ticks"], out["decode_ticks"])
+
+
+def test_spec_break_even_threshold_formula():
+    """a* = (t_spec/t_plain - 1)/k, floored at 0 — pins the decisions at
+    the two MEASURED round-4 operating points (benchmarks/README "in-ring
+    speculation on the copy-trained workload"):
+    - B=1 large-model decode is weight-bound: verifying k+1 tokens costs
+      ~one plain tick (ratio ~1.1) -> tiny threshold, spec ON at any
+      real span-quoting acceptance;
+    - 32-slot 0.6B: the (k+1)-wide verify turns compute-bound — measured
+      tick-cost ratio ~2.1 (also visible as the 4,024-vs-1,814
+      zero-acceptance floor, ratio 2.2). Copy-trained run: 18,194 useful
+      over 310 rounds x 32 rows -> 1.83 tokens/round/row -> acceptance
+      a = 0.83/8 ~ 0.10, BELOW the 0.1375 break-even -> spec correctly
+      OFF (matching the measured 6,105-vs-6,788 loss)."""
+    from molly_tpu.inference.offline import spec_break_even_threshold
+    k = 8
+    # weight-bound point: ratio 1.1 -> threshold ~0.0125 -> spec ON for
+    # any acceptance the shadow estimator would report on a copy workload
+    thr = spec_break_even_threshold(1.0, 1.1, k)
+    assert 0.0 < thr < 0.05
+    # compute-bound point: measured ratio 2.1 -> threshold 0.1375, above
+    # the measured copy-workload acceptance (~0.10) -> spec OFF
+    thr32 = spec_break_even_threshold(1.0, 2.1, k)
+    a_meas = (18194 / (310 * 32) - 1) / k
+    assert abs(thr32 - 0.1375) < 1e-9
+    assert thr32 > a_meas, (thr32, a_meas)
+    # degenerate: spec cheaper than plain -> always on
+    assert spec_break_even_threshold(1.0, 0.9, k) == 0.0
+
+
+def test_calibrate_spec_threshold_runs(setup):
+    """End-to-end calibration on CPU: returns a finite threshold and the
+    measured tick costs; the calibrated value feeds run_offline."""
+    from molly_tpu.inference.offline import calibrate_spec_threshold
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    cal = calibrate_spec_threshold(params, cfg, gen, n_slots=4, max_len=64,
+                                   bucket=16, spec_k=4, cal_tokens=8)
+    assert np.isfinite(cal["threshold"]) and cal["threshold"] >= 0.0
+    assert cal["t_plain_tick"] > 0 and cal["t_spec_round"] > 0
+    ids, mask = _queue(4, 16, seed=3)
+    out = run_offline(params, cfg, gen, ids, mask, n_slots=4, max_len=64,
+                      spec_lookup=4, spec_threshold=cal["threshold"])
+    assert (out["lengths"] == 8).all()
