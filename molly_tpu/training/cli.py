@@ -138,6 +138,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="jax.profiler trace output dir")
     p.add_argument("--resume-from", default=None,
                    help="orbax checkpoint dir to resume train state from")
+    p.add_argument("--init-from", default=None,
+                   help="orbax checkpoint dir to warm-start PARAMS from "
+                        "(optimizer/step start fresh; applied BEFORE "
+                        "--use-lora/--qlora, so a full-FT checkpoint can "
+                        "seed a LoRA/QLoRA run — the reference's "
+                        "load-pretrained-then-LoRA flow, train.py:647-660, "
+                        "for checkpoints in this framework's own format)")
     # parallelism
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-dcn-data", type=int, default=1,
@@ -319,6 +326,20 @@ def run_training(args) -> dict:
         train_llm=args.train_llm, lora=lora_cfg, z_loss=args.z_loss,
         pp_micro=args.pp_microbatches if use_pp else 0,
         offload_opt_state=args.offload_opt_state)
+
+    if args.init_from:
+        # params-only warm start (target-free orbax read, same pattern as
+        # the inference CLI's --checkpoint): graft saved base weights onto
+        # the fresh tree leaf-by-leaf, keeping init dtypes. A saved "lora"
+        # subtree is ignored — this is a BASE warm start.
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as _c:
+            _restored = _c.restore(os.path.abspath(args.init_from))["params"]
+        import jax.numpy as jnp
+        params = jax.tree.map(
+            lambda init, saved: jnp.asarray(saved, init.dtype),
+            params, {k: _restored[k] for k in params})
+        print_rank_0(f"warm-started params from {args.init_from}")
 
     if lora_cfg:
         assert not use_pp, "--use-lora is unsupported under --mesh-pipe"

@@ -274,21 +274,41 @@ def test_synthetic_gc_learning_moe_end_to_end(tmp_path):
     assert scores["DNA"]["pd"]["MCC"] >= 0.5, scores
 
 
+def _gc_rows_flipped(n, seed, seq_len=42):
+    """The GC task with INVERTED labels: high GC -> 'No'/'negative'."""
+    rows = _gc_rows(n, seed, seq_len)
+    for r in rows:
+        r["output"] = "No" if r["output"] == "Yes" else "Yes"
+        r["label"] = ("negative" if r["label"] == "positive"
+                      else "positive")
+    return rows
+
+
 @pytest.mark.slow
-def test_synthetic_gc_learning_qlora_end_to_end(tmp_path):
-    """QLoRA regime learning proof: int8-quantized frozen base under
-    bf16 adapters (--use-lora --qlora) learns the GC task through the
-    real train CLI and scores above chance via inference + evalsuite.
-    Pins that gradients flowing THROUGH int8 matmuls train adapters."""
+def test_synthetic_gc_learning_qlora_end_to_end(trained, tmp_path):
+    """QLoRA regime learning proof: warm-start from the full-FT GC
+    checkpoint (--init-from, the reference's load-pretrained-then-LoRA
+    flow), then fine-tune bf16 adapters over the int8-quantized FROZEN
+    base (--use-lora --qlora) on the LABEL-FLIPPED GC task. The frozen
+    base answers the ORIGINAL rule (MCC would be strongly NEGATIVE on
+    flipped labels), so scoring >= 0.5 on them is attributable to
+    gradients flowing THROUGH the int8 matmuls into the adapters.
+
+    (The previous variant trained rank-8 adapters on a RANDOM frozen
+    base — a knife-edge config whose fixed seed barely escaped a loss
+    plateau in the last 50 steps; any f32 reduction-order change, e.g.
+    legitimate sharding-constraint layout changes, flipped it to MCC 0.
+    Adapting a trained base is both the realistic QLoRA scenario and a
+    decisively learnable one.)"""
     from molly_tpu.evalsuite.harness import evaluate_file
     from molly_tpu.inference.cli import main as infer_main
     from molly_tpu.tools.data_tools import convert_inference_jsonl
     from molly_tpu.training.cli import build_argparser, run_training
 
-    train_p = str(tmp_path / "train.parquet")
-    test_p = str(tmp_path / "test.parquet")
-    pd.DataFrame(_gc_rows(256, seed=2)).to_parquet(train_p)
-    pd.DataFrame(_gc_rows(64, seed=97)).to_parquet(test_p)
+    train_p = str(tmp_path / "train_flip.parquet")
+    test_p = str(tmp_path / "test_flip.parquet")
+    pd.DataFrame(_gc_rows_flipped(256, seed=2)).to_parquet(train_p)
+    pd.DataFrame(_gc_rows_flipped(64, seed=97)).to_parquet(test_p)
     out_dir = str(tmp_path / "run_qlora")
 
     args = build_argparser().parse_args([
@@ -298,16 +318,17 @@ def test_synthetic_gc_learning_qlora_end_to_end(tmp_path):
         "--max-len", "256",
         "--dna-rna-k-tokens", "8", "--protein-k-tokens", "8",
         "--batch-size-per-gpu", "8",
-        "--epochs", "12", "--train-iters", "384",
-        "--log-interval", "32", "--save-interval", "384",
+        "--epochs", "8", "--train-iters", "256",
+        "--log-interval", "32", "--save-interval", "256",
+        "--init-from", trained["ckpt"],
         "--use-lora", "true", "--lora-r", "8", "--lora-dropout", "0.0",
         "--qlora", "true",
         "--lr", "5e-3", "--warmup", "0.05",
         "--prefetch-depth", "2", "--cache-dataset", "true",
     ])
     result = run_training(args)
-    assert result["steps"] == 384
-    ckpt = os.path.join(out_dir, "ckpt_384")
+    assert result["steps"] == 256
+    ckpt = os.path.join(out_dir, "ckpt_256")
 
     raw_jsonl = str(tmp_path / "infer_qlora.jsonl")
     infer_main([
@@ -320,10 +341,6 @@ def test_synthetic_gc_learning_qlora_end_to_end(tmp_path):
     eval_jsonl = str(tmp_path / "eval_qlora.jsonl")
     assert convert_inference_jsonl(raw_jsonl, eval_jsonl) == 64
     scores = evaluate_file(eval_jsonl, scale=False)
-    # bar: rank-8 adapters over an int8 2-layer base are a reduced-
-    # capacity regime vs the full-FT test's 0.5 (this fixed-seed config
-    # measures MCC 0.488; r=16 and 512-step variants measured 0.35/0.32
-    # — capacity/schedule noise, not the int8 path). Chance MCC at n=64
-    # has sigma ~ 0.125, so 0.4 is still >3 sigma of real learning
-    # through the int8 matmuls
-    assert scores["DNA"]["pd"]["MCC"] >= 0.4, scores
+    # flipped-label MCC: the frozen base scores <= ~-0.5 here; only
+    # trained adapters can push it positive. 0.5 matches the full-FT bar.
+    assert scores["DNA"]["pd"]["MCC"] >= 0.5, scores
