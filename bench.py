@@ -787,15 +787,18 @@ def bench_serve(args):
 
     def run_paged(report=False):
         from molly_tpu.inference.paged import PagedServingEngine
-        assert not s_pre, "--paged: no shared prefix"
         P = args.page_size
+        # shared prefix: its full pages are stored ONCE in the pool and
+        # shared by every slot's page table; buckets bound the suffix
+        s_share = (s_pre // P) * P
         eng = PagedServingEngine(
             params, cfg, gen, n_slots=n_slots, page_size=P,
             n_pages=args.kv_pages,
-            prefill_buckets=(-(-prompt // P) * P,),
+            prefill_buckets=(-(-(prompt - s_share) // P) * P,),
             decode_chunk=1 if args.smoke else args.decode_chunk,
             admit_batch=args.admit_batch,
-            kv_quant="int8" if args.kv_int8 else None, lora_bank=bank)
+            kv_quant="int8" if args.kv_int8 else None,
+            prefix_ids=prefix if s_pre else None, lora_bank=bank)
         eng.precompile()
         t0 = time.perf_counter()
         results = eng.run(mk_reqs())
@@ -822,7 +825,11 @@ def bench_serve(args):
     s_total, s_dt = run_static()
     static_rate = s_total / s_dt
     prefix_note = ""
-    if s_pre and not args.offline:
+    if s_pre and args.paged:
+        P = args.page_size
+        prefix_note = (f", {(s_pre // P) * P}-token shared prefix pages "
+                       f"(stored once, {s_pre // P} pages)")
+    elif s_pre and not args.offline:
         run_once(use_prefix=True)  # warmup the prefix-path executables
         plain_rate = total / dt
         total, dt = run_once(use_prefix=True, report=True)

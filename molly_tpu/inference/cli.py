@@ -387,13 +387,18 @@ def _run_serve(args, ds, params, cfg, gen, text_tok, rng) -> None:
     if args.serve_paged:
         from .paged import PagedServingEngine
         P = args.page_size
-        bucket = -(-args.max_length // P) * P
+        # the fixed system prompt's full pages are shared across ALL
+        # slots' page tables (stored once; the sub-page remainder rides
+        # each request's suffix)
+        prefix_ids = ds.encoder.system_prompt_ids
+        s_share = (len(prefix_ids) // P) * P
+        bucket = -(-(args.max_length - s_share) // P) * P
         eng = PagedServingEngine(
             params, cfg, gen, n_slots=args.batch_size, page_size=P,
             n_pages=args.kv_pages, prefill_buckets=(bucket,),
             decode_chunk=args.serve_chunk, admit_batch=args.serve_admit,
             kv_quant="int8" if args.serve_kv_int8 else None,
-            rng=rng)
+            prefix_ids=prefix_ids, rng=rng)
     else:
         # every molly prompt starts with the dataset's fixed system
         # prompt — its KV is computed once and shared across all

@@ -42,8 +42,13 @@ Differences from the dense ring (documented semantics):
     per (head, page, offset) Dh row — the shipped kernel's
     QuantizedTensor contract, dequantized in-VMEM after the page DMA, so
     the decode HBM read halves like the dense ring's int8 mode;
-  - shared-prefix caching is dense-ring-only for now (page-table prefix
-    sharing is the natural paged equivalent; not yet implemented).
+  - shared-prefix caching (prefix_ids=...) shares PAGES: the prefix KV
+    is computed once, scattered into floor(s_pre / page) dedicated pages,
+    and every slot's page table points at those same rows — the dense
+    ring copies the prefix KV into every slot, the paged engine stores
+    it ONCE (the vLLM prefix-sharing win). The sub-page remainder of the
+    prefix rides each request's suffix (page-aligned sharing only);
+    decode never writes shared pages (writes start at s_pre + suffix).
 """
 
 from __future__ import annotations
@@ -85,7 +90,8 @@ def pages_for_budget(cfg: FusionConfig, budget_bytes: int,
 def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
                         table_rows, *, cfg: FusionConfig,
                         gen: GenerationConfig, page_size: int,
-                        n_pages: int, kv_quant: Optional[str] = None):
+                        n_pages: int, kv_quant: Optional[str] = None,
+                        s_pre: int = 0):
     """Embed (with omics injection) + prefill + first-token sample + page
     scatter for a group of k same-bucket requests, one dispatch.
 
@@ -93,7 +99,14 @@ def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
     [0, n_real)); ``table_rows`` [k, pages_per_seq] int32 holds each
     request's layer-relative page chain, -1 beyond the allocated length
     (prompt-pad chunks there spill to the scratch row; reads never reach
-    them — the kernel masks by length)."""
+    them — the kernel masks by length).
+
+    s_pre > 0 (shared-prefix caching, page-aligned): batch["kv_pre"]
+    [L, 1, Nkv, s_pre, 2Dh] seeds the prefill attention context (same as
+    the dense ring's _prefill_insert_impl), the batch holds only the
+    SUFFIX, and the first s_pre // page_size entries of each table row
+    are the SHARED prefix pages — the suffix KV scatters only into the
+    rows after them (shared pages are read-only here)."""
     state = {**hot, **cold}
     from ..models import fusion
     tcfg = cfg.text
@@ -104,32 +117,45 @@ def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
     mask = batch["attention_mask"]
     k, Sb = mask.shape
     P, Dh, L = page_size, tcfg.head_dim, tcfg.num_hidden_layers
-    assert Sb % P == 0, (Sb, P)
-    cache = qwen3.init_cache(tcfg, k, Sb)
-    positions = jnp.maximum(
+    assert Sb % P == 0 and s_pre % P == 0, (Sb, s_pre, P)
+    cache = qwen3.init_cache(tcfg, k, s_pre + Sb)
+    positions = s_pre + jnp.maximum(
         jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
+    if s_pre:
+        cache["kv"] = cache["kv"].at[:, :, :, :s_pre, :].set(
+            batch["kv_pre"].astype(cache["kv"].dtype))
+        full_mask = jnp.concatenate(
+            [jnp.ones((k, s_pre), jnp.int32), mask.astype(jnp.int32)],
+            axis=1)
+    else:
+        full_mask = mask
     bank = params.get("lora_bank")
     hidden, cache = qwen3.forward_hidden(
-        params["text"], tcfg, inputs_embeds=embeds, attention_mask=mask,
-        positions=positions, cache=cache, cache_index=0, lora=bank,
+        params["text"], tcfg, inputs_embeds=embeds,
+        attention_mask=full_mask, positions=positions, cache=cache,
+        cache_index=s_pre, lora=bank,
         lora_slots=samp.get("adapter") if bank is not None else None)
-    n_real = jnp.sum(mask.astype(jnp.int32), axis=1)
+    n_suf = jnp.sum(mask.astype(jnp.int32), axis=1)
+    n_real = s_pre + n_suf
     rows_k = jnp.arange(k)
-    # right-pad: the last REAL token's hidden state drives tok0
+    # right-pad: the last REAL token's hidden state drives tok0 (hidden
+    # covers only the suffix rows)
     logits = qwen3.logits_from_hidden(
-        params["text"], tcfg, hidden[rows_k, n_real - 1])
+        params["text"], tcfg, hidden[rows_k, n_suf - 1])
     presence = jnp.zeros((k, tcfg.vocab_size), bool)
     tok0 = sample_tokens_rowwise(logits, rng, samp, presence,
                                  max_top_k=gen.top_k)
     presence = presence.at[rows_k, tok0].set(True)
 
     s = dict(state)
-    # scatter the prompt KV into the pool: bucket column t of request b
-    # lands in global page row li*n_pages + table[b, t // P], offset t % P
-    kv = cache["kv"]                                  # [L, k, Nkv, Sb, 2Dh]
+    # scatter the SUFFIX KV into the pool: bucket column t of request b
+    # lands in global page row li*n_pages + table[b, n_shared + t // P],
+    # offset t % P (shared prefix pages were written once at engine init)
+    n_shared = s_pre // P
+    kv = cache["kv"][:, :, :, s_pre:, :]              # [L, k, Nkv, Sb, 2Dh]
     kvc = kv.reshape(L, k, tcfg.num_key_value_heads, Sb // P, P, 2 * Dh)
     kvc = jnp.moveaxis(kvc, 2, 0)                     # [Nkv, L, k, C, P, :]
-    ct = table_rows[:, :Sb // P]                      # [k, C]
+    ct = table_rows[:, n_shared:n_shared + Sb // P]   # [k, C]
     dest = jnp.where(ct >= 0,
                      jnp.arange(L)[:, None, None] * n_pages + ct[None],
                      L * n_pages)                     # [L, k, C] global rows
@@ -181,10 +207,11 @@ def _paged_decode_impl(params, state, rng, *, cfg: FusionConfig,
 
 
 @lru_cache(maxsize=None)
-def _paged_prefill_fn(cfg, gen, page_size, n_pages, kv_quant=None):
+def _paged_prefill_fn(cfg, gen, page_size, n_pages, kv_quant=None,
+                      s_pre=0):
     return jax.jit(partial(_paged_prefill_impl, cfg=cfg, gen=gen,
                            page_size=page_size, n_pages=n_pages,
-                           kv_quant=kv_quant),
+                           kv_quant=kv_quant, s_pre=s_pre),
                    donate_argnums=(1,))
 
 
@@ -199,12 +226,12 @@ def _paged_decode_fn(cfg, gen, n_steps):
 
 @lru_cache(maxsize=None)
 def _paged_prefill_decode_fn(cfg, gen, page_size, n_pages, n_steps,
-                             kv_quant=None):
+                             kv_quant=None, s_pre=0):
     return jax.jit(
         partial(_prefill_decode_impl,
                 prefill=partial(_paged_prefill_impl, cfg=cfg, gen=gen,
                                 page_size=page_size, n_pages=n_pages,
-                                kv_quant=kv_quant),
+                                kv_quant=kv_quant, s_pre=s_pre),
                 step=partial(_paged_decode_impl, cfg=cfg, gen=gen),
                 n_steps=n_steps),
         donate_argnums=(1,))
@@ -276,6 +303,7 @@ class PagedServingEngine(ServingEngine):
                  decode_chunk: int = 1,
                  admit_batch: int = 8,
                  kv_quant: Optional[str] = None,
+                 prefix_ids=None,
                  stream_cb=None,
                  logprobs: bool = False,
                  lora_bank: Optional[Dict[str, Any]] = None,
@@ -286,12 +314,23 @@ class PagedServingEngine(ServingEngine):
         assert kv_quant in (None, "int8"), kv_quant
         self.kv_quant = kv_quant
         self.page_size = page_size
+        # shared-prefix caching is PAGE-ALIGNED here: share the full
+        # pages, let the sub-page remainder ride each request's suffix
+        # (the dense ring strips the whole prefix instead — same outputs,
+        # the remainder tokens are simply recomputed per request)
+        n_shared = 0
+        if prefix_ids is not None:
+            prefix_ids = np.asarray(prefix_ids, np.int32).reshape(-1)
+            n_shared = int(prefix_ids.size) // page_size
+            prefix_ids = (prefix_ids[:n_shared * page_size]
+                          if n_shared else None)
+        self._n_shared = n_shared
         if pages_per_seq is None:
-            pages_per_seq = math.ceil(
+            pages_per_seq = n_shared + math.ceil(
                 (max(prefill_buckets) + gen.max_new_tokens) / page_size)
         self.pages_per_seq = pages_per_seq
         if n_pages is None:  # fully provisioned: no preemption possible
-            n_pages = n_slots * pages_per_seq
+            n_pages = n_shared + n_slots * (pages_per_seq - n_shared)
         self.n_pages = n_pages
         self._partial: Dict[Any, np.ndarray] = {}
         if stream_cb is not None:
@@ -306,21 +345,25 @@ class PagedServingEngine(ServingEngine):
             params, cfg, gen, n_slots=n_slots,
             max_len=pages_per_seq * page_size + 1,
             prefill_buckets=prefill_buckets, decode_chunk=decode_chunk,
-            admit_batch=admit_batch, kv_quant=kv_quant, prefix_ids=None,
+            admit_batch=admit_batch, kv_quant=kv_quant,
+            prefix_ids=prefix_ids,
             stream_cb=stream_cb, logprobs=logprobs, lora_bank=lora_bank,
             rng=rng)
         self._pad_side = "right"
         # host-side page allocator (layer-relative page ids)
         self._free_pages: List[int] = list(range(n_pages))
         self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
-        self._slot_ub = [0] * n_slots    # conservative tokens-held bound
-        self._slot_max = [0] * n_slots   # prompt + cap (growth ceiling)
+        self._slot_ub = [0] * n_slots    # tokens-held bound (incl prefix)
+        self._slot_max = [0] * n_slots   # prefix+prompt+cap (growth cap)
         self._slot_req: List[Optional[Request]] = [None] * n_slots
         self._slot_seq = [0] * n_slots   # admission order (preemption age)
         self._admit_seq = 0
         self._admit_tables: Dict[int, np.ndarray] = {}
         self.stats["preemptions"] = 0
         self.stats["pages_peak"] = 0
+        # pin the shared prefix pages (never released) + write their KV
+        self._shared_pages = self._alloc(n_shared) if n_shared else []
+        self._write_prefix_pages()
 
     # ---- engine-layout overrides ---------------------------------------
 
@@ -329,11 +372,39 @@ class PagedServingEngine(ServingEngine):
         cfg, gen = self.cfg, self.gen
         self._prefill_insert = _paged_prefill_fn(cfg, gen, self.page_size,
                                                  self.n_pages,
-                                                 self.kv_quant)
+                                                 self.kv_quant, self.s_pre)
         self._decode = _paged_decode_fn(cfg, gen, decode_chunk)
         self._prefill_decode = _paged_prefill_decode_fn(
             cfg, gen, self.page_size, self.n_pages, decode_chunk,
-            self.kv_quant)
+            self.kv_quant, self.s_pre)
+
+    def _write_prefix_pages(self) -> None:
+        """Scatter the precomputed prefix KV (base _kv_pre) into the
+        pinned shared pages — once at init and again after precompile()
+        resets the pools. One eager host-side update."""
+        if not self.s_pre:
+            return
+        tcfg = self.cfg.text
+        P, C = self.page_size, self._n_shared
+        L, Dh = tcfg.num_hidden_layers, tcfg.head_dim
+        kv = self._kv_pre  # [L, 1, Nkv, s_pre, 2Dh]
+        kvc = kv[:, 0].reshape(L, tcfg.num_key_value_heads, C, P, 2 * Dh)
+        kvc = jnp.moveaxis(kvc, 1, 0)                 # [Nkv, L, C, P, :]
+        shared = jnp.asarray(self._shared_pages, jnp.int32)
+        dest = jnp.arange(L)[:, None] * self.n_pages + shared[None]
+        k_half, v_half = kvc[..., :Dh], kvc[..., Dh:]
+        if self.kv_quant == "int8":
+            k_half, k_sc = qwen3.quantize_page_rows(k_half)
+            v_half, v_sc = qwen3.quantize_page_rows(v_half)
+            self.hot["k_scales"] = self.hot["k_scales"].at[
+                :, dest].set(k_sc)
+            self.hot["v_scales"] = self.hot["v_scales"].at[
+                :, dest].set(v_sc)
+        dt = self.hot["k_pages"].dtype
+        self.hot["k_pages"] = self.hot["k_pages"].at[:, dest].set(
+            k_half.astype(dt))
+        self.hot["v_pages"] = self.hot["v_pages"].at[:, dest].set(
+            v_half.astype(dt))
 
     def _make_state(self, *, kv_quant, logprobs, multi_lora):
         tcfg = self.cfg.text
@@ -366,6 +437,8 @@ class PagedServingEngine(ServingEngine):
             for k in sizes:
                 batch = {"input_ids": jnp.ones((k, b), jnp.int32),
                          "attention_mask": jnp.ones((k, b), jnp.int32)}
+                if self.s_pre:
+                    batch["kv_pre"] = self._kv_pre
                 slots = jnp.arange(k, dtype=jnp.int32) % self.n_slots
                 caps = jnp.full((k,), 2, jnp.int32)
                 samp = self._samp_arrays([Request(uid=None, batch={})
@@ -380,6 +453,7 @@ class PagedServingEngine(ServingEngine):
                 self.hot, self.cold = self._decode(
                     self.params, self.hot, self.cold, r, jnp.int32(stop))
         self.hot, self.cold = _split_state(self._init_state())
+        self._write_prefix_pages()
         self._slot_uid = [None] * self.n_slots
         self._cancel = set()
         self._streamed = [0] * self.n_slots
@@ -389,13 +463,36 @@ class PagedServingEngine(ServingEngine):
         self._round_admitted = []
 
     def _eff_batch(self, req: Request):
-        return _pack_batch(req.batch)
+        b = _pack_batch(req.batch)
+        if not self.s_pre:
+            return b
+        ids = np.asarray(b["input_ids"])[0]
+        if not np.array_equal(ids[:self.s_pre], self.prefix_ids):
+            raise ValueError(
+                "request prompt does not start with the configured "
+                "prefix_ids — disable prefix caching for this request mix")
+        if ids.size <= self.s_pre:
+            raise ValueError("prompt must extend beyond the shared prefix")
+        out = dict(b)
+        out["input_ids"] = ids[None, self.s_pre:]
+        out["attention_mask"] = np.ones((1, ids.size - self.s_pre),
+                                        np.int32)
+        for key in ("dna_rna_pos", "protein_pos"):
+            if key in b:
+                pos = np.asarray(b[key])
+                shifted = np.where(pos >= 0, pos - self.s_pre, pos)
+                if (shifted[pos >= 0] < 0).any():
+                    raise ValueError("omics segment inside the shared "
+                                     "prefix is not supported")
+                out[key] = shifted
+        return out
 
     def _eff_len(self, req: Request) -> int:
         ids = np.asarray(req.batch["input_ids"])
         mask = req.batch.get("attention_mask")
-        return (int(np.asarray(mask).sum()) if mask is not None
-                else ids.shape[1])
+        n = (int(np.asarray(mask).sum()) if mask is not None
+             else ids.shape[1])
+        return n - self.s_pre  # suffix length (buckets bound suffixes)
 
     # ---- page accounting ------------------------------------------------
 
@@ -404,6 +501,8 @@ class PagedServingEngine(ServingEngine):
                           self.gen.max_new_tokens, self.ring_cols))
 
     def _alloc(self, n: int) -> Optional[List[int]]:
+        if n == 0:
+            return []  # NB: lst[-0:] is the WHOLE list — never slice by -0
         if len(self._free_pages) < n:
             return None
         out = self._free_pages[-n:]
@@ -420,7 +519,9 @@ class PagedServingEngine(ServingEngine):
         self._slot_max[slot] = 0
 
     def _pages_needed(self, tokens: int) -> int:
-        return math.ceil(tokens / self.page_size)
+        """OWN pages needed to hold ``tokens`` total tokens (incl. the
+        shared prefix — its pages are pinned, not per-slot)."""
+        return max(0, math.ceil(tokens / self.page_size) - self._n_shared)
 
     def _reclaim_finished(self) -> bool:
         """Pool pressure relief valve #1: harvest slots that finished
@@ -461,7 +562,9 @@ class PagedServingEngine(ServingEngine):
             ids = np.concatenate(
                 [np.asarray(packed["input_ids"])[0], stash])
             cap0 = self._cap_for(req)
-            if (ids.size <= self.buckets[-1]
+            # buckets bound SUFFIX lengths (ids still carries the shared
+            # prefix — the continuation re-strips it at re-admission)
+            if (ids.size - self.s_pre <= self.buckets[-1]
                     and cap0 - int(stash.size) >= 1):
                 slot = j
                 break
@@ -495,7 +598,7 @@ class PagedServingEngine(ServingEngine):
                     "nothing is preemptible — raise n_pages or lower "
                     "n_slots")
             pages = self._alloc(need)
-        base = len(self._slot_pages[slot])
+        base = self._n_shared + len(self._slot_pages[slot])
         for j, p in enumerate(pages):
             updates.append((slot, base + j, p))
         self._slot_pages[slot].extend(pages)
@@ -531,10 +634,10 @@ class PagedServingEngine(ServingEngine):
                     # slot was re-bound?? cannot happen: admission only
                     # assigns free slots; preemption frees others
                     raise AssertionError(slot)
-                plen = self._eff_len(r)
+                tot = self.s_pre + self._eff_len(r)  # prefix + suffix
                 cap = self._cap_for(r)
-                maxtok = plen + cap  # KV ceiling (last token never writes)
-                ub = min(plen + chunk, maxtok)
+                maxtok = tot + cap  # KV ceiling (last token never writes)
+                ub = min(tot + chunk, maxtok)
                 pages = self._alloc(self._pages_needed(ub))
                 if pages is None:
                     self._reclaim_finished()
@@ -547,7 +650,8 @@ class PagedServingEngine(ServingEngine):
                 self._slot_ub[slot] = ub
                 self._slot_max[slot] = maxtok
                 row = np.full((self.pages_per_seq,), -1, np.int32)
-                row[:len(pages)] = pages
+                row[:self._n_shared] = self._shared_pages
+                row[self._n_shared:self._n_shared + len(pages)] = pages
                 self._admit_tables[slot] = row
                 k_reqs.append(r)
                 k_slots.append(slot)
@@ -569,6 +673,8 @@ class PagedServingEngine(ServingEngine):
 
     def _start_group(self, reqs, slots) -> None:
         jb, slots_arr, caps, samp = self._assemble(reqs, slots)
+        if self.s_pre:
+            jb = {**jb, "kv_pre": self._kv_pre}
         table_rows = self._group_tables(slots)
         self.rng, r1 = jax.random.split(self.rng)
         self.hot, self.cold = self._prefill_insert(
@@ -580,6 +686,8 @@ class PagedServingEngine(ServingEngine):
 
     def _start_group_fused(self, reqs, slots, stop_free) -> None:
         jb, slots_arr, caps, samp = self._assemble(reqs, slots)
+        if self.s_pre:
+            jb = {**jb, "kv_pre": self._kv_pre}
         table_rows = self._group_tables(slots)
         self.rng, r1 = jax.random.split(self.rng)
         self.hot, self.cold = self._prefill_decode(

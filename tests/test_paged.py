@@ -387,3 +387,111 @@ def test_pack_batch():
     with pytest.raises(ValueError):
         _pack_batch({"input_ids": np.asarray([[1, 2, 3]], np.int32),
                      "attention_mask": np.asarray([[1, 0, 1]], np.int32)})
+
+
+def test_paged_shared_prefix_parity_and_page_sharing(setup):
+    """Shared-prefix pages: greedy outputs match the no-prefix paged
+    engine on the same prompts, the prefix KV is stored ONCE (allocator
+    pins n_shared pages; peak page use drops vs no sharing), and a
+    non-page-aligned prefix shares only its full pages (the remainder
+    rides each suffix)."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(5)
+    prefix = rng.integers(1, 64, 10).astype(np.int32)  # 2 pages + 2 toks
+    reqs = []
+    for i, s in enumerate([3, 7, 5]):
+        suf = rng.integers(1, 64, (1, s)).astype(np.int32)
+        ids = np.concatenate([prefix[None], suf], axis=1)
+        reqs.append(Request(uid=i, batch={
+            "input_ids": ids,
+            "attention_mask": np.ones_like(ids, np.int32)}))
+    plain = PagedServingEngine(params, cfg, gen, n_slots=3, page_size=4,
+                               prefill_buckets=(20,))
+    ref = plain.run([Request(r.uid, dict(r.batch)) for r in reqs])
+    eng = PagedServingEngine(params, cfg, gen, n_slots=3, page_size=4,
+                             prefill_buckets=(16,), prefix_ids=prefix)
+    assert eng.s_pre == 8 and eng._n_shared == 2  # page-aligned share
+    got = eng.run(list(reqs))
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    # shared pages stay pinned; every per-slot page returned
+    assert len(eng._free_pages) == eng.n_pages - eng._n_shared
+    # the prefix was held once, not once per slot
+    assert eng.stats["pages_peak"] < plain.stats["pages_peak"]
+
+
+def test_paged_shared_prefix_int8_pages(setup):
+    """Prefix sharing composes with int8 KV pages: identical quantized
+    values land in the shared pages, so greedy outputs match the
+    no-prefix int8 engine exactly on a tiny f32 model."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(9)
+    prefix = rng.integers(1, 64, 8).astype(np.int32)
+    reqs = []
+    for i, s in enumerate([4, 6]):
+        suf = rng.integers(1, 64, (1, s)).astype(np.int32)
+        ids = np.concatenate([prefix[None], suf], axis=1)
+        reqs.append(Request(uid=i, batch={
+            "input_ids": ids,
+            "attention_mask": np.ones_like(ids, np.int32)}))
+    ref = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             prefill_buckets=(16,), kv_quant="int8").run(
+        [Request(r.uid, dict(r.batch)) for r in reqs])
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             prefill_buckets=(8,), kv_quant="int8",
+                             prefix_ids=prefix)
+    got = eng.run(list(reqs))
+    flips = 0
+    for uid in ref:
+        assert len(got[uid]) == len(ref[uid])
+        flips += int(np.sum(np.asarray(got[uid]) != np.asarray(ref[uid])))
+    assert flips <= 2, flips  # separate-graph prefix KV may flip an argmax
+
+
+def test_paged_shared_prefix_preemption(setup):
+    """Preemption + continuation under prefix sharing: the continuation
+    re-prefills (prefix re-stripped), outputs still match the dense
+    engine with the same prefix cached."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+    rng = np.random.default_rng(13)
+    prefix = rng.integers(1, 64, 8).astype(np.int32)
+    reqs = []
+    for i in range(2):
+        suf = rng.integers(1, 64, (1, 6)).astype(np.int32)
+        ids = np.concatenate([prefix[None], suf], axis=1)
+        reqs.append(Request(uid=i, batch={
+            "input_ids": ids,
+            "attention_mask": np.ones_like(ids, np.int32)}))
+    ref = _dense_ref(params, cfg, gen, reqs, prefix_ids=prefix)
+    # own pages per request: ceil((8 + 6 + 10)/4) - 2 = 4; shared 2 +
+    # own 6 < 2 + 8 forces preemption when both grow
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             n_pages=8, prefill_buckets=(16,),
+                             decode_chunk=2, prefix_ids=prefix)
+    got = eng.run(list(reqs))
+    assert eng.stats["preemptions"] >= 1
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    assert len(eng._free_pages) == eng.n_pages - eng._n_shared
+
+
+def test_paged_prefix_mismatch_raises(setup):
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                           repetition_penalty=1.0, eos_token_id=-1,
+                           pad_token_id=0)
+    prefix = np.arange(1, 9, dtype=np.int32)
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             prefill_buckets=(8,), prefix_ids=prefix)
+    bad = _text_request(0, 12, seed=3)
+    with pytest.raises(ValueError, match="prefix"):
+        eng.run([bad])
