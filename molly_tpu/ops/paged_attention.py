@@ -83,19 +83,26 @@ def paged_attention(
         # the XLA reference is correct at any shape
         impl = "xla"
     if impl == "flash":
-        from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention as _kernel, quantization_utils)
         pages_per_seq = page_indices.shape[1]
         blk = pages_per_compute_block or _default_block(
             pages_per_seq, k_pages.shape[2])
-        kq = (quantization_utils.QuantizedTensor(k_pages, k_scales)
-              if k_scales is not None else k_pages)
-        vq = (quantization_utils.QuantizedTensor(v_pages, v_scales)
-              if v_scales is not None else v_pages)
-        # the kernel applies no logit scale — fold it into q
+        # the kernels apply no logit scale — fold it into q
+        qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        if k_scales is not None:
+            # our per-row-scales variant: the SHIPPED kernel broadcasts
+            # QuantizedTensor scales to the FULL pool shape in f32 before
+            # the pallas_call (4 bytes/elem of HBM on top of the int8
+            # pool — OOMs at the 3072-cap op point); see
+            # ops/paged_attention_int8.py
+            from .paged_attention_int8 import paged_attention_int8
+            return paged_attention_int8(
+                qs, k_pages, k_scales, v_pages, v_scales,
+                lengths.astype(jnp.int32), page_indices,
+                pages_per_compute_block=blk).astype(q.dtype)
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention as _kernel)
         return _kernel(
-            (q.astype(jnp.float32) * scale).astype(q.dtype),
-            kq, vq, lengths.astype(jnp.int32), page_indices,
+            qs, k_pages, v_pages, lengths.astype(jnp.int32), page_indices,
             pages_per_compute_block=blk).astype(q.dtype)
     return _xla_paged_attention(q, k_pages, v_pages, lengths,
                                 page_indices, scale,

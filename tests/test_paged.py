@@ -495,3 +495,34 @@ def test_paged_prefix_mismatch_raises(setup):
     bad = _text_request(0, 12, seed=3)
     with pytest.raises(ValueError, match="prefix"):
         eng.run([bad])
+
+
+def test_paged_attention_int8_kernel_interpret_matches_xla():
+    """Our per-row-scales int8 Pallas kernel (ops/paged_attention_int8)
+    through the Pallas INTERPRETER matches the XLA dequant reference —
+    CI coverage of the kernel body itself, not just the XLA fallback
+    (the shipped QuantizedTensor kernel broadcasts scales to the full
+    pool shape — 4 bytes/elem of HBM — which this variant exists to
+    avoid; on-chip parity: benchmarks/paged_kernel_parity.py)."""
+    from molly_tpu.models.qwen3 import quantize_page_rows
+    from molly_tpu.ops.paged_attention import paged_attention
+    from molly_tpu.ops.paged_attention_int8 import paged_attention_int8
+    rng = np.random.default_rng(3)
+    B, Nq, Nkv, Dh, P, PPS = 3, 4, 2, 16, 4, 4
+    NP = B * PPS + 1
+    q = jnp.asarray(rng.normal(size=(B, Nq, Dh)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(Nkv, NP, P, Dh)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(Nkv, NP, P, Dh)).astype(np.float32))
+    table = jnp.asarray(
+        rng.permutation(NP - 1)[:B * PPS].reshape(B, PPS), jnp.int32)
+    lengths = jnp.asarray([6, 15, 1], jnp.int32)
+    kq, ksc = quantize_page_rows(kp)
+    vq, vsc = quantize_page_rows(vp)
+    scale = Dh ** -0.5
+    got = paged_attention_int8(
+        (q * scale), kq, ksc, vq, vsc, lengths, table,
+        pages_per_compute_block=2, interpret=True)
+    ref = paged_attention(q, kq, vq, lengths, table, impl="xla",
+                          k_scales=ksc, v_scales=vsc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
