@@ -21,3 +21,16 @@ echo "=== F3. calibrated adaptive, copy-trained workload ==="
 timeout 2400 python bench.py --mode serve --offline --preset qwen3-0.6b \
     --spec-workload copy --spec-lookup 8 --spec-adapt 0.2 \
     --spec-calibrate --spec-adapt-chunk 128 || true
+
+echo "=== J'' attribution, remat=full, outer variants ==="
+timeout 1500 python benchmarks/ablate_train.py --preset qwen3-0.6b \
+    --batch 16 --remat full --only step grads fwd || true
+echo "=== J'' attribution, remat=full, decoder variants ==="
+timeout 1500 python benchmarks/ablate_train.py --preset qwen3-0.6b \
+    --batch 16 --remat full --only dec_grads dec_fwd body_grads || true
+echo "=== J'' attribution, remat=hot, outer variants ==="
+timeout 1500 python benchmarks/ablate_train.py --preset qwen3-0.6b \
+    --batch 16 --remat hot --only step grads fwd || true
+echo "=== J'' attribution, remat=hot, decoder variants ==="
+timeout 1500 python benchmarks/ablate_train.py --preset qwen3-0.6b \
+    --batch 16 --remat hot --only dec_grads dec_fwd body_grads || true
