@@ -76,6 +76,8 @@ class OnlineServer:
     def __init__(self, params, cfg, gen, encoder, text_tok, *,
                  n_slots: int = 8, decode_chunk: int = 16,
                  admit_batch: int = 4, kv_quant: Optional[str] = None,
+                 paged: bool = False, page_size: int = 64,
+                 kv_pages: Optional[int] = None,
                  lora_bank=None, adapter_names=None, rng=None):
         import jax
 
@@ -97,15 +99,29 @@ class OnlineServer:
             prefix_ids, s_pre = None, 0
         # mirror inference.cli._run_serve: encode_test pads prompts to the
         # dataset window; the engine sees suffixes of one fixed bucket
-        self.engine = ServingEngine(
-            params, cfg, gen, n_slots=n_slots,
-            max_len=encoder.cfg.max_len + gen.max_new_tokens,
-            prefill_buckets=(encoder.cfg.max_len - s_pre,),
-            decode_chunk=decode_chunk, admit_batch=admit_batch,
-            kv_quant=kv_quant, prefix_ids=prefix_ids,
-            stream_cb=self._on_stream, logprobs=True,
-            lora_bank=lora_bank,
-            rng=rng if rng is not None else jax.random.key(0))
+        if paged:
+            from .paged import PagedServingEngine
+            P = page_size
+            s_share = (s_pre // P) * P  # paged shares full pages only
+            bucket = -(-(encoder.cfg.max_len - s_share) // P) * P
+            self.engine = PagedServingEngine(
+                params, cfg, gen, n_slots=n_slots, page_size=P,
+                n_pages=kv_pages, prefill_buckets=(bucket,),
+                decode_chunk=decode_chunk, admit_batch=admit_batch,
+                kv_quant=kv_quant, prefix_ids=prefix_ids,
+                stream_cb=self._on_stream, logprobs=True,
+                lora_bank=lora_bank,
+                rng=rng if rng is not None else jax.random.key(0))
+        else:
+            self.engine = ServingEngine(
+                params, cfg, gen, n_slots=n_slots,
+                max_len=encoder.cfg.max_len + gen.max_new_tokens,
+                prefill_buckets=(encoder.cfg.max_len - s_pre,),
+                decode_chunk=decode_chunk, admit_batch=admit_batch,
+                kv_quant=kv_quant, prefix_ids=prefix_ids,
+                stream_cb=self._on_stream, logprobs=True,
+                lora_bank=lora_bank,
+                rng=rng if rng is not None else jax.random.key(0))
         self._uid = itertools.count()
         self._mu = threading.Lock()          # guards engine state
         self._cv = threading.Condition()     # work-arrival signal
@@ -444,6 +460,8 @@ def run_api_server(args, params, cfg, gen, text_tok, dna_tok, prot_tok,
         n_slots=args.batch_size, decode_chunk=args.serve_chunk,
         admit_batch=args.serve_admit,
         kv_quant="int8" if args.serve_kv_int8 else None,
+        paged=args.serve_paged, page_size=args.page_size,
+        kv_pages=args.kv_pages,
         lora_bank=lora_bank, adapter_names=adapter_names)
     httpd = make_http_server(online, args.host, args.port)
     extra = (f", adapters: {adapter_names}" if adapter_names else "")

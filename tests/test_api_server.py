@@ -322,3 +322,58 @@ def test_embeddings_endpoint(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(port, "/v1/embeddings", {"input": []})
     assert ei.value.code == 400
+
+
+def test_api_server_paged_engine_parity():
+    """OnlineServer(paged=True): the OpenAI surface rides the paged
+    engine (prefix pages of the system prompt shared across slots) and
+    greedy completions match the batch-engine reference."""
+    text_tok = load_text_tokenizer(None)
+    dna_tok, prot_tok = default_modality_tokenizers()
+    dcfg = DataConfig(max_len=256, dna_rna_k_tokens=4, protein_k_tokens=4)
+    encoder = OmicsSampleEncoder(text_tok, dna_tok, prot_tok, dcfg)
+    cfg = FusionConfig(
+        text=tiny_qwen3(vocab_size=-(-text_tok.vocab_size // 128) * 128,
+                        dtype="float32"),
+        dna_rna=tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
+                         dtype="float32"),
+        protein=tiny_esm(vocab_size=prot_tok.vocab_size,
+                         mask_token_id=prot_tok.mask_id, dtype="float32"),
+        dna_rna_k_tokens=4, protein_k_tokens=4)
+    params = fusion.init_params(cfg, jax.random.key(0))
+    gen = GenerationConfig(max_new_tokens=6, do_sample=True,
+                           temperature=0.8, top_k=20, top_p=0.95,
+                           repetition_penalty=1.1,
+                           eos_token_id=text_tok.eos_token_id,
+                           pad_token_id=text_tok.pad_token_id)
+    greedy_gen = GenerationConfig(
+        max_new_tokens=6, do_sample=False, repetition_penalty=1.1,
+        eos_token_id=text_tok.eos_token_id,
+        pad_token_id=text_tok.pad_token_id)
+    online = OnlineServer(params, cfg, gen, encoder, text_tok,
+                          n_slots=2, decode_chunk=2, admit_batch=1,
+                          paged=True, page_size=32)
+    from molly_tpu.inference.paged import PagedServingEngine
+    assert isinstance(online.engine, PagedServingEngine)
+    assert online.engine._n_shared >= 1  # system prompt shares pages
+    httpd = make_http_server(online, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    try:
+        prompt = "Is this DNA GC rich? <dna>ACGTACGT</dna>"
+        with _post(port, "/v1/completions",
+                   {"prompt": prompt, "temperature": 0}) as r:
+            out = json.loads(r.read())
+        sample = encoder.encode_test({"input": prompt})
+        batch = collate_test([sample])
+        arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                if isinstance(v, np.ndarray)}
+        toks = np.asarray(generate(params, cfg, arrs, greedy_gen,
+                                   jax.random.key(0)))[0]
+        toks = toks[toks != greedy_gen.pad_token_id]
+        ref = text_tok.decode(toks.tolist(), skip_special_tokens=True)
+        assert out["choices"][0]["text"] == ref
+    finally:
+        httpd.shutdown()
+        online.close()
