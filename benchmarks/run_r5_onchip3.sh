@@ -17,15 +17,15 @@ echo "=== A''. paged kernel parity (Dh=128, bf16 + int8 per-row scales) ==="
 timeout 1200 python benchmarks/paged_kernel_parity.py || true
 
 echo "=== B2'. paged engine, int8 pages (new kernel), 16 slots, cap 3072 ==="
-timeout 3600 python bench.py --mode serve --paged --gen-cap 3072 \
+timeout 5400 python bench.py --mode serve --paged --gen-cap 3072 \
     --batch 16 --kv-int8 --n-req 32 || true
 
 echo "=== B3'. paged int8, pool halved (400 pages) — oversubscription ==="
-timeout 3600 python bench.py --mode serve --paged --gen-cap 3072 \
+timeout 5400 python bench.py --mode serve --paged --gen-cap 3072 \
     --batch 16 --kv-int8 --kv-pages 400 --n-req 32 || true
 
 echo "=== B4'. paged int8, 32 slots in an 800-page budget ==="
-timeout 3600 python bench.py --mode serve --paged --gen-cap 3072 \
+timeout 5400 python bench.py --mode serve --paged --gen-cap 3072 \
     --batch 32 --kv-int8 --kv-pages 800 --n-req 48 || true
 
 echo "=== C2'. LoRA 1.7B bs16, remat=hot, lce-chunk 512 ==="
