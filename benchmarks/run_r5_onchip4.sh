@@ -34,3 +34,10 @@ timeout 1500 python benchmarks/ablate_train.py --preset qwen3-0.6b \
 echo "=== J'' attribution, remat=hot, decoder variants ==="
 timeout 1500 python benchmarks/ablate_train.py --preset qwen3-0.6b \
     --batch 16 --remat hot --only dec_grads dec_fwd body_grads || true
+
+echo "=== G1. 8B QLoRA bs2 (the round-4 'say what bs2 would do' ask) ==="
+timeout 2400 python bench.py --mode train --qlora --preset qwen3-8b \
+    --train-batch 2 --remat full --lce-chunk 1024 || true
+echo "=== G2. 8B QLoRA bs4 ==="
+timeout 2400 python bench.py --mode train --qlora --preset qwen3-8b \
+    --train-batch 4 --remat full --lce-chunk 1024 || true
