@@ -47,22 +47,35 @@ def main():
     print(f"bf16 pool: max abs err={err:.5f} rel={rel:.5f}")
     assert err < 0.05, err  # bf16 accumulation-order noise only
 
-    kq, ksc = quantize_page_rows(kp)
-    vq, vsc = quantize_page_rows(vp)
+    # int8 leg: OUR kernel (ops/paged_attention_int8) needs P % 128 == 0
+    # (lane-aligned scale vectors) — rebuild the pools at page 128
+    P8 = 128
+    PPS8 = PPS * P // P8 if PPS * P % P8 == 0 else 4
+    NP8 = B * PPS8 + 1
+    kp8 = jnp.asarray(rng.normal(size=(Nkv, NP8, P8, Dh)), jnp.bfloat16)
+    vp8 = jnp.asarray(rng.normal(size=(Nkv, NP8, P8, Dh)), jnp.bfloat16)
+    table8 = jnp.asarray(
+        rng.permutation(NP8 - 1)[: B * PPS8].reshape(B, PPS8), jnp.int32)
+    lengths8 = jnp.asarray(rng.integers(1, PPS8 * P8, B), jnp.int32)
+    kq, ksc = quantize_page_rows(kp8)
+    vq, vsc = quantize_page_rows(vp8)
     flash8 = np.asarray(
-        paged_attention(q, kq, vq, lengths, table, impl="flash",
+        paged_attention(q, kq, vq, lengths8, table8, impl="flash",
                         k_scales=ksc, v_scales=vsc), np.float32)
     ref8 = np.asarray(
-        paged_attention(q, kq, vq, lengths, table, impl="xla",
+        paged_attention(q, kq, vq, lengths8, table8, impl="xla",
                         k_scales=ksc, v_scales=vsc), np.float32)
     err8 = np.abs(flash8 - ref8).max()
-    print(f"int8 pool: flash-vs-xla max abs err={err8:.5f}")
+    print(f"int8 pool (page {P8}): flash-vs-xla max abs err={err8:.5f}")
     assert err8 < 0.05, err8
-    errq = np.abs(flash8 - ref).max()
+    ref_bf16 = np.asarray(
+        paged_attention(q, kp8, vp8, lengths8, table8, impl="xla"),
+        np.float32)
+    errq = np.abs(flash8 - ref_bf16).max()
     print(f"int8 pool vs bf16 reference (quantization error): "
           f"max abs err={errq:.5f}")
     assert errq < 0.2, errq
-    print("paged kernel parity OK (Dh=128, page 64, bf16 + int8 pools)")
+    print("paged kernel parity OK (bf16 page 64 + int8 page 128 pools)")
 
 
 if __name__ == "__main__":

@@ -38,10 +38,13 @@ Differences from the dense ring (documented semantics):
     preempted request resumes (its stashed tokens count as prompt);
   - per-token logprobs of a preempted request cover only the
     continuation;
-  - int8 KV pages (kv_quant="int8"): pages store int8 with one f32 scale
-    per (head, page, offset) Dh row — the shipped kernel's
-    QuantizedTensor contract, dequantized in-VMEM after the page DMA, so
-    the decode HBM read halves like the dense ring's int8 mode;
+  - int8 KV pages (kv_quant="int8"): pages store int8 with one f32
+    scale per (head, page, offset) Dh row, stored lane-major as [8, P]
+    tiles for OUR Pallas kernel (ops/paged_attention_int8 — the shipped
+    QuantizedTensor kernel broadcasts scales to the full pool shape and
+    OOMs at serving sizes); the decode HBM read drops to ~1.25 B/elem.
+    On TPU the kernel path needs page_size % 128 == 0 (lane-aligned
+    scale vectors) — use page_size=128 with int8 pages;
   - shared-prefix caching (prefix_ids=...) shares PAGES: the prefix KV
     is computed once, scattered into floor(s_pre / page) dedicated pages,
     and every slot's page table points at those same rows — the dense
@@ -74,8 +77,8 @@ def pages_for_budget(cfg: FusionConfig, budget_bytes: int,
                      page_size: int, kv_quant: Optional[str] = None) -> int:
     """Per-layer page count such that the K+V pools fit budget_bytes."""
     tcfg = cfg.text
-    if kv_quant == "int8":  # 1 byte/elem + one f32 scale per Dh row
-        per_row = tcfg.head_dim + 4
+    if kv_quant == "int8":  # 1 byte/elem + a [8, P] f32 scale tile
+        per_row = tcfg.head_dim + 32  # per page: 8 sublanes x P x 4 B
     else:
         per_row = tcfg.head_dim * jnp.dtype(tcfg.dtype).itemsize
     per_page = tcfg.num_key_value_heads * page_size * 2 * per_row
@@ -162,10 +165,11 @@ def _paged_prefill_impl(params, hot, cold, batch, slots, caps, samp, rng,
     dt = s["k_pages"].dtype
     k_half, v_half = kvc[..., :Dh], kvc[..., Dh:]
     if kv_quant == "int8":  # quantize the prompt rows page-wise
+        from ..ops.paged_attention_int8 import scales_to_tile
         k_half, k_sc = qwen3.quantize_page_rows(k_half)
         v_half, v_sc = qwen3.quantize_page_rows(v_half)
-        s["k_scales"] = s["k_scales"].at[:, dest].set(k_sc)
-        s["v_scales"] = s["v_scales"].at[:, dest].set(v_sc)
+        s["k_scales"] = s["k_scales"].at[:, dest].set(scales_to_tile(k_sc))
+        s["v_scales"] = s["v_scales"].at[:, dest].set(scales_to_tile(v_sc))
     s["k_pages"] = s["k_pages"].at[:, dest].set(k_half.astype(dt))
     s["v_pages"] = s["v_pages"].at[:, dest].set(v_half.astype(dt))
     s["page_table"] = s["page_table"].at[slots].set(
@@ -394,12 +398,13 @@ class PagedServingEngine(ServingEngine):
         dest = jnp.arange(L)[:, None] * self.n_pages + shared[None]
         k_half, v_half = kvc[..., :Dh], kvc[..., Dh:]
         if self.kv_quant == "int8":
+            from ..ops.paged_attention_int8 import scales_to_tile
             k_half, k_sc = qwen3.quantize_page_rows(k_half)
             v_half, v_sc = qwen3.quantize_page_rows(v_half)
             self.hot["k_scales"] = self.hot["k_scales"].at[
-                :, dest].set(k_sc)
+                :, dest].set(scales_to_tile(k_sc))
             self.hot["v_scales"] = self.hot["v_scales"].at[
-                :, dest].set(v_sc)
+                :, dest].set(scales_to_tile(v_sc))
         dt = self.hot["k_pages"].dtype
         self.hot["k_pages"] = self.hot["k_pages"].at[:, dest].set(
             k_half.astype(dt))
@@ -419,8 +424,11 @@ class PagedServingEngine(ServingEngine):
             "page_table": jnp.zeros((B, self.pages_per_seq), jnp.int32),
             **self._common_state(logprobs, multi_lora),
         }
-        if kv_quant == "int8":  # per-(head, page, offset) row scales
-            sshape = shape[:-1] + (1,)
+        if kv_quant == "int8":
+            # per-(head, page, offset) row scales in the int8 kernel's
+            # lane-major [8, P] tile layout (paged_attention_int8)
+            from ..ops.paged_attention_int8 import SCALE_SUBLANES
+            sshape = shape[:2] + (SCALE_SUBLANES, self.page_size)
             state["k_scales"] = jnp.zeros(sshape, jnp.float32)
             state["v_scales"] = jnp.zeros(sshape, jnp.float32)
         return state

@@ -139,14 +139,17 @@ class PagedCache(NamedTuple):
     table: jnp.ndarray      # [B, pages_per_seq] int32 (layer-relative)
     lengths: jnp.ndarray    # [B] int32: attend over positions [0, len)
     pages_per_layer: int
-    # int8 pools: per-(head, page, offset) symmetric scales (|max| over the
-    # Dh row — the shipped kernel's QuantizedTensor convention, dequant =
-    # w * scale / 127.5); None for model-dtype pools
-    k_scales: Optional[jnp.ndarray] = None  # [Nkv, rows, P, 1] f32
+    # int8 pools: per-(head, page, offset) symmetric scales (|max| over
+    # the Dh row, dequant = w * scale / 127.5) stored in the int8
+    # kernel's lane-major tile layout — each page's P-vector replicated
+    # over the 8 f32 sublanes (ops/paged_attention_int8.scales_to_tile);
+    # None for model-dtype pools
+    k_scales: Optional[jnp.ndarray] = None  # [Nkv, rows, 8, P] f32
     v_scales: Optional[jnp.ndarray] = None
 
 
 PAGED_QUANT_MAX = 127.5  # kernel convention (quantization_utils.MAX_INT8)
+PAGED_SCALE_SUBLANES = 8  # ops/paged_attention_int8.SCALE_SUBLANES
 
 
 def quantize_page_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -265,8 +268,17 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         if ks is not None:  # int8 pool: quantize the fresh rows
             k_row, k_sc = quantize_page_rows(k_row)
             v_row, v_sc = quantize_page_rows(v_row)
-            ks = ks.at[:, page, off, :].set(k_sc)
-            vs = vs.at[:, page, off, :].set(v_sc)
+            # scale tiles [Nkv, rows, 8, P]: write lane `off` of page
+            # `page` across all 8 replicated sublanes. Advanced indices
+            # (page, off) separated by the `:` slice move to the front:
+            # target shape [B, Nkv, 8]
+            sub = PAGED_SCALE_SUBLANES
+            k_val = jnp.broadcast_to(k_sc[:, :, 0].T[:, :, None],
+                                     (k_sc.shape[1], k_sc.shape[0], sub))
+            v_val = jnp.broadcast_to(v_sc[:, :, 0].T[:, :, None],
+                                     (v_sc.shape[1], v_sc.shape[0], sub))
+            ks = ks.at[:, page, :, off].set(k_val)
+            vs = vs.at[:, page, :, off].set(v_val)
         kp = kp.at[:, page, off, :].set(k_row.astype(kp.dtype))
         vp = vp.at[:, page, off, :].set(v_row.astype(vp.dtype))
         from ..ops.paged_attention import paged_attention

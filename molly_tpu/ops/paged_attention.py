@@ -61,15 +61,18 @@ def paged_attention(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
     pages_per_compute_block: Optional[int] = None,
-    k_scales: Optional[jnp.ndarray] = None,  # [Nkv, n_pages, P, 1] f32
-    v_scales: Optional[jnp.ndarray] = None,
+    k_scales: Optional[jnp.ndarray] = None,  # [Nkv, n_pages, 8, P] tile
+    v_scales: Optional[jnp.ndarray] = None,  # (or legacy [.., P, 1] rows)
 ) -> jnp.ndarray:
     """Decode attention over a paged KV pool; returns [B, Nq, Dh].
 
     k_scales/v_scales: int8 pools' per-row symmetric scales (dequant =
-    w * scale / 127.5 — the shipped kernel's QuantizedTensor convention,
-    quantization_utils.MAX_INT8). The Pallas kernel dequantizes in-VMEM
-    after the page DMA, so the HBM read is half the bf16 pool's.
+    w * scale / 127.5), stored in the lane-major [Nkv, n_pages, 8, P]
+    tile layout of ops/paged_attention_int8 (engines store this; the
+    [.., P, 1] row layout from quantize_page_rows is also accepted).
+    The Pallas kernel DMAs scale tiles with the int8 pages and folds
+    dequant after the matmuls, so the HBM read is ~half the bf16
+    pool's (1 + 32/Dh bytes/elem).
     """
     dh = q.shape[-1]
     if scale is None:
@@ -77,10 +80,13 @@ def paged_attention(
     impl = impl or get_attention_impl()
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
-    if impl == "flash" and (dh % 128 != 0 or k_pages.shape[2] % 8 != 0):
-        # Mosaic tiling: the kernel lowers only for lane-aligned head dims
-        # (tested OK at Dh=128, rejected at Dh=64/16 — tiny test models);
-        # the XLA reference is correct at any shape
+    P = k_pages.shape[2]
+    if impl == "flash" and (dh % 128 != 0 or P % 8 != 0
+                            or (k_scales is not None and P % 128 != 0)):
+        # Mosaic tiling: the kernels lower only for lane-aligned head
+        # dims (tested OK at Dh=128, rejected at Dh=64/16 — tiny test
+        # models), and the int8 kernel's scale vectors additionally need
+        # page_size % 128 == 0; the XLA reference is correct at any shape
         impl = "xla"
     if impl == "flash":
         pages_per_seq = page_indices.shape[1]
@@ -94,7 +100,11 @@ def paged_attention(
             # the pallas_call (4 bytes/elem of HBM on top of the int8
             # pool — OOMs at the 3072-cap op point); see
             # ops/paged_attention_int8.py
-            from .paged_attention_int8 import paged_attention_int8
+            from .paged_attention_int8 import (paged_attention_int8,
+                                               scales_to_tile)
+            if k_scales.shape[-1] == 1:  # row layout -> storage tile
+                k_scales = scales_to_tile(k_scales)
+                v_scales = scales_to_tile(v_scales)
             return paged_attention_int8(
                 qs, k_pages, k_scales, v_pages, v_scales,
                 lengths.astype(jnp.int32), page_indices,
@@ -123,6 +133,10 @@ def _xla_paged_attention(q, k_pages, v_pages, lengths, page_indices,
     k = jnp.moveaxis(k_pages[:, page_indices], 1, 0)
     v = jnp.moveaxis(v_pages[:, page_indices], 1, 0)
     if k_scales is not None:  # dequantize int8 pages
+        if k_scales.shape[-1] != 1:  # [.., 8, P] storage tile -> rows
+            from .paged_attention_int8 import tile_to_rows
+            k_scales = tile_to_rows(k_scales)
+            v_scales = tile_to_rows(v_scales)
         ksc = jnp.moveaxis(k_scales[:, page_indices], 1, 0)
         vsc = jnp.moveaxis(v_scales[:, page_indices], 1, 0)
         k = k.astype(jnp.float32) * (ksc / PAGED_QUANT_MAX)

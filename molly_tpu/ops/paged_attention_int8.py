@@ -11,22 +11,33 @@ serving op point that is 2x 5.47 GiB of scale broadcasts and the
 program OOMs (benchmarks/README.md round-5 paged section). int8 pages
 through that interface are strictly WORSE than bf16 pages.
 
-This variant keeps the shipped kernel's flash/DMA structure (grid over
-(batch, kv_head), inline sequence loop, double-buffered multi-page
-async copies) but takes scales as f32[num_kv_heads, total_pages,
-page_size, 1] — one scale per (head, page, offset) Dh row, 1/Dh-th the
-pool's element count — DMAs the [P, 1] scale block alongside each
-[P, Dh] int8 page, and dequantizes in VMEM after the copy. HBM cost:
-1 byte/elem + 4/Dh bytes/elem; decode read bandwidth halves vs bf16.
+Design (what Mosaic will actually compile — a naive [P, 1] scale
+operand is rejected: "Slice shape along dimension 3 must be aligned to
+tiling (128)"; scale-per-sublane vectors are lane-degenerate):
 
-Dequant convention matches quantization_utils.from_int8:
-``x * scale / 127.5`` (models.qwen3.quantize_page_rows produces it).
+  - quantization stays PER ROW (one scale per (head, page, offset),
+    amax over the Dh row — models.qwen3.quantize_page_rows);
+  - each page's P-vector of scales is stored LANE-MAJOR, replicated
+    over the 8 f32 sublanes: scales[h, page] is an [8, P] tile — both
+    DMA dims tile-aligned, so the per-page copy is Mosaic-clean.
+    HBM cost: 32 bytes per row -> 1 + 32/Dh bytes/elem (1.25 at
+    Dh=128) vs bf16's 2 and the shipped path's 5;
+  - dequantization is folded AFTER the matmuls, where scales live on
+    the LANE axis (no transposes): qk[g, t] uses k-scale[t] as a
+    [1, bk] lane-wise multiply of the raw int8 qk, and the v-scale
+    folds into the softmax weights before the V matmul —
+    s_curr[g, t] * vsc[t]. Algebraically identical to dequantizing
+    K/V rows first.
+
+The flash/DMA structure (grid over (batch, kv_head), inline sequence
+loop, double-buffered multi-page async copies) follows the shipped
+kernel. Requires page_size % 128 == 0 on the Mosaic path (the [1, P]
+scale-vector slices and qk lane concatenation must be lane-aligned);
+``interpret=True`` has no such constraint and runs the same kernel body
+through the Pallas interpreter so CI exercises it off-TPU.
 
 Derived from jax.experimental.pallas.ops.tpu.paged_attention
 (Apache-2.0, Copyright 2024 The JAX Authors); modifications as above.
-``interpret=True`` runs the same kernel through the Pallas interpreter
-so CI exercises the kernel body off-TPU (the dispatch wrapper in
-ops/paged_attention.py uses it for the XLA-free CPU test path).
 """
 
 from __future__ import annotations
@@ -42,12 +53,27 @@ import jax.numpy as jnp
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.dtype("float32")).max)
 MAX_INT8 = 127.5  # quantization_utils.MAX_INT8
+SCALE_SUBLANES = 8  # f32 tile height; scale vectors replicate over it
+
+
+def scales_to_tile(sc: jnp.ndarray) -> jnp.ndarray:
+    """[..., P, 1] per-row scales -> the kernel's [..., 8, P] lane-major
+    sublane-replicated storage tile."""
+    svec = sc[..., 0]                       # [..., P]
+    return jnp.broadcast_to(svec[..., None, :],
+                            (*svec.shape[:-1], SCALE_SUBLANES,
+                             svec.shape[-1]))
+
+
+def tile_to_rows(tile: jnp.ndarray) -> jnp.ndarray:
+    """[..., 8, P] storage tile -> [..., P, 1] per-row scales."""
+    return tile[..., 0, :, None]
 
 
 class _PageCopy:
     """Double-buffered async copy of one compute block's pages + their
-    per-row scales ([P, 1] per page — NOT the full-shape broadcast the
-    shipped kernel DMAs)."""
+    [8, P] scale tiles (NOT the full-shape broadcast the shipped kernel
+    DMAs)."""
 
     def __init__(self, pages_hbm, scales_hbm, vmem, scales_vmem, sem,
                  page_indices, start, n_pages, head):
@@ -68,14 +94,20 @@ class _PageCopy:
         for c in self._copies:
             c.start()
 
-    def wait_and_get_loaded(self) -> jax.Array:
+    def wait_and_get_loaded(self):
+        """Returns (raw int8 values as f32 [bk, Dh], scale row [1, bk])
+        — dequant is the caller's post-matmul lane multiply."""
         for c in self._copies:
             c.wait()
         head_dim = self._vmem.shape[-1]
-        x = self._vmem[...].astype(jnp.float32)
-        scale = self._scales_vmem[...].astype(jnp.float32)  # [blk, P, 1]
-        x = x * (scale * (1.0 / MAX_INT8))                  # dequant in VMEM
-        return x.reshape(-1, head_dim)
+        n_pages = self._vmem.shape[0]
+        x = self._vmem[...].astype(jnp.float32).reshape(-1, head_dim)
+        # scale vector of page i lives (replicated) in tile sublane 0;
+        # [1, P] pieces concatenate on LANES into the block's [1, bk]
+        sc = jnp.concatenate(
+            [self._scales_vmem[i, 0:1, :] for i in range(n_pages)],
+            axis=1)
+        return x, sc
 
 
 def _kernel_one_block(lengths_ref, page_indices_ref, buffer_index_ref,
@@ -161,9 +193,12 @@ def _kernel_one_block(lengths_ref, page_indices_ref, buffer_index_ref,
 
         ck, cv = make_copies(b, h, i, buffer_index)
         q = q_ref[...].astype(jnp.float32)
-        k = ck.wait_and_get_loaded()
-        qk = jnp.einsum("gd,td->gt", q, k,
+        k_raw, ksc = ck.wait_and_get_loaded()
+        qk = jnp.einsum("gd,td->gt", q, k_raw,
                         preferred_element_type=jnp.float32)
+        # dequant K AFTER the matmul: qk[g, t] *= scale_k[t] / 127.5 —
+        # a [1, bk] lane-wise multiply (scales live on lanes here)
+        qk = qk * (ksc * (1.0 / MAX_INT8))
         mask = (i * bk + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
                 < length)
         qk = qk + jnp.where(mask, 0.0, mask_value)
@@ -178,8 +213,11 @@ def _kernel_one_block(lengths_ref, page_indices_ref, buffer_index_ref,
         beta = jnp.exp(m_curr - m_next)
         l_next = alpha * l_prev + beta * l_curr
         m_ref[...], l_ref[...] = m_next, l_next
-        v = cv.wait_and_get_loaded()
-        o_curr = jnp.einsum("gt,td->gd", s_curr, v)
+        v_raw, vsc = cv.wait_and_get_loaded()
+        # dequant V BEFORE its matmul by folding scale_v[t] into the
+        # softmax weights — same lane axis, still no transpose
+        s_scaled = s_curr * (vsc * (1.0 / MAX_INT8))
+        o_curr = jnp.einsum("gt,td->gd", s_scaled, v_raw)
         o_ref[...] = ((l_prev * alpha * o_ref[...] + beta * o_curr)
                       / l_next).astype(o_ref.dtype)
 
@@ -218,7 +256,7 @@ def _kernel(lengths_ref, page_indices_ref, buffer_index_ref,
 def paged_attention_int8(
     q: jax.Array,              # [B, Nq, Dh]
     k_pages: jax.Array,        # int8 [Nkv, total_pages, P, Dh]
-    k_scales: jax.Array,       # f32 [Nkv, total_pages, P, 1]
+    k_scales: jax.Array,       # f32 [Nkv, total_pages, 8, P] (tile)
     v_pages: jax.Array,
     v_scales: jax.Array,
     lengths: jax.Array,        # i32 [B]
@@ -228,19 +266,26 @@ def paged_attention_int8(
     mask_value: float = DEFAULT_MASK_VALUE,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash decode attention over int8 KV pages with per-row scales."""
+    """Flash decode attention over int8 KV pages with per-row scales
+    stored as [8, P] lane-major tiles (see module docstring)."""
     batch_size, num_q_heads, head_dim = q.shape
     num_kv_heads, _, page_size, head_dim_k = k_pages.shape
     _, pages_per_sequence = page_indices.shape
     assert k_pages.dtype == jnp.int8 and v_pages.dtype == jnp.int8, (
         k_pages.dtype, v_pages.dtype)
-    assert k_scales.shape == (*k_pages.shape[:-1], 1), (
+    assert k_scales.shape == (num_kv_heads, k_pages.shape[1],
+                              SCALE_SUBLANES, page_size), (
         k_scales.shape, k_pages.shape)
     assert head_dim_k == head_dim
     assert num_q_heads % num_kv_heads == 0
     assert pages_per_sequence % pages_per_compute_block == 0, (
         pages_per_sequence, pages_per_compute_block)
     assert lengths.dtype == jnp.int32
+    # Mosaic lane alignment: [1, P] scale-vector slices + lane concat
+    assert interpret or page_size % 128 == 0, (
+        "the int8 paged kernel needs page_size % 128 == 0 on TPU "
+        "(lane-aligned scale vectors); use page_size=128 with "
+        "kv_quant='int8', or the XLA fallback", page_size)
 
     num_groups = num_q_heads // num_kv_heads
     if num_groups % 8 != 0:
@@ -256,7 +301,7 @@ def paged_attention_int8(
         q_dtype = q.dtype
 
     pages_vmem = (2, pages_per_compute_block, page_size, head_dim)
-    scales_vmem = (2, pages_per_compute_block, page_size, 1)
+    scales_vmem = (2, pages_per_compute_block, SCALE_SUBLANES, page_size)
     out, _, _ = pl.pallas_call(
         functools.partial(
             _kernel, batch_size=batch_size,

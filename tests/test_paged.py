@@ -506,7 +506,9 @@ def test_paged_attention_int8_kernel_interpret_matches_xla():
     avoid; on-chip parity: benchmarks/paged_kernel_parity.py)."""
     from molly_tpu.models.qwen3 import quantize_page_rows
     from molly_tpu.ops.paged_attention import paged_attention
-    from molly_tpu.ops.paged_attention_int8 import paged_attention_int8
+    from molly_tpu.ops.paged_attention_int8 import (paged_attention_int8,
+                                                    scales_to_tile,
+                                                    tile_to_rows)
     rng = np.random.default_rng(3)
     B, Nq, Nkv, Dh, P, PPS = 3, 4, 2, 16, 4, 4
     NP = B * PPS + 1
@@ -518,11 +520,19 @@ def test_paged_attention_int8_kernel_interpret_matches_xla():
     lengths = jnp.asarray([6, 15, 1], jnp.int32)
     kq, ksc = quantize_page_rows(kp)
     vq, vsc = quantize_page_rows(vp)
+    kt, vt = scales_to_tile(ksc), scales_to_tile(vsc)
+    assert kt.shape == (Nkv, NP, 8, P)
+    np.testing.assert_array_equal(np.asarray(tile_to_rows(kt)),
+                                  np.asarray(ksc))
     scale = Dh ** -0.5
     got = paged_attention_int8(
-        (q * scale), kq, ksc, vq, vsc, lengths, table,
+        (q * scale), kq, kt, vq, vt, lengths, table,
         pages_per_compute_block=2, interpret=True)
+    # the XLA reference accepts both layouts — check tile vs rows too
     ref = paged_attention(q, kq, vq, lengths, table, impl="xla",
                           k_scales=ksc, v_scales=vsc)
+    ref_t = paged_attention(q, kq, vq, lengths, table, impl="xla",
+                            k_scales=kt, v_scales=vt)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ref_t))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
