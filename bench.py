@@ -110,6 +110,11 @@ def main():
                     help="MoE presets with --int8: also quantize the "
                          "expert stacks (ops.moe.quantize_experts) — "
                          "experts are ~all of a MoE's weight bytes")
+    ap.add_argument("--remat-skip", type=int, default=0,
+                    help="train mode: first N layers skip remat entirely "
+                         "(residuals saved, no backward recompute) — "
+                         "spend leftover HBM on recompute elimination "
+                         "(configs.Qwen3Config.remat_skip_layers)")
     ap.add_argument("--train-batch", type=int, default=4,
                     help="--mode train micro-batch size")
     ap.add_argument("--remat", default="full",
@@ -907,7 +912,8 @@ def bench_train(args):
                                remat=args.remat != "none",
                                remat_policy=(args.remat
                                              if args.remat in ("dots", "attn", "hot")
-                                             else "full"))
+                                             else "full"),
+                               remat_skip_layers=args.remat_skip)
     cfg = FusionConfig(
         text=text,
         dna_rna=dataclasses.replace(ESM_PRESETS["nt-500m"],

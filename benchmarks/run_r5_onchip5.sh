@@ -20,3 +20,13 @@ timeout 5400 python bench.py --mode serve --paged --gen-cap 3072 \
 echo "=== B4''. paged int8, 32 slots in a 400-page budget ==="
 timeout 5400 python bench.py --mode serve --paged --gen-cap 3072 \
     --batch 32 --kv-int8 --page-size 128 --kv-pages 400 --n-req 48 || true
+
+echo "=== C4. LoRA 1.7B bs8 hot + remat-skip 8 ==="
+timeout 2400 python bench.py --mode train --preset qwen3-1.7b \
+    --train-batch 8 --remat hot --remat-skip 8 --lce-chunk 1024 || true
+echo "=== C5. LoRA 1.7B bs8 hot + remat-skip 16 ==="
+timeout 2400 python bench.py --mode train --preset qwen3-1.7b \
+    --train-batch 8 --remat hot --remat-skip 16 --lce-chunk 1024 || true
+echo "=== C6. LoRA 1.7B bs8 hot + remat-skip 24 ==="
+timeout 2400 python bench.py --mode train --preset qwen3-1.7b \
+    --train-batch 8 --remat hot --remat-skip 24 --lce-chunk 1024 || true

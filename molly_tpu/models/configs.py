@@ -39,6 +39,14 @@ class Qwen3Config:
     # intermediates — ~0.6x the memory of "dots" at ~30% of "full"'s
     # recompute (see qwen3._remat_policy)
     remat_policy: str = "full"
+    # segmented remat: the FIRST remat_skip_layers of the stack run
+    # WITHOUT jax.checkpoint (all residuals saved, zero backward
+    # recompute) while the rest use remat_policy — a memory<->recompute
+    # dial between "none" (OOM at real batches) and a uniform policy.
+    # Spends leftover HBM slack on recompute elimination: each skipped
+    # 1.7B layer saves ~250 MB at bs8/seq1024 and removes its gate/up
+    # recompute (~0.2 of counted LoRA FLOPs across the full stack).
+    remat_skip_layers: int = 0
     # context parallelism: shard the sequence over the mesh "seq" axis and
     # run ring attention (parallel.ring_attention) — long-context training
     # beyond the reference's single-device cap (SURVEY.md §5.7). Training

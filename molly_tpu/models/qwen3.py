@@ -454,10 +454,26 @@ def forward_hidden(
                                lora_scale, lora_dropout, rng, lora_slots)
             return h, ((h if output_hidden_states else None), aux)
 
-        if cfg.remat:
-            body = jax.checkpoint(body, policy=_remat_policy(cfg))
-        hidden, (per_layer, aux_stack) = jax.lax.scan(
-            body, hidden, (lp, lora_layers, layer_rngs))
+        n_skip = min(cfg.remat_skip_layers, cfg.num_hidden_layers)
+        if cfg.remat and n_skip > 0:
+            # segmented remat (configs.Qwen3Config.remat_skip_layers):
+            # first n_skip layers scan UNCHECKPOINTED (residuals saved,
+            # no backward recompute), the rest under the policy
+            body_ck = jax.checkpoint(body, policy=_remat_policy(cfg))
+            xs = (lp, lora_layers, layer_rngs)
+            head = jax.tree.map(lambda a: a[:n_skip], xs)
+            tail = jax.tree.map(lambda a: a[n_skip:], xs)
+            hidden, (ph, ah) = jax.lax.scan(body, hidden, head)
+            hidden, (pt, at) = jax.lax.scan(body_ck, hidden, tail)
+            per_layer = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), ph, pt)
+            aux_stack = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), ah, at)
+        else:
+            if cfg.remat:
+                body = jax.checkpoint(body, policy=_remat_policy(cfg))
+            hidden, (per_layer, aux_stack) = jax.lax.scan(
+                body, hidden, (lp, lora_layers, layer_rngs))
         # MoE aux losses, averaged over layers (None for dense models) —
         # returned in the cache slot (training never has a KV cache)
         new_cache = (

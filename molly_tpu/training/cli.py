@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "ops (faster where memory allows); 'attn' saves "
                         "only flash-attention outputs (skips the O(S^2) "
                         "backward recompute at [B,S,H]/layer memory)")
+    p.add_argument("--remat-skip-layers", type=int, default=0,
+                   help="segmented remat: first N layers skip "
+                        "checkpointing entirely (residuals saved, zero "
+                        "backward recompute) — spend leftover HBM on "
+                        "recompute elimination")
     p.add_argument("--offload-opt-state", type=str2bool, default=False,
                    help="keep Adam moments in pinned host memory instead "
                         "of HBM (TPU-native ds_z2_offload equivalent; "
@@ -216,7 +221,8 @@ def run_training(args) -> dict:
         text_cfg = tiny_qwen3(
             vocab_size=-(-text_tok.vocab_size // 128) * 128,
             dtype=args.dtype, remat=args.gradient_checkpointing,
-            remat_policy=args.remat_policy)
+            remat_policy=args.remat_policy,
+            remat_skip_layers=args.remat_skip_layers)
         dna_cfg = tiny_esm(vocab_size=dna_tok.vocab_size, mask_token_id=2,
                            dtype=args.dtype)
         prot_cfg = tiny_esm(vocab_size=prot_tok.vocab_size,
@@ -225,7 +231,8 @@ def run_training(args) -> dict:
         text_cfg = dataclasses.replace(
             QWEN3_PRESETS[args.text_preset], dtype=args.dtype,
             remat=args.gradient_checkpointing,
-            remat_policy=args.remat_policy)
+            remat_policy=args.remat_policy,
+            remat_skip_layers=args.remat_skip_layers)
         dna_cfg = dataclasses.replace(ESM_PRESETS[args.dna_rna_preset],
                                       dtype=args.dtype)
         prot_cfg = dataclasses.replace(ESM_PRESETS[args.protein_preset],

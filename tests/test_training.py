@@ -367,3 +367,30 @@ def test_remat_policies_match_no_remat(setup, policy):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
         ref_grads, grads)
+
+
+def test_segmented_remat_matches_no_remat(setup):
+    """remat_skip_layers (first K layers unrematerialized, rest under the
+    policy) changes memory/recompute only — loss and grads must match the
+    no-remat step in f32."""
+    import dataclasses
+
+    cfg, params, batch = setup
+
+    def loss_with(text_cfg):
+        c = dataclasses.replace(cfg, text=text_cfg)
+        return lambda p: fusion.loss_fn(p, c, batch)[0]
+
+    base = dataclasses.replace(cfg.text, dtype="float32", remat=False)
+    f32p = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    ref_loss, ref_grads = jax.value_and_grad(loss_with(base))(f32p)
+    for k in (1, cfg.text.num_hidden_layers):  # partial + full skip
+        seg = dataclasses.replace(base, remat=True, remat_policy="hot",
+                                  remat_skip_layers=k)
+        loss, grads = jax.value_and_grad(loss_with(seg))(f32p)
+        assert float(loss) == pytest.approx(float(ref_loss), abs=1e-6), k
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            ref_grads, grads)
