@@ -265,22 +265,32 @@ def _layer(cfg: Qwen3Config, hidden, layer_params, cos, sin, mask, causal,
         k_row = kk[:, 0].transpose(1, 0, 2)  # [Nkv, B, Dh]
         v_row = v[:, 0].transpose(1, 0, 2)
         ks, vs = pc.k_scales, pc.v_scales
+        # Every pool update below is GATHER -> in-register lane select ->
+        # dim-1-only scatter. Writing single lanes/sublanes via advanced
+        # indices on (page, off) makes XLA:TPU layout assignment give the
+        # LOOP-CARRIED pool a scatter-major layout — measured at the
+        # 3072-cap op point: the f32[Nkv,NP,8,P] scale tiles re-laid out
+        # as {2,0,3,1} (16x lane padding -> 2x 5.47 GiB copies, OOM) and
+        # a full int8-pool copy per decode step to feed the Pallas call's
+        # row-major operand. Dim-1 scatters with full minor slices keep
+        # the pools row-major end-to-end; the cost is one [Nkv, B, P, *]
+        # page gather+scatter per layer per step (a few MB).
+        hit = (jax.lax.broadcasted_iota(jnp.int32, (1, B, P, 1), 2)
+               == off[None, :, None, None])      # [1, B, P, 1]
         if ks is not None:  # int8 pool: quantize the fresh rows
             k_row, k_sc = quantize_page_rows(k_row)
             v_row, v_sc = quantize_page_rows(v_row)
-            # scale tiles [Nkv, rows, 8, P]: write lane `off` of page
-            # `page` across all 8 replicated sublanes. Advanced indices
-            # (page, off) separated by the `:` slice move to the front:
-            # target shape [B, Nkv, 8]
-            sub = PAGED_SCALE_SUBLANES
-            k_val = jnp.broadcast_to(k_sc[:, :, 0].T[:, :, None],
-                                     (k_sc.shape[1], k_sc.shape[0], sub))
-            v_val = jnp.broadcast_to(v_sc[:, :, 0].T[:, :, None],
-                                     (v_sc.shape[1], v_sc.shape[0], sub))
-            ks = ks.at[:, page, :, off].set(k_val)
-            vs = vs.at[:, page, :, off].set(v_val)
-        kp = kp.at[:, page, off, :].set(k_row.astype(kp.dtype))
-        vp = vp.at[:, page, off, :].set(v_row.astype(vp.dtype))
+            # scale tiles [Nkv, rows, 8, P]: set lane `off` of page
+            # `page` across all 8 replicated sublanes
+            sub_hit = hit[:, :, :, 0][:, :, None, :]  # [1, B, 1, P] lanes
+            ks = ks.at[:, page].set(jnp.where(
+                sub_hit, k_sc[:, :, 0][:, :, None, None], ks[:, page]))
+            vs = vs.at[:, page].set(jnp.where(
+                sub_hit, v_sc[:, :, 0][:, :, None, None], vs[:, page]))
+        kp = kp.at[:, page].set(jnp.where(
+            hit, k_row[:, :, None, :].astype(kp.dtype), kp[:, page]))
+        vp = vp.at[:, page].set(jnp.where(
+            hit, v_row[:, :, None, :].astype(vp.dtype), vp[:, page]))
         from ..ops.paged_attention import paged_attention
         layer_table = pc.layer * pc.pages_per_layer + pc.table
         attn = paged_attention(q[:, 0], kp, vp, pc.lengths, layer_table,
