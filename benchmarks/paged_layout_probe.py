@@ -47,9 +47,27 @@ def main():
         eng = PagedServingEngine(params, cfg, gen, n_slots=4,
                                  page_size=128, kv_quant=kv_quant,
                                  prefill_buckets=(128,), decode_chunk=8)
+        from molly_tpu.inference.paged import _paged_prefill_decode_fn
+        from molly_tpu.inference.server import Request
         fn = _paged_decode_fn(cfg, gen, eng.decode_chunk)
         txt = fn.lower(eng.params, eng.hot, eng.cold, jax.random.key(0),
                        jnp.int32(0)).compile().as_text()
+        # the fused admission program's prefill scatter must not force a
+        # pool relayout either (one pool copy per admission dispatch)
+        k = 2
+        batch = {"input_ids": jnp.ones((k, 128), jnp.int32),
+                 "attention_mask": jnp.ones((k, 128), jnp.int32)}
+        fpd = _paged_prefill_decode_fn(cfg, gen, eng.page_size,
+                                       eng.n_pages, eng.decode_chunk,
+                                       kv_quant, eng.s_pre)
+        txt += fpd.lower(
+            eng.params, eng.hot, eng.cold, batch,
+            jnp.arange(k, dtype=jnp.int32), jnp.full((k,), 2, jnp.int32),
+            eng._samp_arrays([Request(uid=None, batch={})
+                              for _ in range(k)]),
+            jax.random.key(1),
+            jnp.full((k, eng.pages_per_seq), -1, jnp.int32),
+            jnp.int32(1)).compile().as_text()
         rows = tcfg.num_hidden_layers * eng.n_pages + 1
         nkv = tcfg.num_key_value_heads
         # ONLY the full pools: [Nkv, L*NP+1, P, Dh] pages and
