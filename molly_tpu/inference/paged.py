@@ -363,8 +363,10 @@ class PagedServingEngine(ServingEngine):
         self._slot_seq = [0] * n_slots   # admission order (preemption age)
         self._admit_seq = 0
         self._admit_tables: Dict[int, np.ndarray] = {}
+        self._stalled: set = set()
         self.stats["preemptions"] = 0
         self.stats["pages_peak"] = 0
+        self.stats["stalls"] = 0
         # pin the shared prefix pages (never released) + write their KV
         self._shared_pages = self._alloc(n_shared) if n_shared else []
         self._write_prefix_pages()
@@ -525,6 +527,7 @@ class PagedServingEngine(ServingEngine):
         self._slot_req[slot] = None
         self._slot_ub[slot] = 0
         self._slot_max[slot] = 0
+        self._stalled.discard(slot)
 
     def _pages_needed(self, tokens: int) -> int:
         """OWN pages needed to hold ``tokens`` total tokens (incl. the
@@ -596,15 +599,17 @@ class PagedServingEngine(ServingEngine):
 
     def _grow_row(self, slot: int, need: int, updates: list,
                   exclude: frozenset) -> bool:
+        """Extend ``slot``'s page chain by ``need`` pages, shaking the
+        pool (reclaim, then preemption) on failure. Returns False when
+        the pool is dry and nothing is preemptible — e.g. every
+        mid-flight continuation has outgrown the largest prefill bucket
+        so no slot can be requeued; the caller STALLS the grower for the
+        round instead of crashing (pages recycle as others finish)."""
         pages = self._alloc(need)
         while pages is None:
             if not (self._reclaim_finished()
                     or self._preempt_one(exclude)):
-                raise RuntimeError(
-                    f"page pool exhausted: {self.n_pages} pages of "
-                    f"{self.page_size} cannot hold the working set and "
-                    "nothing is preemptible — raise n_pages or lower "
-                    "n_slots")
+                return False
             pages = self._alloc(need)
         base = self._n_shared + len(self._slot_pages[slot])
         for j, p in enumerate(pages):
@@ -628,12 +633,29 @@ class PagedServingEngine(ServingEngine):
             if (stale_fin is not None and i not in self._stale_skip
                     and stale_fin[i]):
                 continue  # finished by last snapshot: no growth needed
-            self._slot_ub[i] = min(self._slot_ub[i] + chunk,
-                                   self._slot_max[i])
+            prev_ub = self._slot_ub[i]
+            self._slot_ub[i] = min(prev_ub + chunk, self._slot_max[i])
             need = (self._pages_needed(self._slot_ub[i])
                     - len(self._slot_pages[i]))
-            if need > 0:
-                self._grow_row(i, need, updates, frozenset({i}))
+            if need > 0 and not self._grow_row(i, need, updates,
+                                               frozenset({i})):
+                # STALL: pool dry, nothing preemptible. Freeze the slot
+                # for the round — keep its pages, revert the bound,
+                # deactivate on device so the decode chunk neither
+                # advances it nor writes past its chain (table entries
+                # beyond it would alias page 0). It resumes the round
+                # pages free up; a preemption meanwhile requeues it
+                # (_release clears the stall mark).
+                self._slot_ub[i] = prev_ub
+                if i not in self._stalled:
+                    self._stalled.add(i)
+                    self.cold["active"] = (
+                        self.cold["active"].at[i].set(False))
+                    self.stats["stalls"] += 1
+                continue
+            if i in self._stalled:  # pages granted again: resume
+                self._stalled.discard(i)
+                self.cold["active"] = self.cold["active"].at[i].set(True)
         kept = []
         for reqs, slots in groups:
             k_reqs, k_slots = [], []
@@ -671,6 +693,20 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray(sl, jnp.int32),
                 jnp.asarray(co, jnp.int32)].set(
                     jnp.asarray(pg, jnp.int32))
+        inflight = [i for i in range(self.n_slots)
+                    if self._slot_uid[i] is not None]
+        if inflight and not kept and all(i in self._stalled
+                                         for i in inflight):
+            # every in-flight request is stalled, none finished (reclaim
+            # found nothing), none preemptible, nothing admitted: no
+            # round can ever make progress
+            raise RuntimeError(
+                f"page pool wedged: {self.n_pages} pages of "
+                f"{self.page_size} cannot hold any in-flight request's "
+                "next chunk, none is preemptible (continuations exceed "
+                "the largest prefill bucket), and none can finish — "
+                "raise n_pages, lower n_slots, or add a larger prefill "
+                "bucket")
         return kept
 
     # ---- dispatch overrides (page-table argument in the kv_pre slot) ---

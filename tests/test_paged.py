@@ -272,6 +272,62 @@ def test_paged_streaming_monotone_under_preemption(setup):
         np.testing.assert_array_equal(chunks[-1], results[uid])
 
 
+def test_paged_stall_resumes_when_nothing_preemptible(setup):
+    """Pool dry + every continuation bigger than the largest prefill
+    bucket (prompt == bucket, so any stash overflows it) -> nothing is
+    preemptible. The grower must STALL (freeze for the round, keep its
+    pages) instead of raising, then resume when the other slot finishes
+    and its pages recycle — outputs still match the dense engine."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+    fast = _text_request("fast", 16, seed=7)
+    slow = _text_request("slow", 16, seed=8)
+    fast.max_new_tokens, slow.max_new_tokens = 8, 24
+
+    def mk_reqs():
+        return [Request(r.uid, dict(r.batch),
+                        max_new_tokens=r.max_new_tokens)
+                for r in (fast, slow)]
+
+    ref = ServingEngine(params, cfg, gen, n_slots=2, max_len=64,
+                        prefill_buckets=(16,)).run(mk_reqs())
+    # page 4: prompt = 4 pages; fast maxtok 24 = 6 pages exactly; slow
+    # maxtok 40 = 10 pages. Pool 11, chunk 4: admission takes 5+5, fast
+    # grows to 6 (pool dry), slow's growth finds fast mid-flight with
+    # stash 4 (continuation 20 > bucket 16, unpreemptible) -> stall;
+    # fast finishes next chunk, reclaim frees 6, slow resumes.
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             n_pages=11, prefill_buckets=(16,),
+                             decode_chunk=4)
+    got = eng.run(mk_reqs())
+    assert eng.stats["stalls"] >= 1, eng.stats
+    assert eng.stats["preemptions"] == 0, eng.stats
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    assert len(eng._free_pages) == eng.n_pages
+    assert not eng._stalled
+
+
+def test_paged_wedged_pool_raises(setup):
+    """A pool that can never make progress (every in-flight slot stalled,
+    nothing preemptible, nothing admittable) must raise, not spin."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+    reqs = [_text_request(i, 16, seed=60 + i) for i in range(2)]
+    # 10 pages: both slots admit at 5 pages (20 tokens), both need a 6th
+    # to keep decoding, neither can finish (caps 24) nor be preempted
+    # (continuation 20 > bucket 16)
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             n_pages=10, prefill_buckets=(16,),
+                             decode_chunk=4)
+    with pytest.raises(RuntimeError, match="wedged"):
+        eng.run(list(reqs))
+
+
 def test_paged_eos_and_cancel_free_pages(setup):
     """EOS termination and cancellation both recycle pages."""
     cfg, params = setup
