@@ -311,6 +311,7 @@ class PagedServingEngine(ServingEngine):
                  stream_cb=None,
                  logprobs: bool = False,
                  lora_bank: Optional[Dict[str, Any]] = None,
+                 continuation_bucket: bool = True,
                  rng: Optional[jax.Array] = None):
         assert all(b % page_size == 0 for b in prefill_buckets), (
             "prefill buckets must be multiples of the page size",
@@ -332,9 +333,20 @@ class PagedServingEngine(ServingEngine):
         if pages_per_seq is None:
             pages_per_seq = n_shared + math.ceil(
                 (max(prefill_buckets) + gen.max_new_tokens) / page_size)
-        self.pages_per_seq = pages_per_seq
         if n_pages is None:  # fully provisioned: no preemption possible
+            # sized from the UNROUNDED per-request need — the rounding
+            # below only pads the page TABLE, never real page demand
             n_pages = n_shared + n_slots * (pages_per_seq - n_shared)
+        # Round the table width up so the flash kernel gets ~512-token
+        # compute blocks: pages_per_compute_block must divide
+        # pages_per_seq (ops/paged_attention._default_block), and an
+        # awkward width like 25 forces 1-page (128-token) blocks — ~4x
+        # the DMA waits and softmax bookkeeping per tick. Padded entries
+        # stay -1 (clamped to row 0 on device); reads never reach them
+        # (the kernel skips blocks past each slot's length).
+        mult = max(1, 512 // page_size)
+        pages_per_seq = -(-pages_per_seq // mult) * mult
+        self.pages_per_seq = pages_per_seq
         self.n_pages = n_pages
         self._partial: Dict[Any, np.ndarray] = {}
         if stream_cb is not None:
@@ -354,6 +366,21 @@ class PagedServingEngine(ServingEngine):
             stream_cb=stream_cb, logprobs=logprobs, lora_bank=lora_bank,
             rng=rng)
         self._pad_side = "right"
+        # Preempted requests re-admit as prompt+stash continuations,
+        # which can outgrow every workload bucket (then nothing is
+        # preemptible and an oversubscribed pool can only stall or
+        # wedge). Add one page-aligned bucket big enough for ANY
+        # continuation — compiled lazily, k=1 only (_bucket_group_cap),
+        # and added AFTER super().__init__ so prompt_cols/ring_cols/cap
+        # bounds keep their workload-bucket values (the paged layout
+        # uses ring_cols only as the per-request cap bound).
+        self._cont_bucket = 0
+        if continuation_bucket:
+            cont = (math.ceil((pages_per_seq * page_size - self.s_pre)
+                              / page_size) * page_size)
+            if cont > self.buckets[-1]:
+                self._cont_bucket = cont
+                self.buckets = tuple(sorted(self.buckets + (cont,)))
         # host-side page allocator (layer-relative page ids)
         self._free_pages: List[int] = list(range(n_pages))
         self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
@@ -444,6 +471,8 @@ class PagedServingEngine(ServingEngine):
                                 if (1 << i) <= self.n_slots]
         dummy = jnp.full((1, self.pages_per_seq), -1, jnp.int32)
         for b in self.buckets:
+            if b == self._cont_bucket:
+                continue  # continuation prefill: rare, k=1, compiled lazily
             for k in sizes:
                 batch = {"input_ids": jnp.ones((k, b), jnp.int32),
                          "attention_mask": jnp.ones((k, b), jnp.int32)}
@@ -471,6 +500,9 @@ class PagedServingEngine(ServingEngine):
         self._stale_cold = None
         self._stale_skip = frozenset()
         self._round_admitted = []
+
+    def _bucket_group_cap(self, bucket: int) -> int:
+        return 1 if bucket == self._cont_bucket else self.n_slots
 
     def _eff_batch(self, req: Request):
         b = _pack_batch(req.batch)

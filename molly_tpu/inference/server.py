@@ -572,6 +572,11 @@ class ServingEngine:
 
     # ---- scheduler ----------------------------------------------------
 
+    def _bucket_group_cap(self, bucket: int) -> int:
+        """Max admission-group size for ``bucket`` (layout hook; the paged
+        engine returns 1 for its continuation bucket)."""
+        return self.n_slots
+
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -853,6 +858,10 @@ class ServingEngine:
                     if self._bucket_for(self._eff_len(r)) == bucket
                     ][:len(free)]
             k = 1 << (len(idxs).bit_length() - 1)
+            # layout hook: the paged engine caps its continuation-bucket
+            # groups at 1 so the rare big-bucket prefill only ever
+            # compiles the k=1 variant
+            k = min(k, self._bucket_group_cap(bucket))
             # a dispatch costs ~40-70 ms (~hundreds of slot-ticks): a
             # trailing group smaller than the backfill quantum isn't worth
             # one — leave those slots free for next round's single group

@@ -298,9 +298,11 @@ def test_paged_stall_resumes_when_nothing_preemptible(setup):
     # grows to 6 (pool dry), slow's growth finds fast mid-flight with
     # stash 4 (continuation 20 > bucket 16, unpreemptible) -> stall;
     # fast finishes next chunk, reclaim frees 6, slow resumes.
+    # continuation_bucket=False: the auto bucket would make fast
+    # preemptible instead — this test pins the stall fallback.
     eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
                              n_pages=11, prefill_buckets=(16,),
-                             decode_chunk=4)
+                             decode_chunk=4, continuation_bucket=False)
     got = eng.run(mk_reqs())
     assert eng.stats["stalls"] >= 1, eng.stats
     assert eng.stats["preemptions"] == 0, eng.stats
@@ -308,6 +310,32 @@ def test_paged_stall_resumes_when_nothing_preemptible(setup):
         np.testing.assert_array_equal(got[uid], ref[uid])
     assert len(eng._free_pages) == eng.n_pages
     assert not eng._stalled
+
+
+def test_paged_continuation_bucket_unwedges(setup):
+    """The same pool that WOULD wedge bucket-bound (both slots need a 6th
+    page, neither fits the 16-token bucket as a continuation) completes
+    via the auto continuation bucket: one slot is preempted, re-prefills
+    prompt+stash through the big bucket, and outputs stay exact."""
+    cfg, params = setup
+    gen = GenerationConfig(max_new_tokens=24, do_sample=False,
+                           repetition_penalty=1.05, eos_token_id=-1,
+                           pad_token_id=0)
+
+    def mk_reqs():
+        return [_text_request(i, 16, seed=60 + i) for i in range(2)]
+
+    ref = ServingEngine(params, cfg, gen, n_slots=2, max_len=64,
+                        prefill_buckets=(16,)).run(mk_reqs())
+    eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
+                             n_pages=10, prefill_buckets=(16,),
+                             decode_chunk=4)
+    assert eng._cont_bucket > 16 and eng._cont_bucket in eng.buckets
+    got = eng.run(mk_reqs())
+    assert eng.stats["preemptions"] >= 1, eng.stats
+    for uid in ref:
+        np.testing.assert_array_equal(got[uid], ref[uid])
+    assert len(eng._free_pages) == eng.n_pages
 
 
 def test_paged_wedged_pool_raises(setup):
@@ -320,10 +348,10 @@ def test_paged_wedged_pool_raises(setup):
     reqs = [_text_request(i, 16, seed=60 + i) for i in range(2)]
     # 10 pages: both slots admit at 5 pages (20 tokens), both need a 6th
     # to keep decoding, neither can finish (caps 24) nor be preempted
-    # (continuation 20 > bucket 16)
+    # (continuation 20 > bucket 16, auto bucket disabled)
     eng = PagedServingEngine(params, cfg, gen, n_slots=2, page_size=4,
                              n_pages=10, prefill_buckets=(16,),
-                             decode_chunk=4)
+                             decode_chunk=4, continuation_bucket=False)
     with pytest.raises(RuntimeError, match="wedged"):
         eng.run(list(reqs))
 
