@@ -12,7 +12,8 @@ LOG=$(mktemp)
 env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python -m pytest tests/ -q 2>&1 | tee "$LOG"
 RC=${PIPESTATUS[0]}
-TAIL=$(tail -1 "$LOG")
+TAIL=$(grep -E "[0-9]+ (passed|failed|error)" "$LOG" | tail -1)
+[ -n "$TAIL" ] || TAIL=$(tail -1 "$LOG")
 python - "$OUT" "$RC" "$TAIL" <<'EOF'
 import json, subprocess, sys
 out, rc, tail = sys.argv[1], int(sys.argv[2]), sys.argv[3]
